@@ -1,0 +1,218 @@
+"""Packed, padded inverted-list arena — the TPU-native list storage layout.
+
+The reference stores each inverted list as a ragged host ``std::vector`` with
+an optional GPU mirror (``engine/ivf_flat_index.h:24-36``) and pays a separate
+alloc + H2D copy per probed list per query (``engine/ivf_flat_index.cpp:
+387-444``). TPUs demand static shapes, so lists live in ONE HBM-resident
+padded tensor:
+
+    arena     [nlist, capacity, dim]   corpus dtype (bfloat16 by default)
+    arena_sq  [nlist, capacity]        fp32 squared norms (L2 fast path)
+    counts    [nlist]                  int32 live rows
+    ids       [nlist, capacity]        uint64, host-side (TPUs have no u64)
+
+A vector's identity on device is its int32 global position
+``list_id * capacity + slot``; the host maps positions back to user ids.
+Appends are device scatters (``dynamic_update_slice`` semantics via indexed
+``.at[].set``); capacity growth reallocates with padding in one fused pad op,
+mirroring the reference's evict-and-reload invalidation
+(``ivf_flat_index.cpp:194-197``) without ever dropping device residency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_ID = np.uint64(0xFFFFFFFFFFFFFFFF)  # reference sentinel UINT64_MAX
+
+
+@jax.jit
+def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list):
+    """Scatter-append a batch into the arena as ONE compiled program (the
+    unjitted op-by-op version paid a separate XLA compile + dispatch per
+    scatter, which dominated ingest time on networked TPU backends)."""
+    arena = arena.at[lists, slots].set(vec_f32.astype(arena.dtype))
+    arena_sq = arena_sq.at[lists, slots].set(jnp.sum(vec_f32 * vec_f32, -1))
+    return arena, arena_sq, counts + per_list
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_append_slots(
+    counts: np.ndarray, assignments: np.ndarray
+) -> np.ndarray:
+    """Destination slot for each appended row: current list fill + stable rank
+    among same-list rows in the batch (append order matches the reference,
+    ``ivf_flat_index.cpp:171-192``)."""
+    n = assignments.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(assignments, kind="stable")
+    sorted_lists = assignments[order]
+    boundaries = np.flatnonzero(np.diff(sorted_lists)) + 1
+    starts = np.concatenate([[0], boundaries])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    group_start_of_row = np.repeat(starts, sizes)
+    ranks_sorted = np.arange(n) - group_start_of_row
+    slots = np.empty(n, np.int64)
+    slots[order] = counts[sorted_lists] + ranks_sorted
+    return slots
+
+
+@dataclasses.dataclass
+class PackedListArena:
+    """Device-resident packed inverted lists + host-side id table."""
+
+    nlist: int
+    dim: int
+    dtype: jnp.dtype
+    capacity: int
+    arena: jax.Array       # [nlist, capacity, dim]
+    arena_sq: jax.Array    # [nlist, capacity] fp32
+    counts: jax.Array      # [nlist] int32
+    ids: np.ndarray        # [nlist, capacity] uint64 host
+
+    # Slot-granularity for capacity growth; multiple of the fp32 sublane
+    # tile so every list's block keeps MXU/VPU-friendly shapes.
+    SLOT_ALIGN = 128
+
+    @classmethod
+    def create(
+        cls, nlist: int, dim: int, dtype=jnp.bfloat16, capacity: int = 128
+    ) -> "PackedListArena":
+        capacity = _round_up(max(capacity, cls.SLOT_ALIGN), cls.SLOT_ALIGN)
+        return cls(
+            nlist=nlist,
+            dim=dim,
+            dtype=jnp.dtype(dtype),
+            capacity=capacity,
+            arena=jnp.zeros((nlist, capacity, dim), dtype),
+            arena_sq=jnp.zeros((nlist, capacity), jnp.float32),
+            counts=jnp.zeros((nlist,), jnp.int32),
+            ids=np.full((nlist, capacity), INVALID_ID, np.uint64),
+        )
+
+    @property
+    def total_vectors(self) -> int:
+        return int(np.asarray(self.counts).sum())
+
+    def nbytes_device(self) -> int:
+        return (
+            self.arena.size * self.arena.dtype.itemsize
+            + self.arena_sq.size * 4
+            + self.counts.size * 4
+        )
+
+    # ------------------------------------------------------------------ #
+    # ingest
+    # ------------------------------------------------------------------ #
+
+    def append(
+        self,
+        vectors: np.ndarray | jax.Array,
+        ids: np.ndarray,
+        assignments: np.ndarray,
+    ) -> "PackedListArena":
+        """Append ``vectors [n, dim]`` with user ``ids [n]`` into the lists
+        given by ``assignments [n]``. Returns the updated arena (functional
+        style — the caller swaps its handle, which is what makes epoch swaps
+        and concurrent readers trivially safe).
+
+        ``vectors`` may already live on device (fp32) — the ingest path
+        uploads once and reuses the buffer for assignment and append.
+        """
+        n = vectors.shape[0]
+        if n == 0:
+            return self
+        counts_h = np.asarray(self.counts)
+        per_list = np.bincount(assignments, minlength=self.nlist)
+        needed = counts_h + per_list
+        out = self
+        max_needed = int(needed.max())
+        if max_needed > self.capacity:
+            out = out.grow(_round_up(max(max_needed, int(self.capacity * 1.5)),
+                                     self.SLOT_ALIGN))
+            counts_h = np.asarray(out.counts)
+
+        slots = compute_append_slots(counts_h, assignments)
+
+        if isinstance(vectors, jax.Array):
+            vec_d = vectors.astype(jnp.float32)
+        else:
+            vec_d = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+        arena, arena_sq, counts = _append_device(
+            out.arena,
+            out.arena_sq,
+            out.counts,
+            jnp.asarray(assignments.astype(np.int32)),
+            jnp.asarray(slots.astype(np.int32)),
+            vec_d,
+            jnp.asarray(per_list.astype(np.int32)),
+        )
+
+        new_ids = out.ids.copy()
+        new_ids[assignments, slots] = ids.astype(np.uint64)
+        return dataclasses.replace(
+            out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids
+        )
+
+    def grow(self, new_capacity: int) -> "PackedListArena":
+        """Reallocate with a larger per-list capacity (one device pad op)."""
+        assert new_capacity > self.capacity
+        pad = new_capacity - self.capacity
+        arena = jnp.pad(self.arena, ((0, 0), (0, pad), (0, 0)))
+        arena_sq = jnp.pad(self.arena_sq, ((0, 0), (0, pad)))
+        ids = np.full((self.nlist, new_capacity), INVALID_ID, np.uint64)
+        ids[:, : self.capacity] = self.ids
+        return dataclasses.replace(
+            self, capacity=new_capacity, arena=arena, arena_sq=arena_sq, ids=ids
+        )
+
+    # ------------------------------------------------------------------ #
+    # id mapping
+    # ------------------------------------------------------------------ #
+
+    def positions_to_ids(self, pos: np.ndarray) -> np.ndarray:
+        """Map device global positions (int32, -1 = empty) to user uint64 ids
+        (UINT64_MAX sentinel for empties, matching ``merge_results``,
+        ``engine/ivf_flat_index.cpp:474-518``)."""
+        flat = self.ids.reshape(-1)
+        safe = np.clip(pos, 0, flat.size - 1)
+        out = flat[safe]
+        out[pos < 0] = INVALID_ID
+        return out
+
+    # ------------------------------------------------------------------ #
+    # (de)serialization — packed snapshot arrays for the storage layer
+    # ------------------------------------------------------------------ #
+
+    def to_host(self) -> dict:
+        return {
+            "arena": np.asarray(self.arena.astype(jnp.float32)),
+            "counts": np.asarray(self.counts),
+            "ids": self.ids,
+        }
+
+    @classmethod
+    def from_host(
+        cls, arena: np.ndarray, counts: np.ndarray, ids: np.ndarray, dtype
+    ) -> "PackedListArena":
+        nlist, capacity, dim = arena.shape
+        arena_f = arena.astype(np.float32)
+        dev = jnp.asarray(arena_f).astype(dtype)
+        return cls(
+            nlist=nlist,
+            dim=dim,
+            dtype=jnp.dtype(dtype),
+            capacity=capacity,
+            arena=dev,
+            arena_sq=jnp.sum(jnp.asarray(arena_f) ** 2, axis=-1),
+            counts=jnp.asarray(counts.astype(np.int32)),
+            ids=ids.astype(np.uint64),
+        )

@@ -1,0 +1,425 @@
+"""IVF-PQ index: coarse quantizer + product-quantized inverted lists.
+
+The reference *declares* ``IVFPQIndex`` (``engine/ivf_flat_index.h:107-189``
+— train_pq, encode_vectors, compute_distance_tables, search_list_pq, exact
+rerank via ``rerank_k``, GPU codebooks + distance tables) but never implements
+it; its PQ kernels (K3/K4) are dead code. This module implements the intended
+capability TPU-natively with *residual* PQ (codes quantize ``x − coarse
+centroid``, the standard IVF-PQ formulation):
+
+  search = coarse MXU matmul → top-nprobe
+         → per-probe ADC tables from the query residual (batched MXU)
+         → uint8 code-arena gather + table-lookup scan (VPU)
+         → fused top-k merge
+         → optional exact rerank of the top ``rerank_k`` candidates against
+           the raw-vector arena (one more MXU contraction)
+
+With m=dim/8 one-byte-per-8-dims codes, the scan reads ~16× less HBM than the
+bf16 flat scan — PQ is the bandwidth lever that makes >HBM-rate QPS possible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+    Metric,
+    pairwise_distance,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
+from cuda_acceleratedvectordatabaseengine_tpu.ops.pq import (
+    pq_adc_lookup,
+    pq_distance_tables,
+    pq_encode,
+    train_product_quantizer,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+    INVALID_ID,
+    PackedListArena,
+    compute_append_slots,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+    FLT_MAX,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import bucket_size
+
+
+@dataclasses.dataclass
+class IVFPQConfig:
+    """Mirror of the declared ``IVFPQIndex::Config``
+    (``engine/ivf_flat_index.h:140-150``)."""
+
+    dimension: int = 768
+    nlist: int = 1024
+    m: int = 96                 # subquantizers; dimension % m == 0
+    nbits: int = 8              # codebook bits (ks = 2^nbits); 8 → uint8 codes
+    metric: Metric = Metric.L2
+    keep_raw: bool = True       # retain raw vectors (bf16) for exact rerank
+    raw_dtype: str = "bfloat16"
+    train_iters: int = 10
+    train_sample_per_list: int = 128
+    pq_train_sample: int = 65536
+    seed: int = 42
+
+    def __post_init__(self):
+        if isinstance(self.metric, str):
+            self.metric = Metric.parse(self.metric)
+        if self.dimension % self.m:
+            raise ValueError(f"dimension {self.dimension} % m {self.m} != 0")
+        if self.nbits != 8:
+            raise ValueError("only nbits=8 (uint8 codes) is supported, "
+                             "matching the reference's uint8 pq_scan (K4)")
+
+    @property
+    def ks(self) -> int:
+        return 1 << self.nbits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k")
+)
+def _ivf_pq_search_device(
+    queries,        # [B, D] fp32
+    centroids,      # [nlist, D] fp32
+    codebooks,      # [m, ks, dsub] fp32
+    code_arena,     # [nlist, cap, m] uint8
+    counts,         # [nlist] int32
+    raw_arena,      # [nlist, cap, D] raw dtype or None
+    raw_sq,         # [nlist, cap] fp32 or None
+    nprobe: int,
+    k: int,
+    metric: Metric,
+    rerank_k: int,  # 0 = no rerank
+):
+    b, dim = queries.shape
+    nlist, cap, m = code_arena.shape
+    q = queries.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        q = l2_normalize(q)
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    # Coarse probe. For cosine the arena is normalized, so L2 ordering over
+    # centroids matches cosine ordering of list residuals (standard FAISS
+    # practice); report-space conversion happens at the end.
+    coarse_metric = (
+        Metric.INNER_PRODUCT if metric == Metric.INNER_PRODUCT else Metric.L2
+    )
+    coarse = pairwise_distance(q, centroids, coarse_metric)
+    _, probe_ids = topk_smallest(coarse, nprobe)
+
+    keep = max(k, rerank_k)
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    init_d = jnp.full((b, keep), jnp.inf, jnp.float32)
+    init_p = jnp.full((b, keep), -1, jnp.int32)
+
+    def step(carry, lists):
+        best_d, best_p = carry
+        safe = jnp.maximum(lists, 0)
+        c = centroids[safe]                       # [B, D]
+        if metric == Metric.INNER_PRODUCT:
+            # d = -(q·x) = -(q·c) - (q·r): table term from q, bias from c.
+            q_sub = q.reshape(b, m, dim // m)
+            tables = -jnp.einsum(
+                "bmd,mkd->bmk", q_sub, codebooks,
+                preferred_element_type=jnp.float32,
+            )
+            bias = -jnp.sum(q * c, axis=-1)
+        else:
+            # L2 (and cosine-as-L2): ||q - (c + r)||² ≈ ADC over residual
+            # tables; exact for the quantized representation.
+            tables = pq_distance_tables(q - c, codebooks)
+            bias = jnp.zeros((b,), jnp.float32)
+        codes = code_arena[safe]                  # [B, cap, m] gather
+        d = pq_adc_lookup(tables, codes) + bias[:, None]
+        valid = (slot_iota[None, :] < counts[safe][:, None]) & (
+            lists >= 0
+        )[:, None]
+        d = jnp.where(valid, d, jnp.inf)
+        pos = jnp.where(valid, safe[:, None] * cap + slot_iota[None, :], -1)
+        dd = jnp.concatenate([best_d, d], axis=-1)
+        pp = jnp.concatenate([best_p, pos], axis=-1)
+        best_d, best_p = topk_smallest(dd, keep, idx=pp)
+        return (best_d, best_p), None
+
+    (best_d, best_p), _ = jax.lax.scan(step, (init_d, init_p), probe_ids.T)
+
+    if rerank_k > 0 and raw_arena is not None:
+        # Exact rerank: gather the raw candidate vectors and recompute true
+        # distances (the declared ``use_exact_rerank``/``rerank_k`` surface,
+        # ``engine/ivf_flat_index.h:153-157``).
+        flat = raw_arena.reshape(nlist * cap, dim)
+        flat_sq = raw_sq.reshape(nlist * cap)
+        safe_p = jnp.maximum(best_p, 0)
+        cand = flat[safe_p]                       # [B, keep, D]
+        dots = jnp.einsum(
+            "bd,bkd->bk", q.astype(cand.dtype), cand,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.INNER_PRODUCT:
+            exact = -dots
+        elif metric == Metric.COSINE:
+            exact = 1.0 - dots
+        else:
+            exact = jnp.maximum(
+                q_sq[:, None] - 2.0 * dots + flat_sq[safe_p], 0.0
+            )
+        exact = jnp.where(best_p >= 0, exact, jnp.inf)
+        return topk_smallest(exact, k, idx=best_p)
+
+    best_d, best_p = best_d[:, :k], best_p[:, :k]
+    if metric == Metric.COSINE:
+        # ADC ran in L2 space over unit vectors: ||q−x||² = 2(1−cos) → halve.
+        best_d = jnp.where(jnp.isfinite(best_d), best_d * 0.5, best_d)
+    return best_d, best_p
+
+
+class IVFPQIndex:
+    """IVF index with 8-bit product-quantized residual codes."""
+
+    def __init__(self, config: IVFPQConfig):
+        self.config = config
+        self.metric = config.metric
+        self.centroids: jax.Array | None = None
+        self.codebooks: jax.Array | None = None   # [m, ks, dsub] fp32
+        cap = PackedListArena.SLOT_ALIGN
+        self.code_arena = jnp.zeros(
+            (config.nlist, cap, config.m), jnp.uint8
+        )
+        self.raw: PackedListArena | None = (
+            PackedListArena.create(
+                config.nlist, config.dimension,
+                dtype=jnp.dtype(config.raw_dtype),
+            )
+            if config.keep_raw
+            else None
+        )
+        # When keep_raw=False we still need counts/ids; keep them here.
+        self._counts = jnp.zeros((config.nlist,), jnp.int32)
+        self._ids = np.full((config.nlist, cap), INVALID_ID, np.uint64)
+        self.trained = False
+        self.list_access_count = np.zeros(config.nlist, np.int64)
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def capacity(self) -> int:
+        return self.code_arena.shape[1]
+
+    @property
+    def counts(self) -> jax.Array:
+        return self.raw.counts if self.raw is not None else self._counts
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self.raw.ids if self.raw is not None else self._ids
+
+    @property
+    def ntotal(self) -> int:
+        return int(np.asarray(self.counts).sum())
+
+    # ------------------------------------------------------------------ #
+    # build
+    # ------------------------------------------------------------------ #
+
+    def train(self, vectors: np.ndarray) -> None:
+        """Coarse k-means + residual PQ codebooks (the reference's declared
+        ``train_pq``, ``engine/ivf_flat_index.h:160-163``, and the ghost
+        ``pq_trainer.cpp``)."""
+        cfg = self.config
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        n = vectors.shape[0]
+        if n < cfg.nlist:
+            raise ValueError(f"need ≥ nlist={cfg.nlist} training vectors")
+        if self.metric == Metric.COSINE:
+            vectors = np.asarray(l2_normalize(jnp.asarray(vectors)))
+        rng = np.random.default_rng(cfg.seed)
+        cap = cfg.train_sample_per_list * cfg.nlist
+        sample = vectors if n <= cap else vectors[
+            rng.choice(n, cap, replace=False)
+        ]
+        key = jax.random.PRNGKey(cfg.seed)
+        k1, k2 = jax.random.split(key)
+        sample_d = jnp.asarray(sample)
+        self.centroids, assign = kmeans_fit(
+            k1, sample_d, cfg.nlist, iters=cfg.train_iters
+        )
+        # PQ trains on residuals of a subsample.
+        nsub = min(sample.shape[0], cfg.pq_train_sample)
+        sub_idx = rng.choice(sample.shape[0], nsub, replace=False)
+        residuals = (
+            sample_d[sub_idx] - self.centroids[assign[np.asarray(sub_idx)]]
+        )
+        self.codebooks = train_product_quantizer(
+            k2, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
+        )
+        self.trained = True
+
+    def add(self, vectors: np.ndarray, ids: np.ndarray | None = None) -> None:
+        """Assign → residual-encode (``encode_vectors``, declared at
+        ``ivf_flat_index.h:164-167``) → scatter codes (+ raw) into arenas."""
+        if not self.trained:
+            raise RuntimeError("index must be trained before add()")
+        cfg = self.config
+        vectors = np.ascontiguousarray(vectors, np.float32)
+        n = vectors.shape[0]
+        if n == 0:
+            return
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
+        if self.metric == Metric.COSINE:
+            vectors = np.asarray(l2_normalize(jnp.asarray(vectors)))
+        assign_metric = (
+            Metric.INNER_PRODUCT
+            if self.metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        vec_d = jnp.asarray(vectors)
+        assignments = np.asarray(
+            kmeans_assign(vec_d, self.centroids, assign_metric)
+        )
+        codes = pq_encode(
+            vec_d - self.centroids[jnp.asarray(assignments)], self.codebooks
+        )
+
+        counts_h = np.asarray(self.counts)
+        per_list = np.bincount(assignments, minlength=cfg.nlist)
+        max_needed = int((counts_h + per_list).max())
+        if max_needed > self.capacity:
+            new_cap = max(max_needed, int(self.capacity * 1.5))
+            new_cap = -(-new_cap // PackedListArena.SLOT_ALIGN) * \
+                PackedListArena.SLOT_ALIGN
+            self._grow(new_cap)
+        slots = compute_append_slots(np.asarray(self.counts), assignments)
+
+        lists_d = jnp.asarray(assignments.astype(np.int32))
+        slots_d = jnp.asarray(slots.astype(np.int32))
+        self.code_arena = self.code_arena.at[lists_d, slots_d].set(codes)
+        if self.raw is not None:
+            self.raw = self.raw.append(vectors, np.asarray(ids), assignments)
+        else:
+            self._counts = self._counts + jnp.asarray(
+                per_list.astype(np.int32)
+            )
+            self._ids[assignments, slots] = np.asarray(ids, np.uint64)
+
+    def _grow(self, new_cap: int) -> None:
+        pad = new_cap - self.capacity
+        self.code_arena = jnp.pad(
+            self.code_arena, ((0, 0), (0, pad), (0, 0))
+        )
+        if self.raw is None:
+            ids = np.full(
+                (self.config.nlist, new_cap), INVALID_ID, np.uint64
+            )
+            ids[:, : self._ids.shape[1]] = self._ids
+            self._ids = ids
+        # raw arena grows itself inside append()
+        elif self.raw.capacity < new_cap:
+            self.raw = self.raw.grow(new_cap)
+
+    # ------------------------------------------------------------------ #
+    # search
+    # ------------------------------------------------------------------ #
+
+    def search(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        params = params or SearchParams()
+        if not self.trained:
+            raise RuntimeError("index must be trained before search()")
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        bs = bucket_size(b)
+        if bs > b:
+            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        nprobe = min(params.nprobe, self.config.nlist)
+        rerank_k = 0
+        if params.use_exact_rerank and self.raw is not None:
+            rerank_k = min(max(4 * params.k, params.k), 256)
+
+        raw_arena = self.raw.arena if self.raw is not None else None
+        raw_sq = self.raw.arena_sq if self.raw is not None else None
+        d, pos = _ivf_pq_search_device(
+            jnp.asarray(queries),
+            self.centroids,
+            self.codebooks,
+            self.code_arena,
+            self.counts,
+            raw_arena,
+            raw_sq,
+            nprobe,
+            params.k,
+            self.metric,
+            rerank_k,
+        )
+        d = np.asarray(d)[:b].copy()
+        pos = np.asarray(pos)[:b]
+        flat_ids = self.ids.reshape(-1)
+        safe = np.clip(pos, 0, flat_ids.size - 1)
+        out_ids = flat_ids[safe]
+        out_ids[pos < 0] = INVALID_ID
+        d[pos < 0] = FLT_MAX
+        probed = np.unique(pos[pos >= 0] // self.capacity)
+        self.list_access_count[probed] += 1
+        return d, out_ids
+
+    def search_batch(self, queries, params=None):
+        return self.search(queries, params)
+
+    # ------------------------------------------------------------------ #
+    # persistence
+    # ------------------------------------------------------------------ #
+
+    def state_arrays(self) -> dict:
+        out = {
+            "centroids": np.asarray(self.centroids),
+            "codebooks": np.asarray(self.codebooks),
+            "codes": np.asarray(self.code_arena),
+            "counts": np.asarray(self.counts),
+            "ids": self.ids,
+        }
+        if self.raw is not None:
+            out["arena"] = np.asarray(self.raw.arena.astype(jnp.float32))
+        return out
+
+    def save(self, path: str) -> None:
+        from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
+            save_ivf_pq,
+        )
+
+        save_ivf_pq(path, self)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
+            load_ivf_pq,
+        )
+
+        return load_ivf_pq(path)
+
+    def memory_stats(self) -> dict:
+        code_bytes = self.code_arena.size
+        raw_bytes = self.raw.nbytes_device() if self.raw is not None else 0
+        cb_bytes = 0 if self.codebooks is None else self.codebooks.size * 4
+        cent_bytes = 0 if self.centroids is None else self.centroids.size * 4
+        return {
+            "code_bytes": code_bytes,
+            "raw_bytes": raw_bytes,
+            "total_bytes": code_bytes + raw_bytes + cb_bytes + cent_bytes,
+            "total_vectors": self.ntotal,
+            "nlist": self.config.nlist,
+            "capacity_per_list": self.capacity,
+        }

@@ -1,0 +1,175 @@
+"""k-means for the IVF coarse quantizer, fully on-device.
+
+Reference counterparts:
+  - ``kmeans_assign_kernel`` (K5, ``engine/kernels.cuh:315-354``): one CUDA
+    thread per vector doing a scalar linear argmin over all centroids.
+  - ``IVFFlatIndex::train`` (``engine/ivf_flat_index.cpp:49-145``): host-side
+    k-means++ seeding (seed 42) + 10 Lloyd iterations with GPU-assisted
+    assignment and a *CPU* centroid update loop.
+
+TPU design: assignment is a chunked ``[C, D] x [D, K]`` distance matmul +
+row argmin (MXU); the centroid update is another matmul — ``onehot(a).T @ x``
+— accumulated in fp32 across chunks inside one ``lax.scan``, so the whole
+Lloyd iteration is two big matmuls and never leaves the device. k-means++
+seeding uses the Gumbel-max trick to sample proportional to min-squared-
+distance without a host round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+    Metric,
+    pairwise_distance,
+)
+
+
+def _pad_to_multiple(x: jax.Array, multiple: int):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, n
+
+
+def kmeans_assign(
+    x: jax.Array,
+    centroids: jax.Array,
+    metric: Metric = Metric.L2,
+    chunk_size: int = 16384,
+) -> jax.Array:
+    """Assign each row of ``x [N, D]`` to its nearest centroid ``[K, D]``.
+
+    Replaces K5 (``kernels.cuh:315-354``) and the CPU argmin fallback
+    (``ivf_flat_index.cpp:259-295``). Chunked over N so the [C, K] distance
+    tile stays small regardless of corpus size. Returns int32 ``[N]``.
+    """
+    n = x.shape[0]
+    if n <= chunk_size:
+        d = pairwise_distance(x.astype(jnp.float32), centroids, metric)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    xp, n_orig = _pad_to_multiple(x, chunk_size)
+    chunks = xp.reshape(-1, chunk_size, x.shape[1])
+
+    def body(_, xc):
+        d = pairwise_distance(xc.astype(jnp.float32), centroids, metric)
+        return None, jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    _, assigns = jax.lax.scan(body, None, chunks)
+    return assigns.reshape(-1)[:n_orig]
+
+
+def kmeans_pp_init(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+) -> jax.Array:
+    """k-means++ seeding (D² sampling) on device.
+
+    Mirrors the reference's seeding loop (``ivf_flat_index.cpp:52-104``) but
+    replaces its O(k·N·D) host scalar loops with a ``fori_loop`` of matvec
+    distance updates and Gumbel-max categorical sampling.
+    Returns fp32 centroids ``[k, D]``.
+    """
+    n, dim = x.shape
+    xf = x.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=-1)
+
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    centroids = jnp.zeros((k, dim), jnp.float32).at[0].set(xf[first])
+
+    def dist_to(c):
+        # ||x - c||² via the expanded form; matvec on the MXU.
+        return jnp.maximum(x_sq - 2.0 * (xf @ c) + jnp.sum(c * c), 0.0)
+
+    min_d2 = dist_to(xf[first])
+    keys = jax.random.split(key, k)
+
+    def body(i, carry):
+        centroids, min_d2 = carry
+        # Sample idx with P(idx) ∝ min_d2 via Gumbel-max on log weights.
+        gumbel = jax.random.gumbel(keys[i], (n,))
+        logits = jnp.where(min_d2 > 0, jnp.log(min_d2 + 1e-30), -jnp.inf)
+        idx = jnp.argmax(logits + gumbel)
+        c = xf[idx]
+        centroids = centroids.at[i].set(c)
+        min_d2 = jnp.minimum(min_d2, dist_to(c))
+        return centroids, min_d2
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, min_d2))
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk_size", "init"))
+def kmeans_fit(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+    iters: int = 10,
+    chunk_size: int = 16384,
+    init: str = "kmeans++",
+) -> tuple[jax.Array, jax.Array]:
+    """Train k-means: seeding + ``iters`` fixed Lloyd iterations (the
+    reference also runs a fixed 10, ``ivf_flat_index.cpp:109-142``).
+
+    Returns ``(centroids [k, D] fp32, assignments [N] int32)``.
+    Empty clusters keep their previous centroid, matching the reference's
+    accumulate-and-average update (``ivf_flat_index.cpp:117-141``).
+    """
+    n, dim = x.shape
+    if init == "kmeans++":
+        centroids = kmeans_pp_init(key, x, k)
+    elif init == "random":
+        idx = jax.random.choice(key, n, (k,), replace=False)
+        centroids = x[idx].astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown init {init!r}")
+
+    xp, n_orig = _pad_to_multiple(x, min(chunk_size, max(n, 1)))
+    cs = min(chunk_size, xp.shape[0])
+    chunks = xp.reshape(-1, cs, dim)
+    # Padded rows must not contribute: weight 0.
+    row_ids = jnp.arange(xp.shape[0]).reshape(-1, cs)
+    valid = (row_ids < n_orig).astype(jnp.float32)
+
+    def lloyd(centroids, _):
+        def chunk_body(carry, inputs):
+            sums, counts = carry
+            xc, w = inputs
+            xcf = xc.astype(jnp.float32)
+            d = pairwise_distance(xcf, centroids, Metric.L2)
+            a = jnp.argmin(d, axis=-1)
+            onehot = (a[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+            onehot = onehot * w[:, None]
+            # [k, C] @ [C, D] — the centroid update as an MXU matmul.
+            sums = sums + jax.lax.dot_general(
+                onehot, xcf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), a.astype(jnp.int32)
+
+        (sums, counts), assigns = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (chunks, valid),
+        )
+        new_centroids = jnp.where(
+            (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None],
+            centroids,
+        )
+        return new_centroids, assigns
+
+    centroids, assigns = jax.lax.scan(
+        lambda c, _: lloyd(c, _), centroids, None, length=iters
+    )
+    # assigns from the final iteration: [iters, nchunks, C] → last iter.
+    final_assigns = assigns[-1].reshape(-1)[:n_orig]
+    return centroids, final_assigns

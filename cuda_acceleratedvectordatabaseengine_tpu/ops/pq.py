@@ -1,0 +1,108 @@
+"""Product quantization ops (K3/K4 + the never-implemented PQ trainer).
+
+Reference counterparts:
+  - ``pq_distance_table_kernel`` (K3, ``engine/kernels.cuh:188-223``): one
+    thread per (query, subspace, codeword) computing an L2 table entry.
+  - ``pq_scan_kernel`` (K4, ``engine/kernels.cuh:226-312``): ADC scan with the
+    distance table staged in shared memory.
+  - ``pq_trainer.cpp`` — a build ghost (``indexmgr/CMakeLists.txt:8-47``
+    references it; the file does not exist). Implemented here as vmapped
+    per-subspace k-means.
+
+TPU design: the distance tables are one batched MXU contraction per query
+batch (``bmd,mkd->bmk``); the ADC scan is a vectorized table gather +
+reduction over subspaces. This engine quantizes *residuals* (vector minus its
+coarse centroid) — the standard IVF-PQ formulation — so tables are built per
+(query, probed list) from the query's residual.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import kmeans_fit
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ks", "iters"))
+def train_product_quantizer(
+    key: jax.Array,
+    x: jax.Array,          # [n, dim] fp32 training sample (residuals)
+    m: int,
+    ks: int = 256,
+    iters: int = 10,
+) -> jax.Array:
+    """Train per-subspace codebooks: ``[m, ks, dsub]`` fp32.
+
+    vmapped k-means over the m subspaces — every subspace trains
+    concurrently on device (the reference's ghost ``pq_trainer``)."""
+    n, dim = x.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    x_sub = x.reshape(n, m, dsub).transpose(1, 0, 2)   # [m, n, dsub]
+    keys = jax.random.split(key, m)
+
+    def fit_one(k_i, xs):
+        centroids, _ = kmeans_fit(k_i, xs, ks, iters=iters, init="random")
+        return centroids
+
+    return jax.vmap(fit_one)(keys, x_sub)               # [m, ks, dsub]
+
+
+def pq_encode(
+    x: jax.Array,          # [n, dim] fp32 (residuals)
+    codebooks: jax.Array,  # [m, ks, dsub] fp32
+) -> jax.Array:
+    """Encode vectors to ``[n, m]`` uint8 codes: per-subspace nearest
+    codeword (argmin over an MXU distance contraction)."""
+    n, dim = x.shape
+    m, ks, dsub = codebooks.shape
+    x_sub = x.reshape(n, m, dsub)
+    # ||r - c||² = r² - 2 r·c + c²; argmin over ks.
+    dots = jnp.einsum(
+        "nmd,mkd->nmk", x_sub, codebooks,
+        preferred_element_type=jnp.float32,
+    )
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)      # [m, ks]
+    d = c_sq[None] - 2.0 * dots                          # r² constant in argmin
+    return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+
+def pq_distance_tables(
+    residuals: jax.Array,  # [B, dim] fp32 (query minus coarse centroid)
+    codebooks: jax.Array,  # [m, ks, dsub] fp32
+) -> jax.Array:
+    """ADC distance tables ``[B, m, ks]`` fp32 (K3,
+    ``engine/kernels.cuh:188-223``): table[b, j, c] = ||r_j - codebook_jc||²,
+    as one batched matmul + fused elementwise."""
+    b, dim = residuals.shape
+    m, ks, dsub = codebooks.shape
+    r_sub = residuals.reshape(b, m, dsub)
+    dots = jnp.einsum(
+        "bmd,mkd->bmk", r_sub, codebooks,
+        preferred_element_type=jnp.float32,
+    )
+    r_sq = jnp.sum(r_sub * r_sub, axis=-1)               # [B, m]
+    c_sq = jnp.sum(codebooks * codebooks, axis=-1)       # [m, ks]
+    return r_sq[:, :, None] - 2.0 * dots + c_sq[None]
+
+
+def pq_adc_lookup(
+    tables: jax.Array,     # [B, m, ks] fp32
+    codes: jax.Array,      # [B, L, m] uint8
+) -> jax.Array:
+    """ADC scan (K4, ``engine/kernels.cuh:226-312``): distance of each coded
+    vector = Σ_j table[b, j, code[b, l, j]]. Returns ``[B, L]`` fp32.
+
+    The per-code table gather is the VPU-side op; the tables themselves are
+    tiny (m·ks·4 bytes ≈ 100 KB) and live in VMEM."""
+    b, m, ks = tables.shape
+    tables_flat = tables.reshape(b, m * ks)
+    offs = (jnp.arange(m, dtype=jnp.int32) * ks)[None, None, :]
+    idx = codes.astype(jnp.int32) + offs                 # [B, L, m]
+    gathered = jnp.take_along_axis(
+        tables_flat[:, None, :], idx, axis=-1
+    )                                                    # [B, L, m]
+    return jnp.sum(gathered, axis=-1)

@@ -1,0 +1,169 @@
+"""Fused scan + top-k: the hot search op.
+
+TPU replacement for the reference's ``bruteforce_search_kernel`` (K2,
+``engine/kernels.cuh:84-185``) and its per-(query × probe) GPU round trip
+(``engine/ivf_flat_index.cpp:521-617`` — separate alloc, H2D, kernel launch,
+D2H, and stream sync for *every* list). Here the entire probed-list scan for a
+whole query batch is one traced program: a ``lax.scan`` over probe steps, each
+step doing a fixed-shape arena gather + a batched MXU contraction + a fused
+top-k merge, all HBM-resident with zero host round trips.
+
+Candidate identity is carried as an int32 *global arena position*
+``list_id * list_capacity + slot`` (or row id for the flat scan); ``-1`` marks
+invalid slots — the device analog of the reference's UINT64_MAX sentinel
+(``engine/ivf_flat_index.cpp:380-383``). The host maps positions to user ids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
+from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+
+
+def _block_distances(
+    q: jax.Array,          # [B, D] fp32
+    block: jax.Array,      # [B, L, D] arena dtype
+    block_sq: jax.Array,   # [B, L] fp32 (only used for L2)
+    q_sq: jax.Array,       # [B] fp32
+    metric: Metric,
+) -> jax.Array:
+    """Per-query distances to a gathered block: [B, L] fp32.
+
+    The contraction ``bd,bld->bl`` is a batched matvec; with the arena in
+    bfloat16 the MXU accumulates in fp32 (preferred_element_type).
+    """
+    dots = jax.lax.dot_general(
+        q.astype(block.dtype), block,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Metric.L2:
+        return jnp.maximum(q_sq[:, None] - 2.0 * dots + block_sq, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        return -dots
+    elif metric == Metric.COSINE:
+        # Arena vectors and queries are pre-normalized at ingest/entry
+        # (the reference normalizes via K6 before indexing for cosine).
+        return 1.0 - dots
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def scan_probed_lists(
+    queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
+    arena: jax.Array,       # [nlist, L, D] corpus dtype
+    arena_sq: jax.Array,    # [nlist, L] fp32 squared norms (L2)
+    counts: jax.Array,      # [nlist] int32 live rows per list
+    probe_ids: jax.Array,   # [B, P] int32, -1 = no probe
+    k: int,
+    metric: Metric = Metric.L2,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan each query's ``P`` probed inverted lists, fusing distance
+    computation with an incremental top-k merge.
+
+    Returns ``(dists [B, k] fp32 ascending, pos [B, k] int32 global arena
+    positions, -1 for empty)``.
+    """
+    batch, dim = queries.shape
+    nlist, cap, _ = arena.shape
+    q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+
+    init_d = jnp.full((batch, k), jnp.inf, jnp.float32)
+    init_p = jnp.full((batch, k), -1, jnp.int32)
+
+    def step(carry, lists):
+        best_d, best_p = carry
+        safe_lists = jnp.maximum(lists, 0)
+        block = arena[safe_lists]                       # [B, L, D] gather
+        block_sq = arena_sq[safe_lists]                 # [B, L]
+        d = _block_distances(q, block, block_sq, q_sq, metric)
+        valid = (slot_iota[None, :] < counts[safe_lists][:, None]) & (
+            lists >= 0
+        )[:, None]
+        d = jnp.where(valid, d, jnp.inf)
+        pos = jnp.where(
+            valid, safe_lists[:, None] * cap + slot_iota[None, :], -1
+        )
+        best_d, best_p = _merge(best_d, best_p, d, pos, k)
+        return (best_d, best_p), None
+
+    (best_d, best_p), _ = jax.lax.scan(
+        step, (init_d, init_p), probe_ids.T
+    )
+    return best_d, best_p
+
+
+def _merge(best_d, best_p, d, pos, k):
+    dd = jnp.concatenate([best_d, d], axis=-1)
+    pp = jnp.concatenate([best_p, pos], axis=-1)
+    return topk_smallest(dd, k, idx=pp)
+
+
+def scan_flat(
+    queries: jax.Array,    # [B, D] fp32
+    data: jax.Array,       # [N_pad, D] corpus dtype
+    data_sq: jax.Array,    # [N_pad] fp32, +inf on padded rows
+    n_valid: jax.Array,    # scalar int32
+    k: int,
+    metric: Metric = Metric.L2,
+    chunk_size: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact brute-force scan of the whole corpus with a running top-k.
+
+    The flat-index hot path (BASELINE config #1) and the ground-truth oracle
+    for the recall harness the reference never built (``bench/recall_test.cpp``
+    is referenced by ``bench/CMakeLists.txt:29-44`` but missing). Chunked over
+    N so each step is a dense ``[B, D] x [D, C]`` MXU matmul regardless of
+    corpus size.
+    """
+    n_pad, dim = data.shape
+    batch = queries.shape[0]
+    cs = min(chunk_size, n_pad)
+    rem = (-n_pad) % cs
+    if rem:
+        # Trace-time padding of the tail chunk; masked out via n_valid.
+        data = jnp.pad(data, ((0, rem), (0, 0)))
+        data_sq = jnp.pad(data_sq, (0, rem))
+        n_pad += rem
+    q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    chunks = data.reshape(-1, cs, dim)
+    sq_chunks = data_sq.reshape(-1, cs)
+    col_iota = jnp.arange(cs, dtype=jnp.int32)
+
+    init_d = jnp.full((batch, k), jnp.inf, jnp.float32)
+    init_p = jnp.full((batch, k), -1, jnp.int32)
+
+    def step(carry, inputs):
+        best_d, best_p = carry
+        ci, xc, xc_sq = inputs
+        dots = jax.lax.dot_general(
+            q.astype(xc.dtype), xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.L2:
+            d = jnp.maximum(q_sq[:, None] - 2.0 * dots + xc_sq[None, :], 0.0)
+        elif metric == Metric.INNER_PRODUCT:
+            d = -dots
+        else:
+            d = 1.0 - dots
+        rows = ci * cs + col_iota
+        valid = rows < n_valid
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        pos = jnp.where(valid, rows, -1)
+        best_d, best_p = _merge(
+            best_d, best_p, d, jnp.broadcast_to(pos[None, :], d.shape), k
+        )
+        return (best_d, best_p), None
+
+    (best_d, best_p), _ = jax.lax.scan(
+        step,
+        (init_d, init_p),
+        (jnp.arange(chunks.shape[0], dtype=jnp.int32), chunks, sq_chunks),
+    )
+    return best_d, best_p

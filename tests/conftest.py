@@ -1,0 +1,60 @@
+"""Test harness: force an 8-device CPU platform.
+
+Multi-chip behavior is tested the TPU-world way — a virtual device mesh via
+``xla_force_host_platform_device_count`` (SURVEY.md §4) — so the full suite
+runs anywhere. The sitecustomize in this image pre-imports jax with a TPU
+plugin; steering must happen before any backend is initialized, hence the
+module-level config updates here (conftest imports before all tests).
+"""
+
+import os
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_devices():
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8
+
+
+def brute_force_oracle(queries, data, k, metric="L2"):
+    """NumPy exact ground truth (the recall oracle the reference never built)."""
+    q = queries.astype(np.float64)
+    x = data.astype(np.float64)
+    if metric == "L2":
+        d = (
+            (q * q).sum(1)[:, None]
+            - 2 * q @ x.T
+            + (x * x).sum(1)[None, :]
+        )
+    elif metric == "InnerProduct":
+        d = -(q @ x.T)
+    elif metric == "Cosine":
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = 1 - qn @ xn.T
+    else:
+        raise ValueError(metric)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    return brute_force_oracle

@@ -1,0 +1,122 @@
+"""IVFFlatIndex tests: recall vs the exact oracle (the north-star gate,
+SURVEY.md §7 step 3), metric coverage, ingest growth, hotness surface."""
+
+import numpy as np
+import pytest
+
+from cuda_acceleratedvectordatabaseengine_tpu import (
+    IVFFlatConfig,
+    IVFFlatIndex,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.models.arena import INVALID_ID
+
+
+def _recall(found_ids, true_ids):
+    hits = 0
+    for f, t in zip(found_ids, true_ids):
+        hits += len(set(f.tolist()) & set(t.tolist()))
+    return hits / true_ids.size
+
+
+def _build(rng, n=4000, dim=32, nlist=16, metric="L2", dtype="float32"):
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=dim, nlist=nlist, metric=metric, dtype=dtype)
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    return idx, x
+
+
+@pytest.mark.parametrize("metric", ["L2", "InnerProduct", "Cosine"])
+def test_ivf_recall_full_probe_is_exact(rng, oracle, metric):
+    """nprobe == nlist ⇒ IVF must recover the exact top-k."""
+    idx, x = _build(rng, metric=metric)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=16, k=10))
+    _, ref = oracle(q, x, 10, metric)
+    assert _recall(ids, ref.astype(np.uint64)) == 1.0
+
+
+def test_ivf_recall_partial_probe(rng, oracle):
+    idx, x = _build(rng, n=8000, nlist=32)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=8, k=10))
+    _, ref = oracle(q, x, 10)
+    # Unclustered gaussian data is IVF's worst case; nprobe=1/4 of nlist
+    # still has to recover the bulk of the exact top-10.
+    assert _recall(ids, ref.astype(np.uint64)) > 0.7
+    d2, ids2 = idx.search(q, SearchParams(nprobe=24, k=10))
+    assert _recall(ids2, ref.astype(np.uint64)) > 0.95
+
+
+def test_ivf_distances_sorted_and_exact(rng, oracle):
+    idx, x = _build(rng)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=16, k=10))
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    d_ref, _ = oracle(q, x, 10)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_bfloat16_arena_recall(rng, oracle):
+    """bf16 corpus storage must not measurably hurt top-10 recall."""
+    idx, x = _build(rng, dtype="bfloat16")
+    q = rng.standard_normal((10, 32)).astype(np.float32)
+    _, ids = idx.search(q, SearchParams(nprobe=16, k=10))
+    _, ref = oracle(q, x, 10)
+    assert _recall(ids, ref.astype(np.uint64)) > 0.95
+
+
+def test_ivf_incremental_add_grows_arena(rng):
+    idx, x = _build(rng, n=2000, nlist=4)
+    cap0 = idx.arena.capacity
+    for _ in range(4):
+        idx.add(rng.standard_normal((2000, 32)).astype(np.float32))
+    assert idx.ntotal == 10000
+    assert idx.arena.capacity > cap0
+    d, ids = idx.search(x[:2], SearchParams(nprobe=4, k=3))
+    assert (ids != INVALID_ID).all()
+
+
+def test_ivf_requires_train():
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=8, nlist=4))
+    with pytest.raises(RuntimeError):
+        idx.add(np.zeros((4, 8), np.float32))
+    with pytest.raises(RuntimeError):
+        idx.search(np.zeros((1, 8), np.float32))
+
+
+def test_ivf_dim_mismatch_rejected(rng):
+    idx, _ = _build(rng, dim=32)
+    with pytest.raises(ValueError):
+        idx.search(np.zeros((1, 16), np.float32))
+
+
+def test_ivf_single_query_1d_input(rng):
+    idx, x = _build(rng)
+    d, ids = idx.search(x[0], SearchParams(nprobe=16, k=1))
+    assert ids.shape == (1, 1)
+    assert d[0, 0] < 1e-3  # finds itself
+
+
+def test_ivf_hotness_and_warmup(rng):
+    idx, x = _build(rng)
+    idx.search(x[:4], SearchParams(nprobe=2, k=3))
+    hot = idx.get_hot_lists(4)
+    assert idx.list_access_count.sum() > 0
+    idx.evict_list(int(hot[0]))
+    assert idx.list_access_count[hot[0]] == 0
+    idx.warmup_lists(batch_sizes=(1,))
+
+
+def test_ivf_custom_ids_roundtrip(rng):
+    idx, x = _build(rng, n=1000, nlist=4)
+    # re-add with custom ids on a fresh index
+    cfg = IVFFlatConfig(dimension=32, nlist=4, dtype="float32")
+    idx2 = IVFFlatIndex(cfg)
+    idx2.train(x)
+    ids = np.arange(1000, dtype=np.uint64) * 7 + 3
+    idx2.add(x, ids=ids)
+    _, got = idx2.search(x[:3], SearchParams(nprobe=4, k=1))
+    assert np.array_equal(got[:, 0], ids[:3])
