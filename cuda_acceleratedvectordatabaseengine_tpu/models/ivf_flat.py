@@ -71,6 +71,32 @@ class SearchParams:
                                     # kept for API parity (used by IVF-PQ).
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "cap", "out_dtype"))
+def _bulk_pack_device(x, assignments, nlist, cap, out_dtype):
+    """Pack an entire corpus into a fresh arena in ONE device program:
+    stable sort by list, per-list rank via exclusive-cumsum offsets, scatter.
+    The device-side bulk-build path (offline builds / benchmarks) — no
+    per-row host work and no re-upload of the corpus."""
+    n = x.shape[0]
+    ones = jnp.ones((n,), jnp.int32)
+    counts = jax.ops.segment_sum(ones, assignments, num_segments=nlist)
+    order = jnp.argsort(assignments, stable=True)
+    a_sorted = assignments[order]
+    cum_excl = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - cum_excl[a_sorted].astype(
+        jnp.int32
+    )
+    slots = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    xf = x.astype(jnp.float32)
+    arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
+    arena = arena.at[assignments, slots].set(xf.astype(out_dtype))
+    arena_sq = jnp.zeros((nlist, cap), jnp.float32)
+    arena_sq = arena_sq.at[assignments, slots].set(jnp.sum(xf * xf, -1))
+    return arena, arena_sq, counts.astype(jnp.int32), slots
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric
@@ -163,6 +189,70 @@ class IVFFlatIndex:
             kmeans_assign(vec_d, self.centroids, assign_metric)
         )
         self.arena = self.arena.append(vec_d, np.asarray(ids), assignments)
+
+    def train_from_device(self, x_dev: jax.Array) -> None:
+        """Train directly from a device-resident corpus (no host round trip
+        — the path offline builders and benchmarks use; host↔device corpus
+        transfers are the slowest link on networked TPU runtimes)."""
+        cfg = self.config
+        n = x_dev.shape[0]
+        if n < cfg.nlist:
+            raise ValueError(f"need ≥ nlist={cfg.nlist} training vectors")
+        x_dev = x_dev.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            x_dev = l2_normalize(x_dev)
+        key = jax.random.PRNGKey(cfg.seed)
+        cap = cfg.train_sample_per_list * cfg.nlist
+        if n > cap:
+            idx = jax.random.choice(key, n, (cap,), replace=False)
+            sample = x_dev[idx]
+        else:
+            sample = x_dev
+        self.centroids, _ = kmeans_fit(
+            key, sample, cfg.nlist, iters=cfg.train_iters
+        )
+        self.trained = True
+
+    def build_from_device(
+        self, x_dev: jax.Array, ids: np.ndarray | None = None
+    ) -> None:
+        """Bulk-build the packed arena from a device-resident corpus in one
+        compiled pack program (fresh build; replaces any existing lists).
+        The TPU-native analog of the reference's ghost offline builder
+        (``indexmgr/`` — ``vdb_build_index``)."""
+        if not self.trained:
+            raise RuntimeError("index must be trained before build")
+        cfg = self.config
+        n = x_dev.shape[0]
+        x_dev = x_dev.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            x_dev = l2_normalize(x_dev)
+        assign_metric = (
+            Metric.INNER_PRODUCT
+            if self.metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        assignments = kmeans_assign(x_dev, self.centroids, assign_metric)
+        counts = np.asarray(
+            jax.ops.segment_sum(
+                jnp.ones((n,), jnp.int32), assignments,
+                num_segments=cfg.nlist,
+            )
+        )
+        align = PackedListArena.SLOT_ALIGN
+        cap = max(int(-(-int(counts.max()) // align) * align), align)
+        arena, arena_sq, counts_d, slots = _bulk_pack_device(
+            x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype)
+        )
+        if ids is None:
+            ids = np.arange(n, dtype=np.uint64)
+        ids_table = np.full((cfg.nlist, cap), int(INVALID_ID), np.uint64)
+        ids_table[np.asarray(assignments), np.asarray(slots)] = ids
+        self.arena = PackedListArena(
+            nlist=cfg.nlist, dim=cfg.dimension, dtype=jnp.dtype(cfg.dtype),
+            capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
+            ids=ids_table,
+        )
 
     # ------------------------------------------------------------------ #
     # search

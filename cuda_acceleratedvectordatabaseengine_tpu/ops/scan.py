@@ -53,27 +53,47 @@ def _block_distances(
 
 def scan_probed_lists(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
-    arena: jax.Array,       # [nlist, L, D] corpus dtype
+    arena: jax.Array,       # [nlist, L, D] corpus dtype (L = local capacity)
     arena_sq: jax.Array,    # [nlist, L] fp32 squared norms (L2)
-    counts: jax.Array,      # [nlist] int32 live rows per list
+    counts: jax.Array,      # [nlist] int32 live rows per list (GLOBAL counts)
     probe_ids: jax.Array,   # [B, P] int32, -1 = no probe
     k: int,
     metric: Metric = Metric.L2,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
+    vma_axes: tuple = (),
 ) -> tuple[jax.Array, jax.Array]:
     """Scan each query's ``P`` probed inverted lists, fusing distance
     computation with an incremental top-k merge.
 
     Returns ``(dists [B, k] fp32 ascending, pos [B, k] int32 global arena
     positions, -1 for empty)``.
+
+    Multi-chip striping (``parallel/sharded.py``): when the arena's slot axis
+    is sharded round-robin across N chips, each chip's local slot ``j`` holds
+    the logical slot ``j * N + shard_index``. Pass ``slot_stride=N``,
+    ``slot_offset=axis_index``, and the *global* per-list capacity: validity
+    masks and returned positions are then in logical (global) space, so the
+    host id table needs no restriping and cross-chip merge is a plain top-k
+    over gathered candidates.
     """
     batch, dim = queries.shape
     nlist, cap, _ = arena.shape
+    global_cap = global_capacity if global_capacity is not None else cap
     q = queries.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    slot_logical = (
+        jnp.arange(cap, dtype=jnp.int32) * slot_stride + slot_offset
+    )
 
     init_d = jnp.full((batch, k), jnp.inf, jnp.float32)
     init_p = jnp.full((batch, k), -1, jnp.int32)
+    if vma_axes:
+        # Inside shard_map the carry becomes device-varying (the arena is
+        # sharded); mark the replicated init accordingly for the vma checker.
+        init_d = jax.lax.pcast(init_d, vma_axes, to="varying")
+        init_p = jax.lax.pcast(init_p, vma_axes, to="varying")
 
     def step(carry, lists):
         best_d, best_p = carry
@@ -81,12 +101,12 @@ def scan_probed_lists(
         block = arena[safe_lists]                       # [B, L, D] gather
         block_sq = arena_sq[safe_lists]                 # [B, L]
         d = _block_distances(q, block, block_sq, q_sq, metric)
-        valid = (slot_iota[None, :] < counts[safe_lists][:, None]) & (
+        valid = (slot_logical[None, :] < counts[safe_lists][:, None]) & (
             lists >= 0
         )[:, None]
         d = jnp.where(valid, d, jnp.inf)
         pos = jnp.where(
-            valid, safe_lists[:, None] * cap + slot_iota[None, :], -1
+            valid, safe_lists[:, None] * global_cap + slot_logical[None, :], -1
         )
         best_d, best_p = _merge(best_d, best_p, d, pos, k)
         return (best_d, best_p), None

@@ -1,0 +1,196 @@
+"""ICI-sharded IVF search + data-parallel k-means (shard_map + collectives).
+
+Design (SURVEY.md §7 step 7, §2.9): the arena's **slot axis** is sharded
+round-robin across the mesh — every chip holds slice ``j → logical slot
+j*N + s`` of *every* inverted list. Compared to sharding whole lists across
+chips this is:
+
+  - perfectly load-balanced (each chip scans exactly 1/N of every probed
+    list — no per-chip probe-budget heuristics, no worst-case skew), and
+  - fixed-shape by construction (the same ``scan_probed_lists`` kernel runs
+    with ``slot_stride=N``), so the merge is a plain ``all_gather`` of
+    ``[B, k]`` candidates over ICI + one replicated top-k.
+
+The k-means trainer is data-parallel: each chip reduces its partial
+``onehot.T @ x`` centroid sums and counts, combined with ``psum`` — the
+classic DP allreduce pattern, riding ICI instead of the NCCL the reference
+never had.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+    Metric,
+    pairwise_distance,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
+from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import scan_probed_lists
+from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+from cuda_acceleratedvectordatabaseengine_tpu.parallel.mesh import SHARD_AXIS
+from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+    FLT_MAX,
+    IVFFlatIndex,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import bucket_size
+
+
+def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
+    """Physical slot → logical slot permutation for round-robin striping.
+
+    Physical slot p lives on shard ``s = p // (cap/N)`` at local offset
+    ``j = p % (cap/N)`` and holds logical slot ``j*N + s``."""
+    local = capacity // n_shards
+    p = np.arange(capacity)
+    s, j = p // local, p % local
+    return (j * n_shards + s).astype(np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
+                     "global_cap"),
+)
+def _sharded_search(
+    queries, centroids, arena_s, arena_sq_s, counts,
+    mesh, nprobe, k, metric, n_shards, global_cap,
+):
+    def local_fn(q, c, arena_l, arena_sq_l, cnt):
+        s = jax.lax.axis_index(SHARD_AXIS)
+        qf = q.astype(jnp.float32)
+        if metric == Metric.COSINE:
+            qf = l2_normalize(qf)
+        coarse = pairwise_distance(qf, c, metric)       # replicated [B,nlist]
+        _, probe = topk_smallest(coarse, nprobe)
+        d, pos = scan_probed_lists(
+            qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k, metric,
+            slot_stride=n_shards, slot_offset=s, global_capacity=global_cap,
+            vma_axes=(SHARD_AXIS,),
+        )
+        # Cross-chip merge: k candidates per chip → all_gather over ICI →
+        # replicated global top-k. k·B·8 bytes per chip — tiny on ICI.
+        d_all = jax.lax.all_gather(d, SHARD_AXIS, axis=-1, tiled=True)
+        p_all = jax.lax.all_gather(pos, SHARD_AXIS, axis=-1, tiled=True)
+        return topk_smallest(d_all, k, idx=p_all)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(None, SHARD_AXIS, None), P(None, SHARD_AXIS), P(),
+        ),
+        out_specs=(P(), P()),
+        # Outputs ARE replicated (identical all_gather + top-k on every
+        # chip) but the static vma checker can't prove it through top_k.
+        check_vma=False,
+    )
+    return fn(queries, centroids, arena_s, arena_sq_s, counts)
+
+
+class ShardedIVFFlatIndex:
+    """Multi-chip serving view over a trained :class:`IVFFlatIndex`.
+
+    Build/ingest happen on the base index; ``refresh()`` (re)publishes its
+    arena onto the mesh — the multi-chip analog of the reference's epoch
+    activation swap (``server/query_service.cpp:254-257``). Searches then run
+    SPMD across all chips with an ICI all-gather merge.
+    """
+
+    def __init__(self, base: IVFFlatIndex, mesh):
+        if not base.trained:
+            raise RuntimeError("base index must be trained")
+        self.base = base
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        self.metric = base.metric
+        self._published = False
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-stripe the base arena across the mesh (one gather + resharding
+        device_put; the permutation is count-independent so no host work)."""
+        arena = self.base.arena
+        cap = arena.capacity
+        n = self.n_shards
+        if cap % n:
+            pad = n - cap % n
+            self.base.arena = arena = arena.grow(cap + pad)
+            cap += pad
+        perm = jnp.asarray(_striping_perm(cap, n))
+        shard3 = NamedSharding(self.mesh, P(None, SHARD_AXIS, None))
+        shard2 = NamedSharding(self.mesh, P(None, SHARD_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        self.arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
+        self.arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
+        self.counts = jax.device_put(arena.counts, repl)
+        self.centroids = jax.device_put(self.base.centroids, repl)
+        self.global_cap = cap
+        self._published = True
+
+    def search(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        params = params or SearchParams()
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        bs = bucket_size(b)
+        if bs > b:
+            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        nprobe = min(params.nprobe, self.base.config.nlist)
+        d, pos = _sharded_search(
+            jax.device_put(
+                jnp.asarray(queries), NamedSharding(self.mesh, P())
+            ),
+            self.centroids, self.arena_s, self.arena_sq_s, self.counts,
+            self.mesh, nprobe, params.k, self.metric, self.n_shards,
+            self.global_cap,
+        )
+        d = np.asarray(d)[:b].copy()
+        pos = np.asarray(pos)[:b]
+        ids = self.base.arena.positions_to_ids(pos)
+        d[pos < 0] = FLT_MAX
+        return d, ids
+
+
+def sharded_kmeans_lloyd_step(mesh, x_sharded, centroids, k: int):
+    """One data-parallel Lloyd iteration: local assign + partial centroid
+    sums, ``psum`` allreduce, replicated update. ``x_sharded`` is
+    ``[N, D]`` sharded ``P(SHARD_AXIS, None)``; padded rows must be zero
+    (they contribute to cluster 0's sum with weight 0 via the mask below —
+    callers pass ``n_valid`` masking by zero rows being exactly zero)."""
+
+    def local_fn(x_l, c):
+        xf = x_l.astype(jnp.float32)
+        d = pairwise_distance(xf, c, Metric.L2)
+        a = jnp.argmin(d, axis=-1)
+        valid = jnp.any(x_l != 0, axis=-1)
+        onehot = (
+            (a[:, None] == jnp.arange(k)[None, :]) & valid[:, None]
+        ).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            onehot, xf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cnts = jnp.sum(onehot, axis=0)
+        sums = jax.lax.psum(sums, SHARD_AXIS)
+        cnts = jax.lax.psum(cnts, SHARD_AXIS)
+        return jnp.where(
+            (cnts > 0)[:, None], sums / jnp.maximum(cnts, 1.0)[:, None], c
+        )
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P()), out_specs=P(),
+    )
+    centroids = jax.device_put(centroids, NamedSharding(mesh, P()))
+    return fn(x_sharded, centroids)

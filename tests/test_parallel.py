@@ -1,0 +1,100 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4: the
+TPU-world answer to 'test multi-node without a cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_acceleratedvectordatabaseengine_tpu import (
+    IVFFlatConfig,
+    IVFFlatIndex,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+    ShardedIVFFlatIndex,
+    make_mesh,
+    sharded_kmeans_lloyd_step,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
+    _striping_perm,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _build(rng, n=4000, dim=32, nlist=16, metric="L2"):
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=dim, nlist=nlist, metric=metric,
+                        dtype="float32")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    return idx, x
+
+
+def test_striping_perm_is_permutation():
+    perm = _striping_perm(256, 8)
+    assert sorted(perm.tolist()) == list(range(256))
+    # shard 0's local slots hold logical slots 0, 8, 16, ...
+    assert perm[0] == 0 and perm[1] == 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("metric", ["L2", "Cosine"])
+def test_sharded_search_equals_single_chip(rng, n_shards, metric):
+    """The sharded scan must return exactly the single-chip result — same
+    candidates, same distances — for any mesh size."""
+    idx, x = _build(rng, metric=metric)
+    q = rng.standard_normal((9, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+
+    mesh = make_mesh(n_shards)
+    sharded = ShardedIVFFlatIndex(idx, mesh)
+    d, ids = sharded.search(q, params)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ids, ids_ref)
+
+
+def test_sharded_refresh_after_add(rng):
+    idx, x = _build(rng, n=2000)
+    mesh = make_mesh(4)
+    sharded = ShardedIVFFlatIndex(idx, mesh)
+    more = rng.standard_normal((3000, 32)).astype(np.float32)
+    idx.add(more)
+    sharded.refresh()
+    d_ref, ids_ref = idx.search(x[:5], SearchParams(nprobe=16, k=10))
+    d, ids = sharded.search(x[:5], SearchParams(nprobe=16, k=10))
+    np.testing.assert_array_equal(ids, ids_ref)
+
+
+def test_sharded_kmeans_matches_single_device(rng):
+    mesh = make_mesh(8)
+    n, dim, k = 1024, 16, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    c0 = x[:k].copy()
+    x_sharded = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("shard", None))
+    )
+    c1 = np.asarray(
+        sharded_kmeans_lloyd_step(mesh, x_sharded, jnp.asarray(c0), k)
+    )
+    # single-device oracle
+    d = ((x[:, None] - c0[None]) ** 2).sum(-1)
+    a = d.argmin(1)
+    ref = np.stack([
+        x[a == i].mean(0) if (a == i).any() else c0[i] for i in range(k)
+    ])
+    np.testing.assert_allclose(c1, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_arena_is_actually_distributed(rng):
+    """Each device must hold only 1/N of the arena bytes."""
+    idx, _ = _build(rng, n=4000)
+    mesh = make_mesh(8)
+    sharded = ShardedIVFFlatIndex(idx, mesh)
+    shards = sharded.arena_s.addressable_shards
+    assert len(shards) == 8
+    total = sharded.arena_s.size
+    for s in shards:
+        assert s.data.size == total // 8
