@@ -1,0 +1,161 @@
+"""HBM inverted-list cache with LRU/LFU eviction and hit statistics.
+
+Implements the declared-only ``GpuCache`` (I11,
+``engine/ivf_flat_index.h:191-222``: keyed GPU buffers, LRU eviction,
+hit/miss counters, ``get_hit_rate()``) as a fixed-slot device cache:
+
+    cache_arena  [slots, cap, dim]   device, corpus dtype
+    cache_sq     [slots, cap]        fp32
+    cache_counts [slots]             int32  (live rows of the cached list)
+
+Uploads batch all missing lists into ONE scatter dispatch (host stacking +
+single ``.at[slots].set``), so residency misses cost one H2D transfer per
+batch, not one per list — the reference paid per-list round trips
+(``ivf_flat_index.cpp:387-444``) and its eviction was a TODO that silently
+skipped loads (``:398-402``). Eviction here is real: LRU or LFU victims.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HbmListCache:
+    def __init__(
+        self,
+        n_slots: int,
+        capacity: int,
+        dim: int,
+        dtype=jnp.bfloat16,
+        policy: str = "lru",
+    ):
+        if policy not in ("lru", "lfu"):
+            raise ValueError(f"unknown eviction policy {policy!r}")
+        self.n_slots = n_slots
+        self.capacity = capacity
+        self.dim = dim
+        self.dtype = jnp.dtype(dtype)
+        self.policy = policy
+        self.cache_arena = jnp.zeros((n_slots, capacity, dim), self.dtype)
+        self.cache_sq = jnp.zeros((n_slots, capacity), jnp.float32)
+        self.cache_counts = jnp.zeros((n_slots,), jnp.int32)
+        self._lock = threading.Lock()
+        self._list_to_slot: dict[int, int] = {}
+        self._slot_to_list: dict[int, int] = {}
+        self._free: list[int] = list(range(n_slots))
+        self._last_access: dict[int, float] = {}
+        self._freq: dict[int, int] = {}
+        self.hits = 0
+        self.misses = 0
+
+    # ------------------------------------------------------------------ #
+
+    def get_hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+    def resident_lists(self) -> list[int]:
+        with self._lock:
+            return sorted(self._list_to_slot)
+
+    def _pick_victim_locked(self, protected: set[int]) -> int:
+        if self._free:
+            return self._free.pop()
+        score = self._last_access if self.policy == "lru" else self._freq
+        candidates = [
+            l for l in self._list_to_slot if l not in protected
+        ]
+        if not candidates:
+            raise ValueError(
+                f"cache thrash: all {self.n_slots} slots are needed by the "
+                "current batch; raise cache slots or split the batch"
+            )
+        victim_list = min(candidates, key=lambda l: score.get(l, 0))
+        slot = self._list_to_slot.pop(victim_list)
+        del self._slot_to_list[slot]
+        self._last_access.pop(victim_list, None)
+        self._freq.pop(victim_list, None)
+        return slot
+
+    def evict_list(self, list_id: int) -> bool:
+        """Explicit evict (``ivf_flat_index.h:63``; unlike the reference's,
+        it works)."""
+        with self._lock:
+            slot = self._list_to_slot.pop(list_id, None)
+            if slot is None:
+                return False
+            del self._slot_to_list[slot]
+            self._last_access.pop(list_id, None)
+            self._freq.pop(list_id, None)
+            self._free.append(slot)
+            return True
+
+    # ------------------------------------------------------------------ #
+
+    def ensure_resident(
+        self, list_ids: np.ndarray, host_fetch
+    ) -> dict[int, int]:
+        """Make every list in ``list_ids`` device-resident; returns
+        {list_id: slot}. ``host_fetch(list_id) -> (vectors [c, dim] np,
+        sq [c] np, count)`` supplies host data for misses.
+
+        All misses upload as one batched scatter (single dispatch).
+        """
+        now = time.monotonic()
+        wanted = [int(l) for l in np.unique(list_ids)]
+        if len(wanted) > self.n_slots:
+            raise ValueError(
+                f"batch probes {len(wanted)} unique lists but cache has "
+                f"{self.n_slots} slots; split into waves"
+            )
+        protected = set(wanted)
+        with self._lock:
+            missing = []
+            for l in wanted:
+                if l in self._list_to_slot:
+                    self.hits += 1
+                else:
+                    self.misses += 1
+                    missing.append(l)
+                self._last_access[l] = now
+                self._freq[l] = self._freq.get(l, 0) + 1
+            slots_for_missing = {}
+            for l in missing:
+                slot = self._pick_victim_locked(protected)
+                self._list_to_slot[l] = slot
+                self._slot_to_list[slot] = l
+                slots_for_missing[l] = slot
+            mapping = {l: self._list_to_slot[l] for l in wanted}
+
+        if slots_for_missing:
+            n_miss = len(slots_for_missing)
+            stack = np.zeros((n_miss, self.capacity, self.dim), np.float32)
+            sq = np.zeros((n_miss, self.capacity), np.float32)
+            cnts = np.zeros((n_miss,), np.int32)
+            for i, l in enumerate(slots_for_missing):
+                v, s, c = host_fetch(l)
+                stack[i, :c] = v[:c]
+                sq[i, :c] = s[:c]
+                cnts[i] = c
+            slot_arr = jnp.asarray(
+                np.fromiter(slots_for_missing.values(), np.int32, n_miss)
+            )
+            self.cache_arena = self.cache_arena.at[slot_arr].set(
+                jnp.asarray(stack).astype(self.dtype)
+            )
+            self.cache_sq = self.cache_sq.at[slot_arr].set(jnp.asarray(sq))
+            self.cache_counts = self.cache_counts.at[slot_arr].set(
+                jnp.asarray(cnts)
+            )
+        return mapping
+
+    def memory_bytes(self) -> int:
+        return (
+            self.cache_arena.size * self.cache_arena.dtype.itemsize
+            + self.cache_sq.size * 4 + self.cache_counts.size * 4
+        )

@@ -1,0 +1,270 @@
+"""Streaming IVF search for corpora exceeding device HBM.
+
+Replaces the reference's transfer-manager/prefetcher stack (T1/T3 +
+P1-P3) with the TPU-idiomatic tiering (SURVEY.md §7 step 8): the corpus
+lives packed in host RAM (``HostListStore``); an :class:`HbmListCache`
+holds the hot inverted lists on device; a search batch
+
+  1. runs the coarse probe on device (centroids are always resident),
+  2. ensures its probed lists are cache-resident (one batched async H2D
+     scatter for all misses — JAX async dispatch overlaps it with any
+     in-flight compute, playing the role of the reference's DoubleBuffer
+     ping-pong, ``transfer_manager.cpp:273-311``),
+  3. scans the cache arena with the same fused kernel, probes remapped to
+     cache slots, and maps result positions back to (list, slot) space.
+
+``prefetch_lists`` lets callers (the warmup RPC, the hotness-driven
+ListPrefetcher) stage lists ahead of need.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_acceleratedvectordatabaseengine_tpu.io_host.cache import HbmListCache
+from cuda_acceleratedvectordatabaseengine_tpu.models.arena import INVALID_ID
+from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+    FLT_MAX,
+    IVFFlatIndex,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+    Metric,
+    pairwise_distance,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
+from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import scan_probed_lists
+from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import bucket_size
+
+
+class HostListStore:
+    """Packed inverted lists in host RAM: the host side of the tier.
+
+    Holds fp32 vectors, fp32 squared norms, uint64 ids per list. Built from
+    an in-memory index snapshot or any (vectors, ids, assignments) triple.
+    """
+
+    def __init__(self, nlist: int, dim: int):
+        self.nlist = nlist
+        self.dim = dim
+        self.vectors: list[np.ndarray] = [
+            np.zeros((0, dim), np.float32) for _ in range(nlist)
+        ]
+        self.sq: list[np.ndarray] = [
+            np.zeros((0,), np.float32) for _ in range(nlist)
+        ]
+        self.ids: list[np.ndarray] = [
+            np.zeros((0,), np.uint64) for _ in range(nlist)
+        ]
+
+    @classmethod
+    def from_assignments(cls, vectors, ids, assignments, nlist):
+        store = cls(nlist, vectors.shape[1])
+        order = np.argsort(assignments, kind="stable")
+        sorted_lists = assignments[order]
+        bounds = np.searchsorted(sorted_lists, np.arange(nlist + 1))
+        for l in range(nlist):
+            rows = order[bounds[l]:bounds[l + 1]]
+            v = np.ascontiguousarray(vectors[rows], np.float32)
+            store.vectors[l] = v
+            store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
+                np.float32
+            )
+            store.ids[l] = ids[rows].astype(np.uint64)
+        return store
+
+    def count(self, list_id: int) -> int:
+        return self.vectors[list_id].shape[0]
+
+    def max_count(self) -> int:
+        return max((v.shape[0] for v in self.vectors), default=0)
+
+    def total(self) -> int:
+        return sum(v.shape[0] for v in self.vectors)
+
+    def fetch(self, list_id: int):
+        """host_fetch for HbmListCache."""
+        return (
+            self.vectors[list_id], self.sq[list_id], self.count(list_id),
+        )
+
+    def nbytes(self) -> int:
+        return sum(
+            v.nbytes + s.nbytes + i.nbytes
+            for v, s, i in zip(self.vectors, self.sq, self.ids)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _coarse_probe(queries, centroids, nprobe, metric):
+    q = queries.astype(jnp.float32)
+    if metric == Metric.COSINE:
+        q = l2_normalize(q)
+    coarse = pairwise_distance(q, centroids, metric)
+    _, probe = topk_smallest(coarse, nprobe)
+    return q, probe.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _cache_scan(q, cache_arena, cache_sq, cache_counts, slot_probe, k,
+                metric):
+    return scan_probed_lists(
+        q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric
+    )
+
+
+class StreamingIVFFlatIndex:
+    """IVF-Flat search over a host-RAM corpus with an HBM list-cache tier.
+
+    Device memory is bounded by ``cache_slots * capacity * dim`` regardless
+    of corpus size — the property the reference's ``max_gpu_memory`` config
+    promised (``ivf_flat_index.h:21``) but whose eviction path was a silent
+    TODO (``ivf_flat_index.cpp:398-402``).
+    """
+
+    def __init__(
+        self,
+        base: IVFFlatIndex,
+        cache_slots: int | None = None,
+        max_device_bytes: int | None = None,
+        policy: str = "lru",
+    ):
+        if not base.trained:
+            raise RuntimeError("base index must be trained")
+        self.config = base.config
+        self.metric = base.metric
+        self.centroids = base.centroids
+        host = base.arena.to_host()
+        nlist = base.config.nlist
+        cap = base.arena.capacity
+        counts = host["counts"]
+        store = HostListStore(nlist, base.config.dimension)
+        for l in range(nlist):
+            c = int(counts[l])
+            store.vectors[l] = host["arena"][l, :c].astype(np.float32)
+            store.sq[l] = (store.vectors[l] ** 2).sum(-1)
+            store.ids[l] = host["ids"][l, :c]
+        self.store = store
+        dtype = jnp.dtype(base.config.dtype)
+        if cache_slots is None:
+            per_slot = cap * base.config.dimension * dtype.itemsize
+            budget = max_device_bytes or (per_slot * max(nlist // 4, 1))
+            cache_slots = max(int(budget // max(per_slot, 1)), 1)
+        cache_slots = min(cache_slots, nlist)
+        self.cache = HbmListCache(
+            cache_slots, cap, base.config.dimension, dtype, policy
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def prefetch_lists(self, list_ids) -> None:
+        """Warmup/prefetch path (ListPrefetcher → cache)."""
+        self.cache.ensure_resident(
+            np.asarray(list_ids, np.int64), self.store.fetch
+        )
+
+    def search(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        params = params or SearchParams()
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        bs = bucket_size(b)
+        if bs > b:
+            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        nprobe = min(params.nprobe, self.config.nlist)
+
+        q, probe = _coarse_probe(
+            jnp.asarray(queries), self.centroids, nprobe, self.metric
+        )
+        probe_h = np.asarray(probe)           # D2H: [B, nprobe] int32, tiny
+
+        # Split probe columns into waves whose unique-list working set fits
+        # the cache (one wave in the common case). Each wave: batched upload
+        # of misses (async, overlaps previous wave's scan) + fused scan.
+        waves = self._plan_waves(probe_h)
+        k = params.k
+        all_d, all_l, all_o = [], [], []
+        for cols in waves:
+            wave_probe = probe_h[:, cols]
+            mapping = self.cache.ensure_resident(
+                wave_probe.reshape(-1), self.store.fetch
+            )
+            lut = np.full(self.config.nlist, -1, np.int32)
+            for l, s in mapping.items():
+                lut[l] = s
+            slot_probe = lut[wave_probe]
+            d, pos = _cache_scan(
+                q, self.cache.cache_arena, self.cache.cache_sq,
+                self.cache.cache_counts, jnp.asarray(slot_probe), k,
+                self.metric,
+            )
+            d = np.asarray(d)[:b]
+            pos = np.asarray(pos)[:b]
+            # slot-space → (list, offset) NOW, before the next wave remaps
+            cap = self.cache.capacity
+            rev = np.full(self.cache.n_slots, -1, np.int64)
+            for l, s in mapping.items():
+                rev[s] = l
+            valid = pos >= 0
+            lists = np.where(valid, rev[np.maximum(pos, 0) // cap], -1)
+            offs = np.where(valid, np.maximum(pos, 0) % cap, 0)
+            all_d.append(d)
+            all_l.append(lists)
+            all_o.append(offs)
+
+        d = np.concatenate(all_d, axis=1)
+        lists = np.concatenate(all_l, axis=1)
+        offs = np.concatenate(all_o, axis=1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        d = np.take_along_axis(d, order, 1).copy()
+        lists = np.take_along_axis(lists, order, 1)
+        offs = np.take_along_axis(offs, order, 1)
+        out_ids = np.full(d.shape, INVALID_ID, np.uint64)
+        for i in range(b):
+            for j in range(k):
+                if lists[i, j] >= 0:
+                    out_ids[i, j] = self.store.ids[lists[i, j]][offs[i, j]]
+        d[lists < 0] = FLT_MAX
+        return d, out_ids
+
+    def _plan_waves(self, probe_h: np.ndarray) -> list[list[int]]:
+        """Greedy column grouping: each wave's unique lists ≤ cache slots."""
+        slots = self.cache.n_slots
+        waves: list[list[int]] = []
+        current: list[int] = []
+        working: set[int] = set()
+        for col in range(probe_h.shape[1]):
+            col_lists = set(int(l) for l in np.unique(probe_h[:, col]))
+            if len(col_lists) > slots:
+                raise ValueError(
+                    f"one probe column touches {len(col_lists)} lists but "
+                    f"the cache has {slots} slots; raise cache_slots or "
+                    "lower the batch size"
+                )
+            if current and len(working | col_lists) > slots:
+                waves.append(current)
+                current, working = [], set()
+            current.append(col)
+            working |= col_lists
+        if current:
+            waves.append(current)
+        return waves
+
+    def stats(self) -> dict:
+        return {
+            "hit_rate": self.cache.get_hit_rate(),
+            "hits": self.cache.hits,
+            "misses": self.cache.misses,
+            "resident": len(self.cache.resident_lists()),
+            "slots": self.cache.n_slots,
+            "device_bytes": self.cache.memory_bytes(),
+            "host_bytes": self.store.nbytes(),
+        }

@@ -71,6 +71,15 @@ class SearchParams:
                                     # kept for API parity (used by IVF-PQ).
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "metric"))
+def _assign_and_count(x, centroids, nlist, metric):
+    assignments = kmeans_assign(x, centroids, metric)
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0],), jnp.int32), assignments, num_segments=nlist
+    )
+    return assignments, counts
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "cap", "out_dtype"))
 def _bulk_pack_device(x, assignments, nlist, cap, out_dtype):
     """Pack an entire corpus into a fresh arena in ONE device program:
@@ -89,11 +98,13 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype):
         jnp.int32
     )
     slots = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-    xf = x.astype(jnp.float32)
     arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
-    arena = arena.at[assignments, slots].set(xf.astype(out_dtype))
+    arena = arena.at[assignments, slots].set(x.astype(out_dtype))
+    # fp32 accumulation of squared norms without materializing an fp32 copy
+    # of the corpus (the cast fuses into the reduction).
+    x_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), -1)
     arena_sq = jnp.zeros((nlist, cap), jnp.float32)
-    arena_sq = arena_sq.at[assignments, slots].set(jnp.sum(xf * xf, -1))
+    arena_sq = arena_sq.at[assignments, slots].set(x_sq)
     return arena, arena_sq, counts.astype(jnp.int32), slots
 
 
@@ -198,16 +209,17 @@ class IVFFlatIndex:
         n = x_dev.shape[0]
         if n < cfg.nlist:
             raise ValueError(f"need ≥ nlist={cfg.nlist} training vectors")
-        x_dev = x_dev.astype(jnp.float32)
-        if self.metric == Metric.COSINE:
-            x_dev = l2_normalize(x_dev)
         key = jax.random.PRNGKey(cfg.seed)
         cap = cfg.train_sample_per_list * cfg.nlist
+        # Subsample BEFORE casting: never materialize a full fp32 copy of a
+        # (possibly multi-GB) bf16 corpus.
         if n > cap:
             idx = jax.random.choice(key, n, (cap,), replace=False)
-            sample = x_dev[idx]
+            sample = x_dev[idx].astype(jnp.float32)
         else:
-            sample = x_dev
+            sample = x_dev.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            sample = l2_normalize(sample)
         self.centroids, _ = kmeans_fit(
             key, sample, cfg.nlist, iters=cfg.train_iters
         )
@@ -224,7 +236,9 @@ class IVFFlatIndex:
             raise RuntimeError("index must be trained before build")
         cfg = self.config
         n = x_dev.shape[0]
-        x_dev = x_dev.astype(jnp.float32)
+        # Keep the corpus in its storage dtype end-to-end; per-chunk fp32
+        # casts happen inside the assign/pack kernels (a full-corpus astype
+        # would double peak HBM).
         if self.metric == Metric.COSINE:
             x_dev = l2_normalize(x_dev)
         assign_metric = (
@@ -232,13 +246,10 @@ class IVFFlatIndex:
             if self.metric == Metric.INNER_PRODUCT
             else Metric.L2
         )
-        assignments = kmeans_assign(x_dev, self.centroids, assign_metric)
-        counts = np.asarray(
-            jax.ops.segment_sum(
-                jnp.ones((n,), jnp.int32), assignments,
-                num_segments=cfg.nlist,
-            )
+        assignments, counts_d = _assign_and_count(
+            x_dev, self.centroids, cfg.nlist, assign_metric
         )
+        counts = np.asarray(counts_d)
         align = PackedListArena.SLOT_ALIGN
         cap = max(int(-(-int(counts.max()) // align) * align), align)
         arena, arena_sq, counts_d, slots = _bulk_pack_device(

@@ -36,6 +36,9 @@ def _pad_to_multiple(x: jax.Array, multiple: int):
     return x, n
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "chunk_size")
+)
 def kmeans_assign(
     x: jax.Array,
     centroids: jax.Array,
@@ -46,7 +49,9 @@ def kmeans_assign(
 
     Replaces K5 (``kernels.cuh:315-354``) and the CPU argmin fallback
     (``ivf_flat_index.cpp:259-295``). Chunked over N so the [C, K] distance
-    tile stays small regardless of corpus size. Returns int32 ``[N]``.
+    tile stays small regardless of corpus size; jitted as ONE program —
+    eager chunking would pay a dispatch round trip per chunk, which on
+    networked TPU runtimes is catastrophic. Returns int32 ``[N]``.
     """
     n = x.shape[0]
     if n <= chunk_size:

@@ -1,0 +1,81 @@
+"""Server configuration: one real system (dataclass ← YAML ← CLI).
+
+The reference has two disconnected layers — 5 hand-parsed argv flags
+(``server/main.cpp:134-176``) and a rich ``configs/production.yaml`` that no
+code ever reads (SURVEY.md §5). Here the same schema is actually parsed and
+drives the server; CLI flags override YAML.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import yaml
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    # server (reference flags, main.cpp:134-176)
+    address: str = "0.0.0.0:50051"
+    data_path: str = "/data/vdb"
+    max_batch_size: int = 64
+    coalesce_window_ms: float = 2.0
+    max_message_mb: int = 100
+    grpc_workers: int = 16
+
+    # device
+    device_memory_limit_gb: float = 0.0     # 0 = no explicit cap
+    arena_dtype: str = "bfloat16"
+
+    # rate limiting (configs/production.yaml:32-33)
+    rate_limit_rps: float = 10000.0
+    rate_limit_burst: int = 200
+
+    # circuit breaker (load_balancer.cpp:193-268)
+    breaker_error_threshold: float = 0.5
+    breaker_open_seconds: float = 30.0
+    breaker_decay: float = 0.95
+    max_concurrent_requests: int = 256
+
+    # metrics
+    metrics_port: int = 8080
+    metrics_enabled: bool = True
+
+    # index defaults (configs/production.yaml + README tuning table)
+    default_nlist: int = 1024
+    default_nprobe: int = 8                  # reference Search default
+    keep_epochs: int = 3
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ServerConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        # Accept both flat keys and the reference's nested production.yaml
+        # style ({server: {...}, batching: {...}, ...}).
+        flat: dict = {}
+        for key, val in raw.items():
+            if isinstance(val, dict):
+                flat.update(val)
+            else:
+                flat[key] = val
+        known = {f.name for f in dataclasses.fields(cls)}
+        aliases = {
+            "listen_address": "address",
+            "window_ms": "coalesce_window_ms",
+            "requests_per_second": "rate_limit_rps",
+            "burst": "rate_limit_burst",
+            "error_threshold": "breaker_error_threshold",
+            "port": "metrics_port",
+            "nlist": "default_nlist",
+            "nprobe": "default_nprobe",
+        }
+        kwargs = {}
+        for k, v in flat.items():
+            k = aliases.get(k, k)
+            if k in known:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    def apply_overrides(self, **kv) -> "ServerConfig":
+        updates = {k: v for k, v in kv.items() if v is not None}
+        return dataclasses.replace(self, **updates)

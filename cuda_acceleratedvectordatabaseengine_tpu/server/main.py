@@ -1,0 +1,113 @@
+"""Server bootstrap (S1, ``server/main.cpp:127-214``): CLI + YAML config,
+data-dir creation, device banner, gRPC server with health service, metrics
+endpoint, graceful SIGINT/SIGTERM shutdown."""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import os
+import signal
+import threading
+
+import grpc
+
+from cuda_acceleratedvectordatabaseengine_tpu.server.config import ServerConfig
+from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
+    admin_service_handler,
+    health_service_handler,
+    query_service_handler,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.health import (
+    HealthServicer,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
+    AdminServiceImpl,
+    QueryServiceImpl,
+    VdbEngine,
+)
+
+
+def build_server(config: ServerConfig):
+    """Construct (grpc.Server, VdbEngine, HealthServicer) — separated from
+    main() so tests can run an in-process server on an ephemeral port."""
+    engine = VdbEngine(config)
+    query = QueryServiceImpl(engine)
+    admin = AdminServiceImpl(engine)
+    health = HealthServicer()
+    server = grpc.server(
+        concurrent.futures.ThreadPoolExecutor(
+            max_workers=config.grpc_workers,
+            thread_name_prefix="grpc-worker",
+        ),
+        options=[
+            ("grpc.max_receive_message_length",
+             config.max_message_mb * 1024 * 1024),
+            ("grpc.max_send_message_length",
+             config.max_message_mb * 1024 * 1024),
+        ],
+    )
+    server.add_generic_rpc_handlers((
+        query_service_handler(query),
+        admin_service_handler(admin),
+        health_service_handler(health),
+    ))
+    port = server.add_insecure_port(config.address)
+    return server, engine, health, port
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="TPU-native vector DB server")
+    p.add_argument("--config", help="YAML config file")
+    p.add_argument("--address", help="listen address host:port")
+    p.add_argument("--data-path", dest="data_path")
+    p.add_argument("--batch-size", dest="max_batch_size", type=int)
+    p.add_argument("--coalesce-window", dest="coalesce_window_ms",
+                   type=float, help="ms")
+    p.add_argument("--metrics-port", dest="metrics_port", type=int)
+    args = p.parse_args(argv)
+
+    config = (
+        ServerConfig.from_yaml(args.config) if args.config else ServerConfig()
+    )
+    config = config.apply_overrides(
+        address=args.address,
+        data_path=args.data_path,
+        max_batch_size=args.max_batch_size,
+        coalesce_window_ms=args.coalesce_window_ms,
+        metrics_port=args.metrics_port,
+    )
+    os.makedirs(config.data_path, exist_ok=True)
+
+    # device banner (reference check_cuda_availability, main.cpp:43-66)
+    import jax
+
+    devices = jax.devices()
+    print(f"[vdb] devices: {[str(d) for d in devices]}")
+    print(f"[vdb] listening on {config.address}, data at {config.data_path}")
+
+    server, engine, health, port = build_server(config)
+    if config.metrics_enabled:
+        try:
+            engine.metrics.start_exposition(config.metrics_port)
+            print(f"[vdb] metrics on :{config.metrics_port}/metrics")
+        except OSError as e:
+            print(f"[vdb] metrics endpoint unavailable: {e}")
+    server.start()
+
+    stop_event = threading.Event()
+
+    def handle(signum, _frame):
+        print(f"[vdb] signal {signum}, shutting down...")
+        health.set_status("", False)
+        stop_event.set()
+
+    signal.signal(signal.SIGINT, handle)
+    signal.signal(signal.SIGTERM, handle)
+    stop_event.wait()
+    server.stop(grace=5).wait()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Metrics: per-index latency percentiles, recall, throughput, device memory
+— with a REAL Prometheus exposition endpoint.
+
+Reference S6/S10: ``MetricsCollector`` computes p50/p95/p99 from bounded
+sample buffers and renders Prometheus text (``query_service.cpp:680-798``),
+but the :8080 server is a placeholder loop (``health_service.cpp:161-218``)
+and the recording calls in Search are commented out
+(``query_service.cpp:158-160``). Here recording is wired in and exposition
+uses ``prometheus_client``'s HTTP server. Metric names match the reference
+(``README.md:188-191``): vdb_search_duration_milliseconds,
+vdb_searches_total, vdb_gpu_memory_bytes, vdb_queries_per_second.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+
+import numpy as np
+from prometheus_client import (
+    CollectorRegistry,
+    Counter,
+    Gauge,
+    Histogram,
+    start_http_server,
+    generate_latest,
+)
+
+
+class MetricsCollector:
+    MAX_SAMPLES = 10_000   # bounded buffers, query_service.cpp:782-788
+
+    def __init__(self, registry: CollectorRegistry | None = None):
+        self.registry = registry or CollectorRegistry()
+        self._lock = threading.Lock()
+        self._latencies: dict[str, collections.deque] = {}
+        self._recalls: dict[str, collections.deque] = {}
+        self._search_counts: dict[str, int] = {}
+        self._started = time.monotonic()
+        self._total_queries = 0
+
+        self.h_latency = Histogram(
+            "vdb_search_duration_milliseconds",
+            "Search latency (ms)",
+            ["index"],
+            buckets=(0.5, 1, 2, 5, 10, 20, 50, 100, 200, 500, 1000),
+            registry=self.registry,
+        )
+        self.c_searches = Counter(
+            "vdb_searches_total", "Total searches", ["index"],
+            registry=self.registry,
+        )
+        self.g_device_mem = Gauge(
+            "vdb_gpu_memory_bytes", "Device HBM bytes used by indices",
+            registry=self.registry,
+        )
+        self.g_qps = Gauge(
+            "vdb_queries_per_second", "Uptime-average QPS",
+            registry=self.registry,
+        )
+        self.g_nvme_bw = Gauge(
+            "vdb_nvme_bandwidth_bytes", "Host storage read bandwidth",
+            registry=self.registry,
+        )
+        self.g_recall = Gauge(
+            "vdb_search_recall", "Sampled recall@k", ["index"],
+            registry=self.registry,
+        )
+
+    # ------------------------------------------------------------------ #
+    # recording (the calls the reference commented out)
+    # ------------------------------------------------------------------ #
+
+    def record_search(self, index: str, latency_ms: float,
+                      n_queries: int = 1) -> None:
+        with self._lock:
+            buf = self._latencies.setdefault(
+                index, collections.deque(maxlen=self.MAX_SAMPLES)
+            )
+            buf.append(latency_ms)
+            self._search_counts[index] = (
+                self._search_counts.get(index, 0) + 1
+            )
+            self._total_queries += n_queries
+            elapsed = max(time.monotonic() - self._started, 1e-9)
+            self.g_qps.set(self._total_queries / elapsed)
+        self.h_latency.labels(index=index).observe(latency_ms)
+        self.c_searches.labels(index=index).inc()
+
+    def record_recall(self, index: str, recall: float) -> None:
+        with self._lock:
+            buf = self._recalls.setdefault(
+                index, collections.deque(maxlen=self.MAX_SAMPLES)
+            )
+            buf.append(recall)
+        self.g_recall.labels(index=index).set(recall)
+
+    def set_device_memory(self, nbytes: int) -> None:
+        self.g_device_mem.set(nbytes)
+
+    def set_storage_bandwidth(self, bytes_per_s: float) -> None:
+        self.g_nvme_bw.set(bytes_per_s)
+
+    # ------------------------------------------------------------------ #
+    # queries (reference get_percentiles API, query_service.cpp:790-798)
+    # ------------------------------------------------------------------ #
+
+    def get_percentiles(self, index: str) -> dict:
+        with self._lock:
+            buf = self._latencies.get(index)
+            if not buf:
+                return {"p50": 0.0, "p95": 0.0, "p99": 0.0, "count": 0}
+            arr = np.asarray(buf)
+        return {
+            "p50": float(np.percentile(arr, 50)),
+            "p95": float(np.percentile(arr, 95)),
+            "p99": float(np.percentile(arr, 99)),
+            "count": int(self._search_counts.get(index, 0)),
+        }
+
+    def get_avg_recall(self, index: str) -> float:
+        with self._lock:
+            buf = self._recalls.get(index)
+            return float(np.mean(buf)) if buf else 0.0
+
+    def uptime_qps(self) -> float:
+        with self._lock:
+            elapsed = max(time.monotonic() - self._started, 1e-9)
+            return self._total_queries / elapsed
+
+    # ------------------------------------------------------------------ #
+    # exposition
+    # ------------------------------------------------------------------ #
+
+    def prometheus_text(self) -> bytes:
+        return generate_latest(self.registry)
+
+    def start_exposition(self, port: int) -> None:
+        """Real /metrics HTTP endpoint (what S10 stubbed)."""
+        start_http_server(port, registry=self.registry)

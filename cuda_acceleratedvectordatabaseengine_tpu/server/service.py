@@ -1,0 +1,555 @@
+"""QueryService / AdminService implementations (S2/S3,
+``server/query_service.{h,cpp}``) over the TPU engine.
+
+Differences from the reference worth knowing:
+  - Search actually goes through the request coalescer → one fixed-shape
+    device batch per window (the reference's batch queue existed but was
+    never fed, ``query_service.cpp:267-401``).
+  - Rate limiter / circuit breaker / concurrency caps are wired in (the
+    reference implemented them but never instantiated them).
+  - BuildEpoch performs a real train→add→save pipeline (the reference's
+    build worker is a placeholder skeleton, ``query_service.cpp:549-584``).
+  - AddVectors gives the ingest path its integration tests lamented the
+    absence of.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+import time
+
+import grpc
+import numpy as np
+from google.protobuf import empty_pb2
+
+from cuda_acceleratedvectordatabaseengine_tpu.models.arena import INVALID_ID
+from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+    IVFFlatConfig,
+    IVFFlatIndex,
+    SearchParams,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+    IVFPQConfig,
+    IVFPQIndex,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
+from cuda_acceleratedvectordatabaseengine_tpu.server.balancer import (
+    AdaptiveController,
+    CircuitBreaker,
+    ConcurrencyLimiter,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.coalescer import (
+    RequestCoalescer,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.config import ServerConfig
+from cuda_acceleratedvectordatabaseengine_tpu.server.metrics import (
+    MetricsCollector,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.proto import vdb_pb2
+from cuda_acceleratedvectordatabaseengine_tpu.server.ratelimit import (
+    RateLimiter,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.storage.epoch import EpochManager
+from cuda_acceleratedvectordatabaseengine_tpu.storage.manifest import (
+    IndexManifest,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
+    load_ivf_flat,
+    load_ivf_pq,
+)
+
+MAX_TOPK = 1000       # reference bound (query_service.cpp:80-86)
+MAX_DIMENSION = 65536  # reference bound (query_service.cpp:436)
+
+
+@dataclasses.dataclass
+class IndexState:
+    """Per-index live state (reference ``IndexState``,
+    ``query_service.h:51-59``)."""
+
+    name: str
+    config: dict                      # creation parameters
+    index: object | None = None       # IVFFlatIndex | IVFPQIndex
+    epoch: str = ""
+    coalescer: RequestCoalescer | None = None
+    pending_vectors: list = dataclasses.field(default_factory=list)
+    pending_ids: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class BuildJob:
+    epoch_id: str
+    progress: float = 0.0
+    error: str = ""
+    done: bool = False
+
+
+class VdbEngine:
+    """Shared engine state: index registry, epochs, metrics, admission."""
+
+    def __init__(self, config: ServerConfig):
+        self.config = config
+        os.makedirs(config.data_path, exist_ok=True)
+        self.epochs = EpochManager(
+            os.path.join(config.data_path, "epochs"),
+            keep_epochs=config.keep_epochs,
+        )
+        self.indices_dir = os.path.join(config.data_path, "indices")
+        os.makedirs(self.indices_dir, exist_ok=True)
+        self.metrics = MetricsCollector()
+        self.rate_limiter = RateLimiter(
+            config.rate_limit_rps, config.rate_limit_burst
+        )
+        self.breaker = CircuitBreaker(
+            config.breaker_error_threshold,
+            config.breaker_open_seconds,
+            config.breaker_decay,
+        )
+        self.limiter = ConcurrencyLimiter(config.max_concurrent_requests)
+        self.adaptive = AdaptiveController(config.max_batch_size)
+        self.lock = threading.RLock()
+        self.indices: dict[str, IndexState] = {}
+        self.build_jobs: dict[str, BuildJob] = {}
+        self._recover()
+
+    # ------------------------------------------------------------------ #
+    # recovery: re-register created indices, reload active epochs
+    # ------------------------------------------------------------------ #
+
+    def _recover(self) -> None:
+        for name in sorted(os.listdir(self.indices_dir)):
+            cfg_path = os.path.join(self.indices_dir, name, "config.json")
+            if not os.path.isfile(cfg_path):
+                continue
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            st = IndexState(name=name, config=cfg)
+            self.indices[name] = st
+            active = self.epochs.active_dir(name)
+            if active and os.path.isfile(
+                os.path.join(active, IndexManifest.FILENAME)
+            ):
+                try:
+                    self._load_epoch_into(st, self.epochs.active_epoch(name))
+                except Exception as e:  # noqa: BLE001 — degrade, don't die
+                    print(f"[vdb] failed to reload {name}: {e}")
+
+    # ------------------------------------------------------------------ #
+    # index lifecycle
+    # ------------------------------------------------------------------ #
+
+    def create_index(self, name, dimension, metric, nlist, m, nbits) -> None:
+        with self.lock:
+            if name in self.indices:
+                raise KeyError(f"index {name!r} already exists")
+            cfg = {
+                "dimension": dimension,
+                "metric": metric,
+                "nlist": nlist or self.config.default_nlist,
+                "m": m,
+                "nbits": nbits or 8,
+                "dtype": self.config.arena_dtype,
+            }
+            d = os.path.join(self.indices_dir, name)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "config.json"), "w") as f:
+                json.dump(cfg, f, indent=2)
+            self.indices[name] = IndexState(name=name, config=cfg)
+
+    def _new_index(self, cfg: dict):
+        if cfg.get("m"):
+            return IVFPQIndex(IVFPQConfig(
+                dimension=cfg["dimension"], nlist=cfg["nlist"], m=cfg["m"],
+                nbits=cfg.get("nbits", 8), metric=cfg["metric"],
+                raw_dtype=cfg.get("dtype", "bfloat16"),
+            ))
+        return IVFFlatIndex(IVFFlatConfig(
+            dimension=cfg["dimension"], nlist=cfg["nlist"],
+            metric=cfg["metric"], dtype=cfg.get("dtype", "bfloat16"),
+        ))
+
+    def _make_coalescer(self, st: IndexState) -> RequestCoalescer:
+        return RequestCoalescer(
+            batch_fn=lambda items: self._run_batch(st, items),
+            window_s=self.config.coalesce_window_ms / 1000.0,
+            max_batch=self.config.max_batch_size,
+            name=f"coalesce-{st.name}",
+        )
+
+    def _load_epoch_into(self, st: IndexState, epoch_id: str) -> None:
+        path = self.epochs.epoch_dir(st.name, epoch_id)
+        man = IndexManifest.load(path)
+        index = (
+            load_ivf_pq(path) if man.kind == "ivf_pq" else load_ivf_flat(path)
+        )
+        with self.lock:
+            st.index = index
+            st.epoch = epoch_id
+            if st.coalescer is None:
+                st.coalescer = self._make_coalescer(st)
+        self._update_memory_gauge()
+
+    def _update_memory_gauge(self) -> None:
+        total = 0
+        for st in self.indices.values():
+            if st.index is not None:
+                total += st.index.memory_stats()["total_bytes"]
+        self.metrics.set_device_memory(total)
+
+    def get_state(self, name: str) -> IndexState:
+        with self.lock:
+            if name not in self.indices:
+                raise KeyError(name)
+            return self.indices[name]
+
+    # ------------------------------------------------------------------ #
+    # ingest + build
+    # ------------------------------------------------------------------ #
+
+    def add_vectors(self, name, vectors, ids) -> tuple[int, int]:
+        st = self.get_state(name)
+        with self.lock:
+            if st.index is not None and st.index.trained:
+                st.index.add(vectors, ids)
+                total = st.index.ntotal
+            else:
+                st.pending_vectors.append(vectors)
+                st.pending_ids.append(ids)
+                total = sum(len(v) for v in st.pending_vectors)
+        self._update_memory_gauge()
+        return len(vectors), total
+
+    def build_epoch(self, name: str, source_path: str = "") -> str:
+        """Asynchronous epoch build (reference S3 BuildJob pattern,
+        ``query_service.cpp:472-513`` — but the pipeline is real here)."""
+        st = self.get_state(name)
+        with self.lock:
+            job = self.build_jobs.get(name)
+            if job and not job.done:
+                raise RuntimeError(f"build already running for {name!r}")
+            epoch_id, epoch_dir = self.epochs.create_epoch(name)
+            job = BuildJob(epoch_id=epoch_id)
+            self.build_jobs[name] = job
+
+        def worker():
+            try:
+                self._build_worker(st, job, epoch_dir, source_path)
+            except Exception as e:  # noqa: BLE001
+                job.error = str(e)
+            finally:
+                job.done = True
+
+        threading.Thread(
+            target=worker, name=f"build-{name}", daemon=True
+        ).start()
+        return epoch_id
+
+    def _build_worker(self, st, job, epoch_dir, source_path) -> None:
+        cfg = st.config
+        vectors, ids = [], []
+        if source_path:
+            from cuda_acceleratedvectordatabaseengine_tpu.storage import (
+                ArrowStorage,
+            )
+
+            sid, svec = ArrowStorage.read_vectors(source_path)
+            vectors.append(svec)
+            ids.append(sid)
+        with self.lock:
+            vectors.extend(st.pending_vectors)
+            ids.extend(st.pending_ids)
+            st.pending_vectors, st.pending_ids = [], []
+        job.progress = 0.1
+        index = self._new_index(cfg)
+        if vectors:
+            x = np.concatenate(vectors).astype(np.float32)
+            all_ids = np.concatenate(ids).astype(np.uint64)
+        elif st.index is not None and st.index.trained:
+            # re-snapshot the live index (epoch checkpoint of current state)
+            st.index.save(epoch_dir)
+            job.progress = 1.0
+            return
+        else:
+            raise ValueError(
+                "no data: provide source_path or AddVectors first"
+            )
+        index.train(x)
+        job.progress = 0.5
+        index.add(x, all_ids)
+        job.progress = 0.8
+        index.save(epoch_dir)
+        job.progress = 1.0
+
+    # ------------------------------------------------------------------ #
+    # the batched search path
+    # ------------------------------------------------------------------ #
+
+    def _run_batch(self, st: IndexState, items: list) -> list:
+        """Drained coalescer batch → grouped fixed-shape device calls.
+        items: [(queries [m, D] np, SearchParams)] → per-item
+        (dists, ids) slices. Groups by search params so each group is one
+        device dispatch (reference groups by index only and would mix
+        params, ``query_service.cpp:330-370``)."""
+        index = st.index
+        groups: dict[tuple, list[int]] = {}
+        for i, (_, p) in enumerate(items):
+            groups.setdefault(
+                (p.nprobe, p.k, p.use_exact_rerank), []
+            ).append(i)
+        results: list = [None] * len(items)
+        for (nprobe, k, rerank), idxs in groups.items():
+            qs = np.concatenate([items[i][0] for i in idxs])
+            t0 = time.monotonic()
+            d, out_ids = index.search(
+                qs, SearchParams(nprobe=nprobe, k=k, use_exact_rerank=rerank)
+            )
+            self.adaptive.record_latency_ms(
+                (time.monotonic() - t0) * 1000
+            )
+            off = 0
+            for i in idxs:
+                m = items[i][0].shape[0]
+                results[i] = (d[off:off + m], out_ids[off:off + m])
+                off += m
+        return results
+
+
+def _abort(context, code, msg):
+    context.abort(code, msg)
+
+
+class QueryServiceImpl:
+    """gRPC QueryService (S2)."""
+
+    def __init__(self, engine: VdbEngine):
+        self.engine = engine
+
+    # ------------------------------------------------------------------ #
+
+    def Search(self, request, context):
+        eng = self.engine
+        # validation first — client errors (INVALID_ARGUMENT/NOT_FOUND) must
+        # never trip the breaker; same codes as query_service.cpp:72-92.
+        st, queries, params = self._validate(request, context)
+        # admission control (all wired, unlike the reference)
+        if not eng.breaker.allow():
+            _abort(context, grpc.StatusCode.UNAVAILABLE,
+                   "circuit breaker open")
+        if not eng.rate_limiter.try_acquire(max(len(request.queries), 1)):
+            _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED,
+                   "rate limit exceeded")
+        if not eng.limiter.try_enter():
+            _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED,
+                   "too many concurrent requests")
+        t0 = time.monotonic()
+        ok = False
+        try:
+            fut = st.coalescer.submit((queries, params))
+            d, ids = fut.result(timeout=eng.adaptive.timeout_s())
+            resp = vdb_pb2.SearchResponse()
+            for row_d, row_i in zip(d, ids):
+                result = resp.results.add()
+                for dist, nid in zip(row_d, row_i):
+                    if nid == INVALID_ID:   # sentinel skip (cpp:142-156)
+                        continue
+                    result.neighbors.add(id=int(nid), distance=float(dist))
+            ok = True
+            return resp
+        finally:
+            eng.limiter.exit()
+            eng.breaker.record(ok)
+            if ok:
+                eng.metrics.record_search(
+                    request.index,
+                    (time.monotonic() - t0) * 1000,
+                    len(request.queries),
+                )
+
+    def _validate(self, request, context):
+        eng = self.engine
+        if not request.queries:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "no queries provided")
+        if request.topk <= 0 or request.topk > MAX_TOPK:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   f"topk must be in (0, {MAX_TOPK}]")
+        if not request.index:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "index name required")
+        try:
+            st = eng.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        if st.index is None or not st.index.trained:
+            _abort(context, grpc.StatusCode.FAILED_PRECONDITION,
+                   f"index {request.index!r} has no active epoch")
+        index = st.index
+        dim = index.config.dimension
+        if request.metric:
+            try:
+                req_metric = Metric.parse(request.metric)
+            except ValueError as e:
+                _abort(context, grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            if req_metric != index.metric:
+                _abort(
+                    context, grpc.StatusCode.INVALID_ARGUMENT,
+                    f"index metric is {index.metric.value}, "
+                    f"request asked {request.metric}",
+                )
+        queries = np.zeros((len(request.queries), dim), np.float32)
+        for i, v in enumerate(request.queries):
+            if len(v.values) != dim:
+                _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                       f"query {i} has dim {len(v.values)}, index dim {dim}")
+            queries[i] = v.values
+        nprobe = request.nprobe or self.engine.config.default_nprobe
+        params = SearchParams(
+            nprobe=nprobe, k=request.topk,
+            use_exact_rerank=request.rerank_exact,
+        )
+        return st, queries, params
+
+    def Warmup(self, request, context):
+        try:
+            st = self.engine.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        if st.index is not None:
+            st.index.warmup_lists(
+                list(request.lists) if request.lists else None
+            )
+        return empty_pb2.Empty()
+
+    def LoadIndex(self, request, context):
+        eng = self.engine
+        try:
+            st = eng.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        epoch = request.epoch or eng.epochs.active_epoch(request.index)
+        if not epoch:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   "no epoch to load")
+        try:
+            eng._load_epoch_into(st, epoch)
+        except FileNotFoundError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"epoch {epoch!r} has no snapshot")
+        return empty_pb2.Empty()
+
+
+class AdminServiceImpl:
+    """gRPC AdminService (S3)."""
+
+    def __init__(self, engine: VdbEngine):
+        self.engine = engine
+
+    def CreateIndex(self, request, context):
+        if not request.name:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "index name required")
+        if request.dimension <= 0 or request.dimension > MAX_DIMENSION:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   f"dimension must be in (0, {MAX_DIMENSION}]")
+        metric = request.metric or "L2"
+        try:
+            Metric.parse(metric)
+        except ValueError as e:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT, str(e))
+        try:
+            self.engine.create_index(
+                request.name, request.dimension, metric,
+                request.nlist, request.m, request.nbits,
+            )
+        except KeyError as e:
+            _abort(context, grpc.StatusCode.ALREADY_EXISTS, str(e))
+        return empty_pb2.Empty()
+
+    def AddVectors(self, request, context):
+        if not request.vectors:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "no vectors provided")
+        try:
+            st = self.engine.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        dim = st.config["dimension"]
+        vecs = np.zeros((len(request.vectors), dim), np.float32)
+        ids = np.zeros(len(request.vectors), np.uint64)
+        for i, v in enumerate(request.vectors):
+            if len(v.values) != dim:
+                _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                       f"vector {i} has dim {len(v.values)}, index dim {dim}")
+            vecs[i] = v.values
+            ids[i] = v.id
+        added, total = self.engine.add_vectors(request.index, vecs, ids)
+        return vdb_pb2.AddVectorsResponse(added=added, total=total)
+
+    def BuildEpoch(self, request, context):
+        try:
+            self.engine.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        try:
+            self.engine.build_epoch(request.index, request.source_path)
+        except RuntimeError as e:
+            _abort(context, grpc.StatusCode.ALREADY_EXISTS, str(e))
+        except ValueError as e:
+            _abort(context, grpc.StatusCode.FAILED_PRECONDITION, str(e))
+        return empty_pb2.Empty()
+
+    def ActivateEpoch(self, request, context):
+        eng = self.engine
+        try:
+            st = eng.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        epoch = request.epoch
+        if not epoch:
+            job = eng.build_jobs.get(request.index)
+            if job is None:
+                _abort(context, grpc.StatusCode.NOT_FOUND, "no epoch given")
+            if not job.done:
+                _abort(context, grpc.StatusCode.FAILED_PRECONDITION,
+                       f"build in progress ({job.progress:.0%})")
+            if job.error:
+                _abort(context, grpc.StatusCode.INTERNAL,
+                       f"build failed: {job.error}")
+            epoch = job.epoch_id
+        try:
+            eng._load_epoch_into(st, epoch)
+            eng.epochs.activate_epoch(request.index, epoch)
+        except (KeyError, FileNotFoundError) as e:
+            _abort(context, grpc.StatusCode.NOT_FOUND, str(e))
+        return empty_pb2.Empty()
+
+    def GetStats(self, request, context):
+        eng = self.engine
+        try:
+            st = eng.get_state(request.index)
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        total = indexed = 0
+        mem_gb = 0.0
+        if st.index is not None:
+            stats = st.index.memory_stats()
+            total = indexed = stats["total_vectors"]
+            mem_gb = stats["total_bytes"] / (1 << 30)
+        pending = sum(len(v) for v in st.pending_vectors)
+        return vdb_pb2.StatsResponse(
+            total_vectors=total + pending,
+            indexed_vectors=indexed,
+            current_epoch=st.epoch,
+            gpu_memory_used=mem_gb,
+            nvme_usage=0.0,
+        )

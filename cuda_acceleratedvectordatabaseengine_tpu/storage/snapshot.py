@@ -1,0 +1,213 @@
+"""Whole-index snapshots: the ``save``/``load`` the reference declared but
+never implemented (``engine/ivf_flat_index.h:66-67``; acknowledged broken in
+SURVEY.md §5 checkpoint/resume).
+
+Layout of a snapshot directory:
+    manifest.json      — IndexManifest (kind, params, shard table)
+    centroids.arrow    — [nlist, dim] fp32
+    vectors.arrow      — compacted rows in (list, slot) order + uint64 ids
+    codebooks.arrow    — PQ only: [m, ks, dsub] fp32
+    codes.arrow        — PQ only: [n, m] uint8 in the same row order
+
+Vectors are stored *compacted* (no padding) with per-list extents in the
+manifest shard table, so snapshot size is data size; the padded device arena
+is rebuilt on load.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from cuda_acceleratedvectordatabaseengine_tpu.storage.arrow_store import (
+    ArrowStorage,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.storage.manifest import (
+    IndexManifest,
+    ShardEntry,
+)
+
+VECTORS_FILE = "vectors.arrow"
+CENTROIDS_FILE = "centroids.arrow"
+CODEBOOKS_FILE = "codebooks.arrow"
+CODES_FILE = "codes.arrow"
+
+
+def _compact(arena: np.ndarray, counts: np.ndarray, ids: np.ndarray):
+    """Padded [nlist, cap, ...] → compact rows in (list, slot) order."""
+    nlist, cap = arena.shape[0], arena.shape[1]
+    mask = np.arange(cap)[None, :] < counts[:, None]
+    return arena[mask], ids[mask], mask
+
+
+def _shard_table(counts: np.ndarray) -> list[ShardEntry]:
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return [
+        ShardEntry(list_id=i, row_offset=int(offsets[i]),
+                   num_vectors=int(counts[i]))
+        for i in range(len(counts))
+    ]
+
+
+def _rebuild_padded(vectors, ids, counts, capacity):
+    """Compact rows (list order) → padded [nlist, cap, dim] + id table."""
+    nlist = len(counts)
+    dim = vectors.shape[1]
+    arena = np.zeros((nlist, capacity, dim), np.float32)
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        INVALID_ID,
+    )
+
+    id_table = np.full((nlist, capacity), INVALID_ID, np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    row_list = np.repeat(np.arange(nlist), counts)
+    slot = np.arange(len(vectors)) - offsets[row_list]
+    arena[row_list, slot] = vectors
+    id_table[row_list, slot] = ids
+    return arena, id_table
+
+
+# ---------------------------------------------------------------------- #
+# IVF-Flat
+# ---------------------------------------------------------------------- #
+
+def save_ivf_flat(path: str, index) -> None:
+    os.makedirs(path, exist_ok=True)
+    state = index.state_arrays()
+    counts = state["counts"]
+    vecs, ids, _ = _compact(state["arena"], counts, state["ids"])
+    ArrowStorage.write_vectors(os.path.join(path, VECTORS_FILE), ids, vecs)
+    ArrowStorage.write_centroids(
+        os.path.join(path, CENTROIDS_FILE), state["centroids"]
+    )
+    cfg = index.config
+    IndexManifest(
+        kind="ivf_flat",
+        dimension=cfg.dimension,
+        nlist=cfg.nlist,
+        metric=cfg.metric.value,
+        num_vectors=int(counts.sum()),
+        capacity_per_list=index.arena.capacity,
+        dtype=str(cfg.dtype),
+        shards=_shard_table(counts),
+    ).save(path)
+
+
+def load_ivf_flat(path: str):
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        IVFFlatConfig,
+        IVFFlatIndex,
+    )
+
+    man = IndexManifest.load(path)
+    if man.kind != "ivf_flat":
+        raise ValueError(f"snapshot at {path} is kind={man.kind!r}")
+    ids, vecs = ArrowStorage.read_vectors(os.path.join(path, VECTORS_FILE))
+    centroids = ArrowStorage.read_centroids(
+        os.path.join(path, CENTROIDS_FILE)
+    )
+    counts = np.array([s.num_vectors for s in man.shards], np.int64)
+    arena, id_table = _rebuild_padded(
+        vecs, ids, counts, man.capacity_per_list
+    )
+    cfg = IVFFlatConfig(
+        dimension=man.dimension, nlist=man.nlist, metric=man.metric,
+        dtype=man.dtype,
+    )
+    return IVFFlatIndex.from_state(cfg, centroids, arena, counts, id_table)
+
+
+# ---------------------------------------------------------------------- #
+# IVF-PQ
+# ---------------------------------------------------------------------- #
+
+def save_ivf_pq(path: str, index) -> None:
+    os.makedirs(path, exist_ok=True)
+    state = index.state_arrays()
+    counts = state["counts"]
+    cap = index.capacity
+    nlist = index.config.nlist
+    mask = np.arange(cap)[None, :] < counts[:, None]
+    ids = state["ids"][mask]
+    codes = state["codes"][mask]
+    ArrowStorage.write_codes(os.path.join(path, CODES_FILE), ids, codes)
+    ArrowStorage.write_codebooks(
+        os.path.join(path, CODEBOOKS_FILE), state["codebooks"]
+    )
+    ArrowStorage.write_centroids(
+        os.path.join(path, CENTROIDS_FILE), state["centroids"]
+    )
+    if "arena" in state:
+        vecs = state["arena"][mask]
+        ArrowStorage.write_vectors(
+            os.path.join(path, VECTORS_FILE), ids, vecs
+        )
+    cfg = index.config
+    IndexManifest(
+        kind="ivf_pq",
+        dimension=cfg.dimension,
+        nlist=nlist,
+        metric=cfg.metric.value,
+        pq_m=cfg.m,
+        pq_nbits=cfg.nbits,
+        num_vectors=int(counts.sum()),
+        capacity_per_list=cap,
+        dtype=str(cfg.raw_dtype),
+        shards=_shard_table(counts),
+        extra={"keep_raw": "arena" in state},
+    ).save(path)
+
+
+def load_ivf_pq(path: str):
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        INVALID_ID,
+        PackedListArena,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+
+    man = IndexManifest.load(path)
+    if man.kind != "ivf_pq":
+        raise ValueError(f"snapshot at {path} is kind={man.kind!r}")
+    keep_raw = bool(man.extra.get("keep_raw", False))
+    cfg = IVFPQConfig(
+        dimension=man.dimension, nlist=man.nlist, m=man.pq_m,
+        nbits=man.pq_nbits, metric=man.metric, keep_raw=keep_raw,
+        raw_dtype=man.dtype,
+    )
+    idx = IVFPQIndex(cfg)
+    idx.centroids = jnp.asarray(
+        ArrowStorage.read_centroids(os.path.join(path, CENTROIDS_FILE))
+    )
+    idx.codebooks = jnp.asarray(
+        ArrowStorage.read_codebooks(os.path.join(path, CODEBOOKS_FILE))
+    )
+    ids, codes = ArrowStorage.read_codes(os.path.join(path, CODES_FILE))
+    counts = np.array([s.num_vectors for s in man.shards], np.int64)
+    cap = man.capacity_per_list
+    nlist = man.nlist
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    row_list = np.repeat(np.arange(nlist), counts)
+    slot = np.arange(len(ids)) - offsets[row_list]
+    code_arena = np.zeros((nlist, cap, cfg.m), np.uint8)
+    code_arena[row_list, slot] = codes
+    idx.code_arena = jnp.asarray(code_arena)
+    if keep_raw:
+        _, vecs = ArrowStorage.read_vectors(os.path.join(path, VECTORS_FILE))
+        arena, id_table = _rebuild_padded(vecs, ids, counts, cap)
+        idx.raw = PackedListArena.from_host(
+            arena, counts, id_table, jnp.dtype(man.dtype)
+        )
+    else:
+        idx.raw = None
+        id_table = np.full((nlist, cap), INVALID_ID, np.uint64)
+        id_table[row_list, slot] = ids
+        idx._counts = jnp.asarray(counts.astype(np.int32))
+        idx._ids = id_table
+    idx.trained = True
+    return idx

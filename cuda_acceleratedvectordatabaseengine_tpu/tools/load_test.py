@@ -1,0 +1,100 @@
+"""Concurrent gRPC load-test client (X4, ``test/integration/load_test.cpp``):
+N threads × M random-query requests against a live server; reports QPS,
+success rate, latency percentiles, and the reference's qualitative rubric
+(<10 ms excellent / <50 ms good / <100 ms acceptable,
+``load_test.cpp:221-231``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import grpc
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="gRPC load test")
+    p.add_argument("--target", default="127.0.0.1:50051")
+    p.add_argument("--index", default="default")
+    p.add_argument("--dimension", type=int, default=128)
+    p.add_argument("--threads", type=int, default=8)
+    p.add_argument("--requests", type=int, default=100)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1,
+                   help="queries per request")
+    args = p.parse_args(argv)
+
+    from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
+        QueryServiceClient,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.proto import vdb_pb2
+
+    channel = grpc.insecure_channel(args.target)
+    grpc.channel_ready_future(channel).result(timeout=10)
+    client = QueryServiceClient(channel)
+    rng = np.random.default_rng(12345)
+
+    latencies: list[float] = []
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    def worker(tid: int):
+        local_rng = np.random.default_rng(tid)
+        for _ in range(args.requests):
+            q = [
+                vdb_pb2.Vector(values=local_rng.standard_normal(
+                    args.dimension).astype(float))
+                for _ in range(args.batch)
+            ]
+            t0 = time.monotonic()
+            try:
+                client.Search(vdb_pb2.SearchRequest(
+                    queries=q, topk=args.topk, nprobe=args.nprobe,
+                    index=args.index,
+                ))
+                ok = True
+            except grpc.RpcError as e:
+                ok = False
+                with lock:
+                    errors.append(str(e.code()))
+            if ok:
+                with lock:
+                    latencies.append((time.monotonic() - t0) * 1000)
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(args.threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    total = args.threads * args.requests
+    lat = np.asarray(latencies) if latencies else np.zeros(1)
+    avg = float(lat.mean())
+    rubric = ("excellent" if avg < 10 else "good" if avg < 50
+              else "acceptable" if avg < 100 else "poor")
+    report = {
+        "requests": total,
+        "success_rate": len(latencies) / total,
+        "qps": round(total * args.batch / wall, 1),
+        "avg_ms": round(avg, 2),
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "rubric": rubric,
+        "errors": errors[:5],
+    }
+    print(json.dumps(report, indent=2))
+    return 0 if report["success_rate"] >= 0.8 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,258 @@
+"""gRPC integration tests — black-box against a live in-process server
+(reference X3, ``test/integration/grpc_integration_test.cpp``), plus the
+full ingest→build→activate→search lifecycle its tests couldn't cover
+because the reference has no RPC ingest path."""
+
+import threading
+
+import grpc
+import numpy as np
+import pytest
+
+from cuda_acceleratedvectordatabaseengine_tpu.server.config import ServerConfig
+from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
+    AdminServiceClient,
+    HealthClient,
+    QueryServiceClient,
+)
+from cuda_acceleratedvectordatabaseengine_tpu.server.main import build_server
+from cuda_acceleratedvectordatabaseengine_tpu.server.proto import (
+    health_pb2,
+    vdb_pb2,
+)
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    config = ServerConfig(
+        address="127.0.0.1:0",
+        data_path=str(tmp_path_factory.mktemp("vdb-data")),
+        coalesce_window_ms=1.0,
+        default_nlist=8,
+    )
+    server, engine, health, port = build_server(config)
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    grpc.channel_ready_future(channel).result(timeout=10)
+    yield {
+        "channel": channel,
+        "query": QueryServiceClient(channel),
+        "admin": AdminServiceClient(channel),
+        "health": HealthClient(channel),
+        "engine": engine,
+        "config": config,
+    }
+    channel.close()
+    server.stop(grace=None)
+
+
+def _vectors(rng, n, dim, id0=0):
+    return [
+        vdb_pb2.Vector(id=id0 + i,
+                       values=rng.standard_normal(dim).astype(float))
+        for i in range(n)
+    ]
+
+
+def test_health_check(live_server):
+    resp = live_server["health"].Check(health_pb2.HealthCheckRequest())
+    assert resp.status == health_pb2.HealthCheckResponse.SERVING
+    resp = live_server["health"].Check(
+        health_pb2.HealthCheckRequest(service="nope")
+    )
+    assert resp.status == health_pb2.HealthCheckResponse.SERVICE_UNKNOWN
+
+
+def test_full_lifecycle(live_server):
+    rng = np.random.default_rng(0)
+    admin, query = live_server["admin"], live_server["query"]
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name="docs", dimension=16, metric="L2", nlist=8
+    ))
+    # ingest 600 vectors in batches
+    for b in range(3):
+        resp = admin.AddVectors(vdb_pb2.AddVectorsRequest(
+            index="docs", vectors=_vectors(rng, 200, 16, id0=b * 200)
+        ))
+        assert resp.added == 200
+    # build + activate
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="docs"))
+    # poll for completion via ActivateEpoch(no epoch → last build)
+    import time
+
+    deadline = time.time() + 60
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="docs"))
+            break
+        except grpc.RpcError as e:
+            if e.code() != grpc.StatusCode.FAILED_PRECONDITION:
+                raise
+            assert time.time() < deadline, "build never finished"
+            time.sleep(0.2)
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index="docs"))
+    assert stats.indexed_vectors == 600
+    assert stats.current_epoch != ""
+    # search: each vector finds itself
+    probe = rng.standard_normal(16).astype(np.float32)
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=probe)], topk=5, nprobe=8,
+        index="docs",
+    ))
+    assert len(resp.results) == 1
+    assert 1 <= len(resp.results[0].neighbors) <= 5
+    dists = [n.distance for n in resp.results[0].neighbors]
+    assert dists == sorted(dists)
+
+
+def test_search_error_codes(live_server):
+    """Same codes the reference asserts (grpc_integration_test.cpp:186-245)."""
+    query = live_server["query"]
+
+    def expect(code, **kw):
+        with pytest.raises(grpc.RpcError) as e:
+            query.Search(vdb_pb2.SearchRequest(**kw))
+        assert e.value.code() == code, e.value.details()
+
+    v = vdb_pb2.Vector(values=[0.0] * 16)
+    expect(grpc.StatusCode.INVALID_ARGUMENT, topk=5, index="docs")  # empty
+    expect(grpc.StatusCode.INVALID_ARGUMENT, queries=[v], topk=0,
+           index="docs")
+    expect(grpc.StatusCode.INVALID_ARGUMENT, queries=[v], topk=2000,
+           index="docs")
+    expect(grpc.StatusCode.INVALID_ARGUMENT, queries=[v], topk=5)  # no index
+    expect(grpc.StatusCode.NOT_FOUND, queries=[v], topk=5, index="ghost")
+    # dim mismatch
+    expect(grpc.StatusCode.INVALID_ARGUMENT,
+           queries=[vdb_pb2.Vector(values=[0.0] * 3)], topk=5, index="docs")
+    # metric mismatch with the index's metric
+    expect(grpc.StatusCode.INVALID_ARGUMENT, queries=[v], topk=5,
+           index="docs", metric="Cosine")
+    expect(grpc.StatusCode.INVALID_ARGUMENT, queries=[v], topk=5,
+           index="docs", metric="hamming")
+
+
+def test_admin_error_codes(live_server):
+    admin = live_server["admin"]
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(name="", dimension=8))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="docs", dimension=16
+        ))
+    assert e.value.code() == grpc.StatusCode.ALREADY_EXISTS
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="big", dimension=100_000
+        ))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as e:
+        admin.GetStats(vdb_pb2.StatsRequest(index="ghost"))
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    with pytest.raises(grpc.RpcError) as e:
+        admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="ghost"))
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_concurrent_search(live_server):
+    """4 threads × 5 requests with ≥80% success — the reference's bar
+    (grpc_integration_test.cpp:248-300); here all must succeed."""
+    rng = np.random.default_rng(1)
+    query = live_server["query"]
+    errors = []
+
+    def worker():
+        for _ in range(5):
+            try:
+                resp = query.Search(vdb_pb2.SearchRequest(
+                    queries=[vdb_pb2.Vector(
+                        values=rng.standard_normal(16).astype(float)
+                    )],
+                    topk=3, nprobe=8, index="docs",
+                ))
+                assert len(resp.results) == 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:2]
+    # Coalescing actually happened (batches fed, not per-query dispatch).
+    st = live_server["engine"].get_state("docs")
+    assert st.coalescer.stats()["items"] >= 20
+
+
+def test_warmup(live_server):
+    live_server["query"].Warmup(vdb_pb2.WarmupRequest(
+        index="docs", lists=[0, 1, 2]
+    ))
+    with pytest.raises(grpc.RpcError) as e:
+        live_server["query"].Warmup(vdb_pb2.WarmupRequest(index="ghost"))
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_epoch_rebuild_and_swap(live_server):
+    """Second build → activate swaps epochs with zero downtime."""
+    rng = np.random.default_rng(2)
+    admin, query = live_server["admin"], live_server["query"]
+    engine = live_server["engine"]
+    e1 = engine.get_state("docs").epoch
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index="docs", vectors=_vectors(rng, 100, 16, id0=600)
+    ))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="docs"))
+    import time
+
+    deadline = time.time() + 60
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="docs"))
+            break
+        except grpc.RpcError as err:
+            if err.code() != grpc.StatusCode.FAILED_PRECONDITION:
+                raise
+            assert time.time() < deadline
+            time.sleep(0.2)
+    st = engine.get_state("docs")
+    assert st.epoch != e1
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index="docs"))
+    assert stats.indexed_vectors == 700
+
+
+def test_load_index_previous_epoch(live_server):
+    """LoadIndex can revert to an earlier epoch (the reference's
+    degrade/rollback path)."""
+    engine = live_server["engine"]
+    epochs = engine.epochs.list_epochs("docs")["epochs"]
+    assert len(epochs) >= 2
+    older = sorted(epochs)[0]
+    live_server["query"].LoadIndex(vdb_pb2.LoadIndexRequest(
+        index="docs", epoch=older
+    ))
+    assert engine.get_state("docs").epoch == older
+
+
+def test_metrics_exposition(live_server):
+    engine = live_server["engine"]
+    text = engine.metrics.prometheus_text().decode()
+    assert "vdb_searches_total" in text
+    assert "vdb_search_duration_milliseconds" in text
+    pct = engine.metrics.get_percentiles("docs")
+    assert pct["count"] > 0 and pct["p99"] >= pct["p50"] >= 0
+
+
+def test_engine_recovery_after_restart(live_server, tmp_path):
+    """A new engine over the same data path reloads indices + active epoch
+    (the reference recovers via epochs.json, storage.cpp:511-579)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
+        VdbEngine,
+    )
+
+    engine2 = VdbEngine(live_server["config"])
+    st = engine2.get_state("docs")
+    assert st.index is not None and st.index.trained
+    assert st.epoch == engine2.epochs.active_epoch("docs")

@@ -1,0 +1,144 @@
+"""CLI tools smoke tests (builder, benchmark, recall, load test vs a live
+in-process server)."""
+
+import csv
+import io
+import json
+import os
+
+import grpc
+import numpy as np
+import pytest
+
+
+def test_build_index_cli_synthetic_and_load(tmp_path, capsys):
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.build_index import (
+        main,
+    )
+
+    out = str(tmp_path / "snap")
+    rc = main([
+        "--synthetic", "2000", "--dimension", "16", "--nlist", "8",
+        "--output", out, "--dtype", "float32",
+    ])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(out, "manifest.json"))
+    from cuda_acceleratedvectordatabaseengine_tpu import IVFFlatIndex
+
+    idx = IVFFlatIndex.load(out)
+    assert idx.ntotal == 2000
+
+
+def test_build_index_cli_from_arrow_with_epoch(tmp_path, rng):
+    from cuda_acceleratedvectordatabaseengine_tpu.storage import (
+        ArrowStorage,
+        EpochManager,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.build_index import (
+        main,
+    )
+
+    src = str(tmp_path / "src.arrow")
+    vecs = rng.standard_normal((1000, 8)).astype(np.float32)
+    ArrowStorage.write_vectors(src, np.arange(1000, dtype=np.uint64), vecs)
+    base = str(tmp_path / "epochs")
+    rc = main([
+        "--source", src, "--nlist", "4", "--output", "ignored",
+        "--epoch-base", base, "--index-name", "foo",
+    ])
+    assert rc == 0
+    em = EpochManager(base)
+    eps = em.list_epochs("foo")["epochs"]
+    assert len(eps) == 1
+
+
+def test_benchmark_cli_csv(tmp_path):
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.benchmark import main
+
+    out = str(tmp_path / "bench.csv")
+    rc = main([
+        "--vectors", "5000", "--dimension", "16", "--nlist", "16",
+        "--queries", "64", "--batch", "32", "--csv", out,
+    ])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["vectors", "dimension", "nlist", "nprobe", "k",
+                       "train_time", "add_time", "search_time", "qps",
+                       "latency_ms"]
+    assert float(rows[1][8]) > 0  # qps
+
+
+def test_recall_cli(capsys):
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.recall_test import (
+        main,
+    )
+
+    rc = main([
+        "--vectors", "3000", "--dimension", "16", "--nlist", "8",
+        "--queries", "32", "--nprobe", "2", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = json.loads(out.strip().splitlines()[-1])
+    # full probe must beat partial probe and be ~1.0 (queries are perturbed
+    # corpus points)
+    by_probe = {r["nprobe"]: r["recall@10"] for r in rows}
+    assert by_probe[8] >= by_probe[2]
+    assert by_probe[8] > 0.9
+
+
+def test_load_test_cli_against_live_server(tmp_path, capsys, rng):
+    from cuda_acceleratedvectordatabaseengine_tpu.server.config import (
+        ServerConfig,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.main import (
+        build_server,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
+        AdminServiceClient,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.proto import vdb_pb2
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.load_test import main
+
+    config = ServerConfig(
+        address="127.0.0.1:0", data_path=str(tmp_path / "data"),
+        default_nlist=4,
+    )
+    server, engine, health, port = build_server(config)
+    server.start()
+    try:
+        channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+        admin = AdminServiceClient(channel)
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="lt", dimension=8, nlist=4
+        ))
+        admin.AddVectors(vdb_pb2.AddVectorsRequest(
+            index="lt",
+            vectors=[vdb_pb2.Vector(
+                id=i, values=rng.standard_normal(8).astype(float))
+                for i in range(300)],
+        ))
+        admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="lt"))
+        import time
+
+        deadline = time.time() + 60
+        while True:
+            try:
+                admin.ActivateEpoch(
+                    vdb_pb2.ActivateEpochRequest(index="lt"))
+                break
+            except grpc.RpcError as e:
+                assert time.time() < deadline
+                time.sleep(0.2)
+        rc = main([
+            "--target", f"127.0.0.1:{port}", "--index", "lt",
+            "--dimension", "8", "--threads", "2", "--requests", "5",
+            "--nprobe", "4",
+        ])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["success_rate"] == 1.0
+        assert report["qps"] > 0
+    finally:
+        server.stop(grace=None)
