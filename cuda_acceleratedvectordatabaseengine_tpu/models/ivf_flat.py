@@ -28,6 +28,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
     kmeans_assign,
+    kmeans_assign_topk,
     kmeans_fit,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
@@ -55,6 +56,9 @@ class IVFFlatConfig:
     train_iters: int = 10            # fixed Lloyd iterations, as in reference
     train_sample_per_list: int = 128 # train on min(n, nlist * this) samples
     seed: int = 42                   # reference seeds k-means with 42
+    max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean
+                                     # list size); overflow spills to the
+                                     # next-nearest list
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -69,6 +73,61 @@ class SearchParams:
     k: int = 10
     use_exact_rerank: bool = False  # IVF-Flat distances are already exact;
                                     # kept for API parity (used by IVF-PQ).
+
+
+def _choose_capacity(
+    counts: np.ndarray, align: int, max_factor: float = 8.0,
+    spill_budget: float = 0.01,
+) -> int:
+    """Per-list arena capacity for a bulk build: the smallest clamp that
+    keeps the spill fraction ≤ ``spill_budget``, clipped to
+    ``[1.5, max_factor] × mean`` so one fat cluster can't inflate the whole
+    padded arena (capacity × nlist IS the device footprint)."""
+    n = int(counts.sum())
+    if n == 0:
+        return align
+    mean = max(counts.mean(), 1.0)
+    lo, hi = 1, int(counts.max())
+    while lo < hi:                      # binary search on the clamp
+        mid = (lo + hi) // 2
+        spill = n - int(np.minimum(counts, mid).sum())
+        if spill <= spill_budget * n:
+            hi = mid
+        else:
+            lo = mid + 1
+    cap = int(np.clip(lo, mean * 1.5 + 1, mean * max_factor))
+    return max(-(-cap // align) * align, align)
+
+
+def _balance_assignments(
+    choices: np.ndarray, cap: int, nlist: int
+) -> np.ndarray:
+    """Greedy capacity-respecting placement over ranked centroid choices
+    ``[n, t]``: rank-0 lists fill first; rows that would overflow a full
+    list fall to their next choice; anything still unplaced lands in the
+    least-full list. Vectorized per rank via the append-slot trick."""
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        compute_append_slots,
+    )
+
+    n, t = choices.shape
+    placed = np.full(n, -1, np.int64)
+    counts = np.zeros(nlist, np.int64)
+    for r in range(t):
+        todo = np.flatnonzero(placed < 0)
+        if todo.size == 0:
+            break
+        lists = choices[todo, r].astype(np.int64)
+        slots = compute_append_slots(counts, lists)
+        ok = slots < cap
+        placed[todo[ok]] = lists[ok]
+        counts = np.bincount(placed[placed >= 0], minlength=nlist)
+    leftovers = np.flatnonzero(placed < 0)
+    for i in leftovers:
+        l = int(np.argmin(counts))
+        placed[i] = l
+        counts[l] += 1
+    return placed.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "metric"))
@@ -246,12 +305,23 @@ class IVFFlatIndex:
             if self.metric == Metric.INNER_PRODUCT
             else Metric.L2
         )
-        assignments, counts_d = _assign_and_count(
-            x_dev, self.centroids, cfg.nlist, assign_metric
-        )
-        counts = np.asarray(counts_d)
+        # Balanced assignment: capacity is clamped near the p99 list size
+        # (not the max — one fat cluster would otherwise inflate the whole
+        # padded arena, e.g. max/mean > 100 on poorly separated data) and
+        # overflow rows spill to their next-nearest list. Spilled rows stay
+        # findable whenever their fallback list is probed — standard
+        # balanced-IVF behavior, negligible recall cost at realistic nprobe.
+        t_choices = 4
+        choices = np.asarray(kmeans_assign_topk(
+            x_dev, self.centroids, t_choices, assign_metric
+        ))
+        counts0 = np.bincount(choices[:, 0], minlength=cfg.nlist)
         align = PackedListArena.SLOT_ALIGN
-        cap = max(int(-(-int(counts.max()) // align) * align), align)
+        cap = _choose_capacity(
+            counts0, align, max_factor=cfg.max_capacity_factor
+        )
+        assignments_np = _balance_assignments(choices, cap, cfg.nlist)
+        assignments = jnp.asarray(assignments_np)
         arena, arena_sq, counts_d, slots = _bulk_pack_device(
             x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype)
         )

@@ -69,6 +69,37 @@ def kmeans_assign(
     return assigns.reshape(-1)[:n_orig]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("t", "metric", "chunk_size")
+)
+def kmeans_assign_topk(
+    x: jax.Array,
+    centroids: jax.Array,
+    t: int = 4,
+    metric: Metric = Metric.L2,
+    chunk_size: int = 16384,
+) -> jax.Array:
+    """Top-``t`` nearest centroids per row: ``[N, t]`` int32, best first.
+
+    Backs balanced assignment: when a list hits its capacity clamp, overflow
+    rows fall back to their 2nd..t-th nearest centroid (standard
+    balanced-IVF practice — static-shape hardware hates the long tail of an
+    unbalanced clustering)."""
+    n = x.shape[0]
+
+    def choices(xc):
+        d = pairwise_distance(xc.astype(jnp.float32), centroids, metric)
+        _, idx = jax.lax.top_k(-d, t)
+        return idx.astype(jnp.int32)
+
+    if n <= chunk_size:
+        return choices(x)
+    xp, n_orig = _pad_to_multiple(x, chunk_size)
+    chunks = xp.reshape(-1, chunk_size, x.shape[1])
+    _, out = jax.lax.scan(lambda _, xc: (None, choices(xc)), None, chunks)
+    return out.reshape(-1, t)[:n_orig]
+
+
 def kmeans_pp_init(
     key: jax.Array,
     x: jax.Array,

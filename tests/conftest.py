@@ -22,9 +22,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded from the test name: each test's draws are
+    # deterministic AND independent of which other tests ran (a shared
+    # session RNG made marginal recall thresholds order-dependent).
+    import zlib
+
+    seed = zlib.crc32(request.node.name.encode())  # stable across processes
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -154,3 +154,28 @@ def test_train_from_device(rng):
     idx.build_from_device(jnp.asarray(x))
     d, ids = idx.search(x[:4], SearchParams(nprobe=8, k=1))
     assert np.array_equal(ids[:, 0], np.arange(4, dtype=np.uint64))
+
+
+def test_bulk_build_balances_skewed_lists(oracle):
+    """A pathologically skewed corpus must not inflate arena capacity: the
+    clamp spills overflow to next-best lists and recall survives."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    # 90% of points in one tight blob, 10% spread out
+    blob = 0.01 * rng.standard_normal((9000, 16)).astype(np.float32)
+    rest = 5 * rng.standard_normal((1000, 16)).astype(np.float32)
+    x = np.concatenate([blob, rest])
+    cfg = IVFFlatConfig(dimension=16, nlist=16, dtype="float32")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    counts = np.asarray(idx.arena.counts)
+    assert counts.sum() == 10000          # nothing dropped
+    assert counts.max() <= idx.arena.capacity
+    # capacity stays near the clamp target, far below the 9000-row blob
+    assert idx.arena.capacity < 9000
+    # full-probe search is still exact
+    q = x[:5] + 0.001
+    _, ids = idx.search(q, SearchParams(nprobe=16, k=1))
+    assert np.array_equal(ids[:, 0], np.arange(5, dtype=np.uint64))
