@@ -133,15 +133,19 @@ class HbmListCache:
             mapping = {l: self._list_to_slot[l] for l in wanted}
 
         if slots_for_missing:
+            from cuda_acceleratedvectordatabaseengine_tpu import native
+
             n_miss = len(slots_for_missing)
-            stack = np.zeros((n_miss, self.capacity, self.dim), np.float32)
-            sq = np.zeros((n_miss, self.capacity), np.float32)
-            cnts = np.zeros((n_miss,), np.int32)
-            for i, l in enumerate(slots_for_missing):
-                v, s, c = host_fetch(l)
-                stack[i, :c] = v[:c]
-                sq[i, :c] = s[:c]
-                cnts[i] = c
+            arrays, cnts_list = [], []
+            for l in slots_for_missing:
+                v, _s, c = host_fetch(l)
+                arrays.append(np.asarray(v[:c], np.float32))
+                cnts_list.append(c)
+            # Parallel C++ staging assembly (pad + norms) — the host-side
+            # hot path of a cache miss; falls back to NumPy without the
+            # native lib.
+            stack, sq = native.gather_lists(arrays, self.capacity, self.dim)
+            cnts = np.asarray(cnts_list, np.int32)
             slot_arr = jnp.asarray(
                 np.fromiter(slots_for_missing.values(), np.int32, n_miss)
             )

@@ -165,3 +165,23 @@ def test_scan_probed_lists_handles_invalid_probe(rng):
     pos = np.asarray(pos)
     # Only list 0 contributes.
     assert set(pos[pos >= 0] // cap) == {0}
+
+
+def test_utils_logging_and_profiling(capsys):
+    from cuda_acceleratedvectordatabaseengine_tpu.utils.logging import (
+        get_logger,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.utils.profiling import (
+        Timer,
+        timed,
+    )
+    import jax.numpy as jnp
+
+    log = get_logger("vdb.test")
+    log.info("hello")
+    t = Timer()
+    with t.span():
+        pass
+    assert t.count == 1
+    out, ms = timed(lambda v: v + 1, jnp.zeros((4,)))
+    assert ms >= 0 and float(out[0]) == 1.0
