@@ -31,13 +31,18 @@ INVALID_ID = np.uint64(0xFFFFFFFFFFFFFFFF)  # reference sentinel UINT64_MAX
 
 
 @jax.jit
-def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list):
+def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list,
+                   arena_lo=None):
     """Scatter-append a batch into the arena as ONE compiled program (the
     unjitted op-by-op version paid a separate XLA compile + dispatch per
     scatter, which dominated ingest time on networked TPU backends)."""
-    arena = arena.at[lists, slots].set(vec_f32.astype(arena.dtype))
+    hi = vec_f32.astype(arena.dtype)
+    arena = arena.at[lists, slots].set(hi)
     arena_sq = arena_sq.at[lists, slots].set(jnp.sum(vec_f32 * vec_f32, -1))
-    return arena, arena_sq, counts + per_list
+    if arena_lo is not None:
+        lo = (vec_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        arena_lo = arena_lo.at[lists, slots].set(lo)
+    return arena, arena_sq, counts + per_list, arena_lo
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,6 +82,11 @@ class PackedListArena:
     arena_sq: jax.Array    # [nlist, capacity] fp32
     counts: jax.Array      # [nlist] int32
     ids: np.ndarray        # [nlist, capacity] uint64 host
+    # Optional residual plane: lo = fp32(x) − bf16(x), stored bf16. hi + lo
+    # reconstructs x to ~16 mantissa bits, so an exact rerank can recover
+    # fp32-fidelity distances while the hot scan reads only the bf16 hi
+    # plane (half the bandwidth of an fp32 arena).
+    arena_lo: jax.Array | None = None
 
     # Slot-granularity for capacity growth; multiple of the fp32 sublane
     # tile so every list's block keeps MXU/VPU-friendly shapes.
@@ -84,9 +94,15 @@ class PackedListArena:
 
     @classmethod
     def create(
-        cls, nlist: int, dim: int, dtype=jnp.bfloat16, capacity: int = 128
+        cls, nlist: int, dim: int, dtype=jnp.bfloat16, capacity: int = 128,
+        store_residuals: bool = False,
     ) -> "PackedListArena":
         capacity = _round_up(max(capacity, cls.SLOT_ALIGN), cls.SLOT_ALIGN)
+        lo = (
+            jnp.zeros((nlist, capacity, dim), jnp.bfloat16)
+            if store_residuals and jnp.dtype(dtype) != jnp.float32
+            else None
+        )
         return cls(
             nlist=nlist,
             dim=dim,
@@ -96,6 +112,7 @@ class PackedListArena:
             arena_sq=jnp.zeros((nlist, capacity), jnp.float32),
             counts=jnp.zeros((nlist,), jnp.int32),
             ids=np.full((nlist, capacity), INVALID_ID, np.uint64),
+            arena_lo=lo,
         )
 
     @property
@@ -146,7 +163,7 @@ class PackedListArena:
             vec_d = vectors.astype(jnp.float32)
         else:
             vec_d = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
-        arena, arena_sq, counts = _append_device(
+        arena, arena_sq, counts, arena_lo = _append_device(
             out.arena,
             out.arena_sq,
             out.counts,
@@ -154,12 +171,14 @@ class PackedListArena:
             jnp.asarray(slots.astype(np.int32)),
             vec_d,
             jnp.asarray(per_list.astype(np.int32)),
+            out.arena_lo,
         )
 
         new_ids = out.ids.copy()
         new_ids[assignments, slots] = ids.astype(np.uint64)
         return dataclasses.replace(
-            out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids
+            out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids,
+            arena_lo=arena_lo,
         )
 
     def grow(self, new_capacity: int) -> "PackedListArena":
@@ -168,10 +187,15 @@ class PackedListArena:
         pad = new_capacity - self.capacity
         arena = jnp.pad(self.arena, ((0, 0), (0, pad), (0, 0)))
         arena_sq = jnp.pad(self.arena_sq, ((0, 0), (0, pad)))
+        arena_lo = (
+            jnp.pad(self.arena_lo, ((0, 0), (0, pad), (0, 0)))
+            if self.arena_lo is not None else None
+        )
         ids = np.full((self.nlist, new_capacity), INVALID_ID, np.uint64)
         ids[:, : self.capacity] = self.ids
         return dataclasses.replace(
-            self, capacity=new_capacity, arena=arena, arena_sq=arena_sq, ids=ids
+            self, capacity=new_capacity, arena=arena, arena_sq=arena_sq,
+            ids=ids, arena_lo=arena_lo,
         )
 
     # ------------------------------------------------------------------ #

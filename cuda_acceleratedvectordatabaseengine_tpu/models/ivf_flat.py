@@ -32,7 +32,10 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
     kmeans_fit,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
-from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import scan_probed_lists
+from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import (
+    scan_probed_lists,
+    scan_probed_lists_ragged,
+)
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
 from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
     INVALID_ID,
@@ -59,6 +62,18 @@ class IVFFlatConfig:
     max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean
                                      # list size); overflow spills to the
                                      # next-nearest list
+    scan_impl: str = "ragged"        # "ragged" (list-centric grouped
+                                     # matmul, reads each probed list once
+                                     # per batch) | "gather" (per-query
+                                     # arena gather; used by the sharded
+                                     # and streaming tiers)
+    approx_topk: bool = False        # lax.approx_min_k for the final
+                                     # selection (faster at large
+                                     # nprobe·cap, ~1% recall cost)
+    store_residuals: bool = False    # keep a bf16 lo-plane (x − bf16(x))
+                                     # enabling fp32-exact rerank from a
+                                     # bf16 hot scan (SearchParams.
+                                     # use_exact_rerank)
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -139,8 +154,10 @@ def _assign_and_count(x, centroids, nlist, metric):
     return assignments, counts
 
 
-@functools.partial(jax.jit, static_argnames=("nlist", "cap", "out_dtype"))
-def _bulk_pack_device(x, assignments, nlist, cap, out_dtype):
+@functools.partial(
+    jax.jit, static_argnames=("nlist", "cap", "out_dtype", "store_lo")
+)
+def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
     """Pack an entire corpus into a fresh arena in ONE device program:
     stable sort by list, per-list rank via exclusive-cumsum offsets, scatter.
     The device-side bulk-build path (offline builds / benchmarks) — no
@@ -157,19 +174,33 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype):
         jnp.int32
     )
     slots = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    hi = x.astype(out_dtype)
     arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
-    arena = arena.at[assignments, slots].set(x.astype(out_dtype))
+    arena = arena.at[assignments, slots].set(hi)
     # fp32 accumulation of squared norms without materializing an fp32 copy
     # of the corpus (the cast fuses into the reduction).
     x_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), -1)
     arena_sq = jnp.zeros((nlist, cap), jnp.float32)
     arena_sq = arena_sq.at[assignments, slots].set(x_sq)
-    return arena, arena_sq, counts.astype(jnp.int32), slots
+    arena_lo = None
+    if store_lo:
+        lo = (x.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+        arena_lo = jnp.zeros((nlist, cap, x.shape[1]), jnp.bfloat16)
+        arena_lo = arena_lo.at[assignments, slots].set(lo)
+    return arena, arena_sq, counts.astype(jnp.int32), slots, arena_lo
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
+    ),
+)
 def _ivf_search_device(
-    queries, centroids, arena, arena_sq, counts, nprobe, k, metric
+    queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
+    scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
 ):
     """The whole search for a query batch as one traced program."""
     q = queries.astype(jnp.float32)
@@ -177,9 +208,40 @@ def _ivf_search_device(
         q = l2_normalize(q)
     coarse = pairwise_distance(q, centroids, metric)          # [B, nlist] MXU
     _, probe_ids = topk_smallest(coarse, nprobe)              # [B, nprobe]
-    return scan_probed_lists(
-        q, arena, arena_sq, counts, probe_ids.astype(jnp.int32), k, metric
-    )
+    probe_ids = probe_ids.astype(jnp.int32)
+    keep = max(k, rerank_k)
+    if scan_impl == "ragged":
+        d, pos = scan_probed_lists_ragged(
+            q, arena, arena_sq, counts, probe_ids, keep, metric,
+            approx=approx_topk,
+        )
+    else:
+        d, pos = scan_probed_lists(
+            q, arena, arena_sq, counts, probe_ids, keep, metric
+        )
+    if rerank_k > 0 and arena_lo is not None:
+        # fp32-exact rerank: reconstruct candidates as hi + lo and
+        # recompute true distances (bandwidth: rerank_k rows per query).
+        nlist, cap, dim = arena.shape
+        flat_hi = arena.reshape(nlist * cap, dim)
+        flat_lo = arena_lo.reshape(nlist * cap, dim)
+        safe = jnp.maximum(pos, 0)
+        cand = flat_hi[safe].astype(jnp.float32) \
+            + flat_lo[safe].astype(jnp.float32)      # [B, keep, D]
+        dots = jnp.einsum(
+            "bd,bkd->bk", q, cand, preferred_element_type=jnp.float32,
+        )
+        c_sq = jnp.sum(cand * cand, axis=-1)
+        if metric == Metric.INNER_PRODUCT:
+            exact = -dots
+        elif metric == Metric.COSINE:
+            exact = 1.0 - dots * jax.lax.rsqrt(jnp.maximum(c_sq, 1e-12))
+        else:
+            q_sq = jnp.sum(q * q, axis=-1)
+            exact = jnp.maximum(q_sq[:, None] - 2.0 * dots + c_sq, 0.0)
+        exact = jnp.where(pos >= 0, exact, jnp.inf)
+        return topk_smallest(exact, k, idx=pos)
+    return d[:, :k], pos[:, :k]
 
 
 class IVFFlatIndex:
@@ -193,7 +255,8 @@ class IVFFlatIndex:
         self.metric = config.metric
         dtype = jnp.dtype(config.dtype)
         self.arena = PackedListArena.create(
-            config.nlist, config.dimension, dtype=dtype
+            config.nlist, config.dimension, dtype=dtype,
+            store_residuals=config.store_residuals,
         )
         self.centroids: jax.Array | None = None  # [nlist, dim] fp32
         self.trained = False
@@ -322,8 +385,9 @@ class IVFFlatIndex:
         )
         assignments_np = _balance_assignments(choices, cap, cfg.nlist)
         assignments = jnp.asarray(assignments_np)
-        arena, arena_sq, counts_d, slots = _bulk_pack_device(
-            x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype)
+        arena, arena_sq, counts_d, slots, arena_lo = _bulk_pack_device(
+            x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype),
+            cfg.store_residuals and jnp.dtype(cfg.dtype) != jnp.float32,
         )
         if ids is None:
             ids = np.arange(n, dtype=np.uint64)
@@ -332,7 +396,7 @@ class IVFFlatIndex:
         self.arena = PackedListArena(
             nlist=cfg.nlist, dim=cfg.dimension, dtype=jnp.dtype(cfg.dtype),
             capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
-            ids=ids_table,
+            ids=ids_table, arena_lo=arena_lo,
         )
 
     # ------------------------------------------------------------------ #
@@ -365,6 +429,9 @@ class IVFFlatIndex:
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
         nprobe = min(params.nprobe, self.config.nlist)
+        rerank_k = 0
+        if params.use_exact_rerank and self.arena.arena_lo is not None:
+            rerank_k = min(max(4 * params.k, params.k), 256)
 
         d, pos = _ivf_search_device(
             jnp.asarray(queries),
@@ -375,6 +442,10 @@ class IVFFlatIndex:
             nprobe,
             params.k,
             self.metric,
+            self.config.scan_impl,
+            self.config.approx_topk,
+            rerank_k,
+            self.arena.arena_lo,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -123,6 +123,80 @@ def _merge(best_d, best_p, d, pos, k):
     return topk_smallest(dd, k, idx=pp)
 
 
+def scan_probed_lists_ragged(
+    queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
+    arena: jax.Array,       # [nlist, cap, D] corpus dtype
+    arena_sq: jax.Array,    # [nlist, cap] fp32
+    counts: jax.Array,      # [nlist] int32
+    probe_ids: jax.Array,   # [B, P] int32, -1 = no probe
+    k: int,
+    metric: Metric = Metric.L2,
+    approx: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """List-centric scan: one ragged grouped matmul for the whole batch.
+
+    The gather-based scan reads a probed list's block once **per probing
+    query** and materializes the gathered copy in HBM before the matmul.
+    Here the (query, probe) pairs are sorted by list id and fed to
+    ``jax.lax.ragged_dot_general`` — the MoE grouped-matmul primitive — with
+    the arena as the group dimension: XLA streams each *distinct* probed
+    list from HBM once per batch, multiplying it against all its probing
+    queries back-to-back. At serving batch sizes, probes overlap heavily
+    (B·P probes over nlist lists), so HBM traffic drops by the overlap
+    factor on top of eliminating the gathered copy entirely.
+
+    Returns the same ``(dists [B, k], pos [B, k])`` contract as
+    :func:`scan_probed_lists`.
+    """
+    batch, nprobe = probe_ids.shape
+    nlist, cap, dim = arena.shape
+    q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    flat = probe_ids.reshape(-1)                       # [B*P]
+    probe_valid = flat >= 0
+    safe = jnp.maximum(flat, 0)
+    order = jnp.argsort(safe, stable=True)
+    sorted_lists = safe[order]
+    group_sizes = jax.ops.segment_sum(
+        jnp.ones_like(sorted_lists), sorted_lists, num_segments=nlist
+    ).astype(jnp.int32)
+    q_rows = q[order // nprobe].astype(arena.dtype)    # [B*P, D] by list
+
+    dots_sorted = jax.lax.ragged_dot_general(
+        q_rows, arena, group_sizes,
+        ragged_dot_dimension_numbers=jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((1,), (2,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[0],
+        ),
+        preferred_element_type=jnp.float32,
+    )                                                  # [B*P, cap]
+    inv = jnp.argsort(order)
+    dots = dots_sorted[inv]                            # back to (b, p) order
+
+    block_sq = arena_sq[safe]                          # [B*P, cap]
+    if metric == Metric.L2:
+        d = jnp.maximum(
+            q_sq[jnp.arange(batch * nprobe) // nprobe][:, None]
+            - 2.0 * dots + block_sq, 0.0,
+        )
+    elif metric == Metric.INNER_PRODUCT:
+        d = -dots
+    else:  # COSINE over pre-normalized vectors
+        d = 1.0 - dots
+
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = (slot_iota[None, :] < counts[safe][:, None]) \
+        & probe_valid[:, None]
+    d = jnp.where(valid, d, jnp.inf)
+    pos = jnp.where(valid, safe[:, None] * cap + slot_iota[None, :], -1)
+
+    d = d.reshape(batch, nprobe * cap)
+    pos = pos.reshape(batch, nprobe * cap)
+    return topk_smallest(d, k, idx=pos, approx=approx)
+
+
 def scan_flat(
     queries: jax.Array,    # [B, D] fp32
     data: jax.Array,       # [N_pad, D] corpus dtype

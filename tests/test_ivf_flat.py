@@ -179,3 +179,26 @@ def test_bulk_build_balances_skewed_lists(oracle):
     q = x[:5] + 0.001
     _, ids = idx.search(q, SearchParams(nprobe=16, k=1))
     assert np.array_equal(ids[:, 0], np.arange(5, dtype=np.uint64))
+
+
+def test_exact_rerank_recovers_f32_distances(rng, oracle):
+    """bf16 hot scan + hi/lo rerank must return fp32-exact distances."""
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=32, nlist=8, dtype="bfloat16",
+                        store_residuals=True)
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    assert idx.arena.arena_lo is not None
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    d_rr, ids_rr = idx.search(
+        q, SearchParams(nprobe=8, k=10, use_exact_rerank=True)
+    )
+    d_ref, ref = oracle(q, x, 10)
+    assert np.array_equal(np.sort(ids_rr), np.sort(ref.astype(np.uint64)))
+    np.testing.assert_allclose(d_rr, d_ref, rtol=1e-4, atol=1e-4)
+    # plain bf16 distances are noticeably noisier than reranked ones
+    d_plain, _ = idx.search(q, SearchParams(nprobe=8, k=10))
+    err_rr = np.abs(d_rr - d_ref).max()
+    err_plain = np.abs(d_plain - d_ref).max()
+    assert err_rr < err_plain
