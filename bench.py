@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -116,6 +117,19 @@ def main():
         args.batch, args.n_batches = 64, 5
 
     import jax
+
+    # Persistent compilation cache: first-compile of the big build/search
+    # programs costs minutes through remote-compile TPU runtimes; cached
+    # re-runs start in seconds.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
     import jax.numpy as jnp
 
     from cuda_acceleratedvectordatabaseengine_tpu import (

@@ -215,6 +215,15 @@ def _ivf_search_device(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk,
         )
+    elif scan_impl == "pallas":
+        from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
+            scan_probed_lists_pallas,
+        )
+
+        d, pos = scan_probed_lists_pallas(
+            q, arena, arena_sq, counts, probe_ids, keep, metric,
+            approx=approx_topk,
+        )
     else:
         d, pos = scan_probed_lists(
             q, arena, arena_sq, counts, probe_ids, keep, metric

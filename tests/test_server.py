@@ -256,3 +256,104 @@ def test_engine_recovery_after_restart(live_server, tmp_path):
     st = engine2.get_state("docs")
     assert st.index is not None and st.index.trained
     assert st.epoch == engine2.epochs.active_epoch("docs")
+
+
+def test_pq_index_via_rpc(live_server):
+    """IVF-PQ lifecycle through the API (CreateIndex with m>0)."""
+    rng = np.random.default_rng(5)
+    admin, query = live_server["admin"], live_server["query"]
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name="pq", dimension=32, metric="L2", nlist=8, m=8, nbits=8,
+    ))
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index="pq", vectors=[
+            vdb_pb2.Vector(id=i, values=rng.standard_normal(32))
+            for i in range(800)
+        ],
+    ))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="pq"))
+    import time
+
+    deadline = time.time() + 120
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="pq"))
+            break
+        except grpc.RpcError as e:
+            assert e.code() in (grpc.StatusCode.FAILED_PRECONDITION,), \
+                e.details()
+            assert time.time() < deadline
+            time.sleep(0.3)
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=[0.0] * 32)], topk=5, nprobe=8,
+        index="pq", rerank_exact=True,
+    ))
+    assert len(resp.results[0].neighbors) == 5
+    engine = live_server["engine"]
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQIndex,
+    )
+
+    assert isinstance(engine.get_state("pq").index, IVFPQIndex)
+
+
+def test_build_from_arrow_source_via_rpc(live_server, tmp_path_factory):
+    """BuildEpoch with a source_path (the reference's intended flow)."""
+    rng = np.random.default_rng(6)
+    from cuda_acceleratedvectordatabaseengine_tpu.storage import ArrowStorage
+
+    src_dir = tmp_path_factory.mktemp("src")
+    src = str(src_dir / "v.arrow")
+    ArrowStorage.write_vectors(
+        src, np.arange(500, dtype=np.uint64) + 10_000,
+        rng.standard_normal((500, 24)).astype(np.float32),
+    )
+    admin = live_server["admin"]
+    query = live_server["query"]
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name="arrowidx", dimension=24, nlist=4,
+    ))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(
+        index="arrowidx", source_path=src,
+    ))
+    import time
+
+    deadline = time.time() + 120
+    while True:
+        try:
+            admin.ActivateEpoch(
+                vdb_pb2.ActivateEpochRequest(index="arrowidx"))
+            break
+        except grpc.RpcError:
+            assert time.time() < deadline
+            time.sleep(0.3)
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=[0.0] * 24)], topk=3, nprobe=4,
+        index="arrowidx",
+    ))
+    ids = [n.id for n in resp.results[0].neighbors]
+    assert all(i >= 10_000 for i in ids)   # custom ids survived the path
+
+
+def test_failed_build_reports_error(live_server):
+    """A build with no data fails in its async worker and surfaces the
+    error at activation — degrade-don't-die (SURVEY.md §5 failure
+    detection): the serving path is never poisoned by a failed build."""
+    import time
+
+    admin = live_server["admin"]
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(name="empty", dimension=8))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="empty"))
+    deadline = time.time() + 30
+    while True:
+        with pytest.raises(grpc.RpcError) as e:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="empty"))
+        if e.value.code() == grpc.StatusCode.INTERNAL:
+            assert "no data" in e.value.details()
+            break
+        assert e.value.code() == grpc.StatusCode.FAILED_PRECONDITION
+        assert time.time() < deadline
+        time.sleep(0.1)
+    # the index remains searchable-empty, not corrupted
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index="empty"))
+    assert stats.indexed_vectors == 0
