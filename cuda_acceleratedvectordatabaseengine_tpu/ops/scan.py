@@ -132,6 +132,9 @@ def scan_probed_lists_ragged(
     k: int,
     metric: Metric = Metric.L2,
     approx: bool = True,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric scan: one ragged grouped matmul for the whole batch.
 
@@ -146,10 +149,12 @@ def scan_probed_lists_ragged(
     factor on top of eliminating the gathered copy entirely.
 
     Returns the same ``(dists [B, k], pos [B, k])`` contract as
-    :func:`scan_probed_lists`.
+    :func:`scan_probed_lists`, including the slot-striping parameters for
+    the multi-chip sharded arena (see that function's docstring).
     """
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
+    global_cap = global_capacity if global_capacity is not None else cap
     q = queries.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
 
@@ -186,11 +191,15 @@ def scan_probed_lists_ragged(
     else:  # COSINE over pre-normalized vectors
         d = 1.0 - dots
 
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    valid = (slot_iota[None, :] < counts[safe][:, None]) \
+    slot_logical = (
+        jnp.arange(cap, dtype=jnp.int32) * slot_stride + slot_offset
+    )
+    valid = (slot_logical[None, :] < counts[safe][:, None]) \
         & probe_valid[:, None]
     d = jnp.where(valid, d, jnp.inf)
-    pos = jnp.where(valid, safe[:, None] * cap + slot_iota[None, :], -1)
+    pos = jnp.where(
+        valid, safe[:, None] * global_cap + slot_logical[None, :], -1
+    )
 
     d = d.reshape(batch, nprobe * cap)
     pos = pos.reshape(batch, nprobe * cap)

@@ -31,7 +31,10 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
     pairwise_distance,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
-from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import scan_probed_lists
+from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import (
+    scan_probed_lists,
+    scan_probed_lists_ragged,
+)
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
 from cuda_acceleratedvectordatabaseengine_tpu.parallel.mesh import SHARD_AXIS
 from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
@@ -56,11 +59,11 @@ def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
-                     "global_cap"),
+                     "global_cap", "scan_impl"),
 )
 def _sharded_search(
     queries, centroids, arena_s, arena_sq_s, counts,
-    mesh, nprobe, k, metric, n_shards, global_cap,
+    mesh, nprobe, k, metric, n_shards, global_cap, scan_impl="gather",
 ):
     def local_fn(q, c, arena_l, arena_sq_l, cnt):
         s = jax.lax.axis_index(SHARD_AXIS)
@@ -69,11 +72,18 @@ def _sharded_search(
             qf = l2_normalize(qf)
         coarse = pairwise_distance(qf, c, metric)       # replicated [B,nlist]
         _, probe = topk_smallest(coarse, nprobe)
-        d, pos = scan_probed_lists(
-            qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k, metric,
-            slot_stride=n_shards, slot_offset=s, global_capacity=global_cap,
-            vma_axes=(SHARD_AXIS,),
-        )
+        if scan_impl == "ragged":
+            d, pos = scan_probed_lists_ragged(
+                qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
+                metric, approx=False, slot_stride=n_shards, slot_offset=s,
+                global_capacity=global_cap,
+            )
+        else:
+            d, pos = scan_probed_lists(
+                qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
+                metric, slot_stride=n_shards, slot_offset=s,
+                global_capacity=global_cap, vma_axes=(SHARD_AXIS,),
+            )
         # Cross-chip merge: k candidates per chip → all_gather over ICI →
         # replicated global top-k. k·B·8 bytes per chip — tiny on ICI.
         d_all = jax.lax.all_gather(d, SHARD_AXIS, axis=-1, tiled=True)
@@ -103,13 +113,14 @@ class ShardedIVFFlatIndex:
     SPMD across all chips with an ICI all-gather merge.
     """
 
-    def __init__(self, base: IVFFlatIndex, mesh):
+    def __init__(self, base: IVFFlatIndex, mesh, scan_impl: str = "gather"):
         if not base.trained:
             raise RuntimeError("base index must be trained")
         self.base = base
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         self.metric = base.metric
+        self.scan_impl = scan_impl
         self._published = False
         self.refresh()
 
@@ -152,7 +163,7 @@ class ShardedIVFFlatIndex:
             ),
             self.centroids, self.arena_s, self.arena_sq_s, self.counts,
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
-            self.global_cap,
+            self.global_cap, self.scan_impl,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -98,3 +98,18 @@ def test_sharded_arena_is_actually_distributed(rng):
     total = sharded.arena_s.size
     for s in shards:
         assert s.data.size == total // 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_ragged_scan_equals_single_chip(rng, n_shards):
+    """Slot-striped sharding must also be exact under the list-centric
+    ragged grouped-matmul scan."""
+    idx, x = _build(rng)
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+    sharded = ShardedIVFFlatIndex(idx, make_mesh(n_shards),
+                                  scan_impl="ragged")
+    d, ids = sharded.search(q, params)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
