@@ -65,51 +65,40 @@ def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000):
     return jnp.concatenate(chunks, axis=0), centers
 
 
-def exact_oracle(queries, x, k, chunk=131_072):
-    """f32-highest-precision exact top-k over the device corpus."""
+def exact_oracle(queries, x, k, chunk=100_000):
+    """Exact brute-force ground truth, computed on the HOST (NumPy BLAS).
+
+    Device-exact top-k over 1M columns is exactly the operation ANN indices
+    exist to avoid — XLA's exact TopK at that width is glacial, and on this
+    remote-compile harness it stalls outright. The corpus is bf16; ranking
+    its fp32 cast on the host is exact for the values the index stores.
+    Cost: one corpus download + ~10 sgemm blocks.
+    """
     import jax
-    import jax.numpy as jnp
 
-    n = x.shape[0]
-    x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
-
-    @jax.jit
-    def run(q):
-        qf = q.astype(jnp.float32)
-        q_sq = jnp.sum(qf * qf, -1)
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        xp = jnp.pad(x, ((0, pad), (0, 0)))
-        xsqp = jnp.pad(x_sq, (0, pad), constant_values=jnp.inf)
-
-        def step(carry, ci):
-            bd, bp = carry
-            xc = jax.lax.dynamic_slice_in_dim(xp, ci * chunk, chunk)
-            sc = jax.lax.dynamic_slice_in_dim(xsqp, ci * chunk, chunk)
-            dots = jax.lax.dot_general(
-                qf.astype(xc.dtype), xc, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            d = q_sq[:, None] - 2 * dots + sc[None, :]
-            pos = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            dd = jnp.concatenate([bd, d], axis=-1)
-            pp = jnp.concatenate(
-                [bp, jnp.broadcast_to(pos[None], d.shape)], axis=-1
-            )
-            nv, nc = jax.lax.top_k(-dd, k)
-            return (-nv, jnp.take_along_axis(pp, nc, -1)), None
-
-        init = (
-            jnp.full((q.shape[0], k), jnp.inf, jnp.float32),
-            jnp.full((q.shape[0], k), -1, jnp.int32),
+    q = np.asarray(queries, dtype=np.float32)
+    _stage("  oracle: downloading corpus")
+    x_h = np.asarray(jax.device_get(x)).astype(np.float32)
+    q_sq = (q * q).sum(-1)
+    best_d = np.full((q.shape[0], k), np.inf, np.float32)
+    best_i = np.full((q.shape[0], k), -1, np.int64)
+    for start in range(0, x_h.shape[0], chunk):
+        xc = x_h[start:start + chunk]
+        d = q_sq[:, None] - 2.0 * (q @ xc.T) + (xc * xc).sum(-1)[None, :]
+        merged_d = np.concatenate([best_d, d], axis=1)
+        merged_i = np.concatenate(
+            [best_i,
+             np.broadcast_to(start + np.arange(xc.shape[0])[None, :],
+                             d.shape)], axis=1,
         )
-        (bd, bp), _ = jax.lax.scan(
-            step, init, jnp.arange(n_chunks, dtype=jnp.int32)
-        )
-        return bd, bp
-
-    return run(queries)
+        sel = np.argpartition(merged_d, k, axis=1)[:, :k]
+        best_d = np.take_along_axis(merged_d, sel, 1)
+        best_i = np.take_along_axis(merged_i, sel, 1)
+    order = np.argsort(best_d, axis=1)
+    return (
+        np.take_along_axis(best_d, order, 1),
+        np.take_along_axis(best_i, order, 1),
+    )
 
 
 def main():
@@ -123,6 +112,11 @@ def main():
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
+    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "gather"),
+                   choices=["gather", "ragged", "pallas"],
+                   help="scan implementation (gather default here: the "
+                        "remote-compile harness stalls on ragged_dot "
+                        "compiles; use ragged on real pods)")
     args = p.parse_args()
     if args.quick:
         args.n, args.dim, args.nlist, args.nprobe = 50_000, 64, 128, 8
@@ -130,17 +124,18 @@ def main():
 
     import jax
 
-    # Persistent compilation cache: first-compile of the big build/search
-    # programs costs minutes through remote-compile TPU runtimes; cached
-    # re-runs start in seconds.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — cache is an optimization only
-        pass
+    # Optional persistent compilation cache (set JAX_COMPILATION_CACHE_DIR).
+    # Off by default: on remote-compile TPU runtimes the cache round trip
+    # has been observed to stall large compiles.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:  # noqa: BLE001 — cache is an optimization only
+            pass
 
     import jax.numpy as jnp
 
@@ -161,7 +156,7 @@ def main():
     # (capacity ≈ mean → minimal padding → minimal scan bandwidth).
     _stage("generating corpus")
     x, centers = clustered_corpus(
-        key, args.n, args.dim, n_clusters=args.nlist, noise=0.5
+        key, args.n, args.dim, n_clusters=args.nlist, noise=0.25
     )
     x.block_until_ready()
     del centers
@@ -169,7 +164,7 @@ def main():
 
     cfg = IVFFlatConfig(
         dimension=args.dim, nlist=args.nlist, dtype="bfloat16",
-        train_sample_per_list=64,
+        train_sample_per_list=64, max_capacity_factor=4.0,
     )
     idx = IVFFlatIndex(cfg)
     t0 = time.time()
@@ -182,6 +177,12 @@ def main():
     idx.build_from_device(x)
     jax.block_until_ready(idx.arena.arena)
     t_build = time.time() - t0
+    cnts = np.asarray(idx.arena.counts)
+    _stage(
+        f"built: capacity={idx.arena.capacity} counts p50={int(np.percentile(cnts, 50))} "
+        f"p99={int(np.percentile(cnts, 99))} max={int(cnts.max())} "
+        f"arena_gb={idx.arena.nbytes_device() / (1 << 30):.2f}"
+    )
 
     # Queries: perturbed corpus points (standard ANN-benchmark style).
     kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
@@ -197,7 +198,8 @@ def main():
 
     def device_search(q):
         return _ivf_search_device(
-            q, *search_args, min(args.nprobe, args.nlist), args.k, Metric.L2
+            q, *search_args, min(args.nprobe, args.nlist), args.k,
+            Metric.L2, args.scan,
         )
 
     # Warm (compile) + recall measurement.
@@ -243,6 +245,7 @@ def main():
         "nprobe": args.nprobe,
         "k": args.k,
         "arena_dtype": "bfloat16",
+        "scan_impl": args.scan,
         "capacity_per_list": cap,
         "gen_s": round(t_gen, 1),
         "train_s": round(t_train, 1),

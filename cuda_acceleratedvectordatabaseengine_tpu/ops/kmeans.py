@@ -201,6 +201,21 @@ def kmeans_fit(
             (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None],
             centroids,
         )
+        # Rebalance: starved clusters (< 10% of mean) re-seed just off the
+        # fattest cluster's centroid, splitting it on the next iteration.
+        # Plain keep-old (the reference behavior) leaves duplicate seeds
+        # stuck forever and produces the heavy list-size tail that inflates
+        # the padded arena.
+        mean_count = jnp.mean(counts)
+        starved = counts < 0.1 * mean_count
+        donor = jnp.argmax(counts)
+        jitter = 1e-3 * new_centroids[donor] * (
+            jax.lax.broadcasted_iota(jnp.float32, (k, dim), 0) % 7 - 3.0
+        ) / 3.0
+        new_centroids = jnp.where(
+            starved[:, None], new_centroids[donor][None, :] + jitter,
+            new_centroids,
+        )
         return new_centroids, assigns
 
     centroids, assigns = jax.lax.scan(
