@@ -112,11 +112,11 @@ def main():
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
-    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "gather"),
+    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas"),
                    choices=["gather", "ragged", "pallas"],
-                   help="scan implementation (gather default here: the "
-                        "remote-compile harness stalls on ragged_dot "
-                        "compiles; use ragged on real pods)")
+                   help="scan implementation (pallas: DMA-pipelined "
+                        "kernel, the TPU fast path; ragged stalls this "
+                        "harness's remote compiler)")
     args = p.parse_args()
     if args.quick:
         args.n, args.dim, args.nlist, args.nprobe = 50_000, 64, 128, 8

@@ -2,17 +2,24 @@
 
 Third implementation of the hot scan (besides the XLA gather scan and the
 ragged grouped matmul). The XLA gather path materializes every gathered
-list block in HBM before the matmul reads it back — 2× HBM traffic. This
-kernel uses ``PrefetchScalarGridSpec``: the probe-id table is prefetched to
-SMEM, the BlockSpec index_map selects each grid step's arena block *by
-probe id*, and the Pallas pipeline emitter double-buffers the HBM→VMEM DMA
-of the next list block behind the current block's compute (the pattern from
-the TPU kernel guide's scalar-prefetch / double-buffering sections). The
-block never round-trips through HBM: it lands in VMEM, is reduced against
-the query there, and only the [cap] distance row is written out.
+list block in HBM before the matmul reads it back — 2× HBM traffic and
+gather-granularity access. This kernel uses ``PrefetchScalarGridSpec``: the
+probe-id table is prefetched to SMEM, each grid step's arena block is
+selected *by probe id* in the BlockSpec index_map, and the Pallas pipeline
+emitter double-buffers the HBM→VMEM DMA of the next list block behind the
+current block's compute (the guide's scalar-prefetch + double-buffering
+patterns). List blocks never round-trip through HBM; only the [cap]
+distance row is written out.
 
-Distance semantics match ``ops.scan._block_distances`` exactly; the final
-top-k runs outside (XLA), like the ragged path.
+TPU tiling notes (Mosaic requires the last two block dims to be 8/128
+multiples or full-size):
+  - queries ride as ONE full-array VMEM block (B·D·4 bytes ≪ VMEM);
+  - the output block is the whole [P, cap] row-group of query b, revisited
+    across the inner grid dimension;
+  - squared norms are computed in-kernel from the bf16 block (this is the
+    norm of the *stored* vector — self-consistent for L2).
+
+The final top-k runs outside (XLA), as in the ragged path.
 """
 
 from __future__ import annotations
@@ -28,30 +35,33 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
 
 
-def _kernel(probe_ref, counts_ref, q_ref, block_ref, block_sq_ref, out_ref,
+def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
             *, metric: Metric):
     b = pl.program_id(0)
     p = pl.program_id(1)
     list_id = probe_ref[b, p]
-    q = q_ref[:].astype(jnp.float32)            # [1, D]
-    blk = block_ref[0]                          # [cap, D] (VMEM)
+    q = q_ref[pl.ds(b, 1), :].astype(jnp.float32)       # [1, D]
+    blk = block_ref[0]                                  # [cap, D] in VMEM
     cap = blk.shape[0]
-    # [cap, 1] matvec on the MXU with fp32 accumulation.
+    # fp32 operands: Mosaic's mixed bf16→fp32 dot lowering trips a verifier
+    # bug; the cast is free relative to the HBM DMA this kernel hides.
+    blk_f = blk.astype(jnp.float32)
     dots = jax.lax.dot_general(
-        blk, q.astype(blk.dtype),
+        blk_f, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(1, cap)
     if metric == Metric.L2:
         q_sq = jnp.sum(q * q)
-        d = jnp.maximum(q_sq - 2.0 * dots + block_sq_ref[:], 0.0)
+        blk_sq = jnp.sum(blk_f * blk_f, axis=-1).reshape(1, cap)
+        d = jnp.maximum(q_sq - 2.0 * dots + blk_sq, 0.0)
     elif metric == Metric.INNER_PRODUCT:
         d = -dots
     else:  # cosine over pre-normalized inputs
         d = 1.0 - dots
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     valid = (slot < counts_ref[jnp.maximum(list_id, 0)]) & (list_id >= 0)
-    out_ref[:] = jnp.where(valid, d, jnp.inf).reshape(1, 1, cap)
+    out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
 @functools.partial(
@@ -61,7 +71,7 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, block_sq_ref, out_ref,
 def scan_probed_lists_pallas(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
     arena: jax.Array,       # [nlist, cap, D]
-    arena_sq: jax.Array,    # [nlist, cap] fp32
+    arena_sq: jax.Array,    # [nlist, cap] fp32 (unused: norms in-kernel)
     counts: jax.Array,      # [nlist] int32
     probe_ids: jax.Array,   # [B, P] int32 (-1 = no probe)
     k: int,
@@ -69,6 +79,7 @@ def scan_probed_lists_pallas(
     approx: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
+    del arena_sq  # norms are recomputed from the stored block in-kernel
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     q = queries.astype(jnp.float32)
@@ -77,8 +88,8 @@ def scan_probed_lists_pallas(
         num_scalar_prefetch=2,          # probe table + counts
         grid=(batch, nprobe),
         in_specs=[
-            # query row for this b
-            pl.BlockSpec((1, dim), lambda b, p, probe, cnt: (b, 0)),
+            # all queries as one resident VMEM block
+            pl.BlockSpec((batch, dim), lambda b, p, probe, cnt: (0, 0)),
             # arena block selected BY PROBE ID (the scalar-prefetch trick)
             pl.BlockSpec(
                 (1, cap, dim),
@@ -86,12 +97,12 @@ def scan_probed_lists_pallas(
                     jnp.maximum(probe[b, p], 0), 0, 0
                 ),
             ),
-            pl.BlockSpec(
-                (1, cap),
-                lambda b, p, probe, cnt: (jnp.maximum(probe[b, p], 0), 0),
-            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, cap), lambda b, p, probe, cnt: (b, p, 0)),
+        # query b's whole [P, cap] output group; revisited over p, flushed
+        # when b advances
+        out_specs=pl.BlockSpec(
+            (1, nprobe, cap), lambda b, p, probe, cnt: (b, 0, 0)
+        ),
     )
     run = pl.pallas_call(
         functools.partial(_kernel, metric=metric),
@@ -99,7 +110,7 @@ def scan_probed_lists_pallas(
         out_shape=jax.ShapeDtypeStruct((batch, nprobe, cap), jnp.float32),
         interpret=interpret,
     )
-    d = run(probe_ids, counts, q, arena, arena_sq)   # [B, P, cap]
+    d = run(probe_ids, counts, q, arena)                # [B, P, cap]
 
     safe = jnp.maximum(probe_ids, 0)
     slot_iota = jnp.arange(cap, dtype=jnp.int32)
