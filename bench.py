@@ -112,8 +112,8 @@ def main():
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
-    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas"),
-                   choices=["gather", "ragged", "pallas"],
+    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_sorted"),
+                   choices=["gather", "ragged", "pallas", "pallas_sorted"],
                    help="scan implementation (pallas: DMA-pipelined "
                         "kernel, the TPU fast path; ragged stalls this "
                         "harness's remote compiler)")

@@ -62,12 +62,12 @@ class IVFFlatConfig:
     max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean
                                      # list size); overflow spills to the
                                      # next-nearest list
-    scan_impl: str = "auto"          # "auto" → "pallas" on TPU (DMA-
-                                     # pipelined kernel, ~30× the gather
-                                     # scan, near HBM speed-of-light),
-                                     # "gather" elsewhere. Explicit options:
-                                     # "pallas" | "ragged" (list-centric
-                                     # grouped matmul) | "gather"
+    scan_impl: str = "auto"          # "auto" → "pallas_sorted" on TPU
+                                     # (DMA-pipelined kernel with probe
+                                     # dedup: ~46× the gather scan),
+                                     # "gather" elsewhere. Explicit:
+                                     # "pallas_sorted" | "pallas" |
+                                     # "ragged" | "gather"
     approx_topk: bool = False        # lax.approx_min_k for the final
                                      # selection (faster at large
                                      # nprobe·cap, ~1% recall cost)
@@ -216,12 +216,18 @@ def _ivf_search_device(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk,
         )
-    elif scan_impl == "pallas":
+    elif scan_impl in ("pallas", "pallas_sorted"):
         from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
             scan_probed_lists_pallas,
+            scan_probed_lists_pallas_sorted,
         )
 
-        d, pos = scan_probed_lists_pallas(
+        fn = (
+            scan_probed_lists_pallas_sorted
+            if scan_impl == "pallas_sorted"
+            else scan_probed_lists_pallas
+        )
+        d, pos = fn(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk,
         )
@@ -445,7 +451,8 @@ class IVFFlatIndex:
         scan_impl = self.config.scan_impl
         if scan_impl == "auto":
             scan_impl = (
-                "pallas" if jax.default_backend() == "tpu" else "gather"
+                "pallas_sorted" if jax.default_backend() == "tpu"
+                else "gather"
             )
 
         d, pos = _ivf_search_device(

@@ -64,6 +64,115 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
     out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
+def _sorted_kernel(rows_ref, lists_ref, counts_ref, q_ref, block_ref,
+                   out_ref, *, metric: Metric):
+    i = pl.program_id(0)
+    b = rows_ref[i]                   # query row (-1 = invalid probe)
+    list_id = lists_ref[i]
+    q = q_ref[pl.ds(jnp.maximum(b, 0), 1), :].astype(jnp.float32)
+    blk_f = block_ref[0].astype(jnp.float32)        # [cap, D]
+    cap = blk_f.shape[0]
+    dots = jax.lax.dot_general(
+        blk_f, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(1, cap)
+    if metric == Metric.L2:
+        q_sq = jnp.sum(q * q)
+        blk_sq = jnp.sum(blk_f * blk_f, axis=-1).reshape(1, cap)
+        d = jnp.maximum(q_sq - 2.0 * dots + blk_sq, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        d = -dots
+    else:
+        d = 1.0 - dots
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    valid = (slot < counts_ref[jnp.maximum(list_id, 0)]) & (b >= 0)
+    out_ref[i % 8, :] = jnp.where(valid, d, jnp.inf)[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "approx", "interpret"),
+)
+def scan_probed_lists_pallas_sorted(
+    queries: jax.Array,
+    arena: jax.Array,
+    arena_sq: jax.Array,
+    counts: jax.Array,
+    probe_ids: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    approx: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Probe-deduplicated Pallas scan.
+
+    The (query, probe) pairs are sorted by list id before the kernel runs a
+    1-D grid over them: the arena BlockSpec index is the *sorted* list id,
+    so consecutive grid steps hitting the same list reuse the VMEM-resident
+    block — Pallas elides the DMA when an input's block index repeats. At
+    serving batch sizes probes overlap heavily (B·P draws over nlist
+    lists), so HBM traffic drops from B·P blocks to ~unique-lists blocks —
+    the same dedup the ragged grouped matmul gets, with the DMA pipeline's
+    latency hiding.
+    """
+    del arena_sq
+    batch, nprobe = probe_ids.shape
+    nlist, cap, dim = arena.shape
+    q = queries.astype(jnp.float32)
+    n_rows = batch * nprobe
+
+    flat = probe_ids.reshape(-1)
+    order = jnp.argsort(jnp.maximum(flat, 0), stable=True)
+    sorted_lists = jnp.maximum(flat, 0)[order].astype(jnp.int32)
+    # row → query index; -1 marks rows that came from invalid (-1) probes
+    rows = jnp.where(
+        flat[order] >= 0, (order // nprobe).astype(jnp.int32), -1
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # rows, sorted lists, counts
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((batch, dim), lambda i, rows, lists, cnt: (0, 0)),
+            pl.BlockSpec(
+                (1, cap, dim),
+                lambda i, rows, lists, cnt: (lists[i], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, cap), lambda i, rows, lists, cnt: (i // 8, 0)
+        ),
+    )
+    run = pl.pallas_call(
+        functools.partial(_sorted_kernel, metric=metric),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (-(-n_rows // 8) * 8, cap), jnp.float32
+        ),
+        interpret=interpret,
+    )
+    d_sorted = run(rows, sorted_lists, counts, q, arena)[:n_rows]
+
+    inv = jnp.argsort(order)
+    d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)
+
+    safe = jnp.maximum(probe_ids, 0)
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.where(
+        (slot_iota[None, None, :] < counts[safe][:, :, None])
+        & (probe_ids >= 0)[:, :, None],
+        safe[:, :, None] * cap + slot_iota[None, None, :],
+        -1,
+    )
+    return topk_smallest(
+        d.reshape(batch, nprobe * cap),
+        k,
+        idx=pos.reshape(batch, nprobe * cap),
+        approx=approx,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret"),
