@@ -108,12 +108,12 @@ def main():
     p.add_argument("--nlist", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=512)
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_sorted"),
-                   choices=["gather", "ragged", "pallas", "pallas_sorted"],
+                   choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
                         "kernel, the TPU fast path; ragged stalls this "
                         "harness's remote compiler)")

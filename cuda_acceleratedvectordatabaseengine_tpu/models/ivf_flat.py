@@ -216,17 +216,14 @@ def _ivf_search_device(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk,
         )
-    elif scan_impl in ("pallas", "pallas_sorted"):
-        from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
-            scan_probed_lists_pallas,
-            scan_probed_lists_pallas_sorted,
-        )
+    elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
+        from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-        fn = (
-            scan_probed_lists_pallas_sorted
-            if scan_impl == "pallas_sorted"
-            else scan_probed_lists_pallas
-        )
+        fn = {
+            "pallas": pallas_scan.scan_probed_lists_pallas,
+            "pallas_sorted": pallas_scan.scan_probed_lists_pallas_sorted,
+            "pallas_grouped": pallas_scan.scan_probed_lists_pallas_grouped,
+        }[scan_impl]
         d, pos = fn(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk,

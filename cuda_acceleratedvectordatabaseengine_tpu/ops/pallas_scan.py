@@ -173,6 +173,201 @@ def scan_probed_lists_pallas_sorted(
     )
 
 
+def _grouped_kernel(row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
+                    out_d_ref, out_s_ref, *, metric: Metric, k: int):
+    # Mosaic note: every intermediate is born 2-D (keepdims reductions,
+    # transposed one-hot) — 1-D→2-D vector reshapes don't lower.
+    i = pl.program_id(0)
+    list_id = row_list_ref[i]
+    nlist = counts_ref.shape[0]
+    cap = block_ref.shape[1]
+    m = qrow_ref.shape[1]
+    batch = q_ref.shape[0]
+    blk_f = block_ref[0].astype(jnp.float32)            # [cap, D]
+
+    # This row's M query vectors as a one-hot MXU matmul (Mosaic has no
+    # in-kernel gather): onehot_T [B, M] × contraction over B.
+    qv = jnp.maximum(qrow_ref[pl.ds(i % 8, 1), :], 0)   # (1, M) int32
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (batch, m), 0) == qv
+    ).astype(jnp.float32)                               # [B, M]
+    q_sub = jax.lax.dot_general(
+        onehot_t, q_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [M, D]
+    dots = jax.lax.dot_general(                         # [M, cap] MXU
+        q_sub, blk_f,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == Metric.L2:
+        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
+        blk_sq = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)  # [cap, 1]
+        d = jnp.maximum(
+            q_sq - 2.0 * dots + jnp.transpose(blk_sq), 0.0
+        )
+    elif metric == Metric.INNER_PRODUCT:
+        d = -dots
+    else:
+        d = 1.0 - dots
+    # Slot validity only; row validity (padded slots, sentinel rows) is an
+    # epilogue concern — junk rows are simply never gathered there.
+    slot = jax.lax.broadcasted_iota(jnp.int32, (m, cap), 1)
+    cnt = counts_ref[jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)]
+    d = jnp.where(slot < cnt, d, jnp.inf)
+
+    # In-kernel top-k: k min-extraction passes over [M, cap] on the VPU —
+    # shrinks the kernel output from M·cap distances to M·k candidates.
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+    big = jnp.int32(cap + 1)
+
+    def extract(j, carry):
+        d_cur, best_d, best_s = carry
+        val = jnp.min(d_cur, axis=1, keepdims=True)     # [M, 1]
+        is_min = d_cur == val
+        idx = jnp.min(
+            jnp.where(is_min, slot, big), axis=1, keepdims=True
+        )                                               # [M, 1] first argmin
+        write = col == j
+        best_d = jnp.where(write, val, best_d)
+        best_s = jnp.where(write, idx, best_s)
+        d_cur = jnp.where(slot == idx, jnp.inf, d_cur)
+        return d_cur, best_d, best_s
+
+    _, best_d, best_s = jax.lax.fori_loop(
+        0, k, extract,
+        (d, jnp.full((m, k), jnp.inf, jnp.float32),
+         jnp.full((m, k), -1, jnp.int32)),
+    )
+    out_d_ref[0] = best_d
+    out_s_ref[0] = best_s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "approx", "interpret", "m_budget"),
+)
+def scan_probed_lists_pallas_grouped(
+    queries: jax.Array,
+    arena: jax.Array,
+    arena_sq: jax.Array,
+    counts: jax.Array,
+    probe_ids: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    approx: bool = False,
+    interpret: bool = False,
+    m_budget: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """List-centric grouped Pallas scan — the fastest single-chip path.
+
+    The sorted per-pair kernel still pays one grid step (≈µs of pipeline
+    bookkeeping) per (query, probe) pair. Here pairs are packed into
+    *list-rows*: up to M same-list queries per row, grid over rows. Each
+    step is one real MXU matmul ``[M, D] × [D, cap]`` against the
+    VMEM-resident list block (DMA elided across consecutive rows of the
+    same list), followed by an in-kernel k-pass top-k that shrinks the
+    output from M·cap distances to M·k candidates — so the XLA epilogue
+    top-k runs over ``nprobe·k`` per query instead of ``nprobe·cap``.
+    """
+    del arena_sq
+    batch, nprobe = probe_ids.shape
+    nlist, cap, dim = arena.shape
+    n_pairs = batch * nprobe
+    if m_budget is None:
+        m_budget = max(8, min(32, -(-n_pairs // nlist) * 2))
+    m = m_budget
+    # Static row bound: full rows + one partial row per list (+ sentinel).
+    n_rows = n_pairs // m + nlist + 1
+
+    q = queries.astype(jnp.float32)
+    flat = probe_ids.reshape(-1)
+    pair_b = (
+        jnp.arange(n_pairs, dtype=jnp.int32) // nprobe
+    )
+    key = jnp.where(flat >= 0, flat, nlist)             # invalid → sentinel
+    order = jnp.argsort(key, stable=True)
+    key_sorted = key[order]
+    gcounts = jax.ops.segment_sum(
+        jnp.ones((n_pairs,), jnp.int32), key_sorted,
+        num_segments=nlist + 1,
+    )
+    gstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gcounts)[:-1].astype(
+            jnp.int32)]
+    )
+    r_in_list = jnp.arange(n_pairs, dtype=jnp.int32) - gstart[key_sorted]
+    rows_per_list = -(-gcounts // m)
+    row_offset = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(rows_per_list)[:-1].astype(jnp.int32)]
+    )
+    row_of_pair = row_offset[key_sorted] + r_in_list // m
+    m_of_pair = r_in_list % m
+
+    row_list = jnp.full((n_rows,), nlist, jnp.int32).at[row_of_pair].set(
+        key_sorted
+    )
+    qrow_table = jnp.full((n_rows, m), -1, jnp.int32).at[
+        row_of_pair, m_of_pair
+    ].set(jnp.where(flat[order] >= 0, pair_b[order], -1))
+
+    n_rows_pad = -(-n_rows // 8) * 8
+    qrow_table = jnp.pad(
+        qrow_table, ((0, n_rows_pad - n_rows), (0, 0)),
+        constant_values=-1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # row→list, counts
+        grid=(n_rows,),
+        in_specs=[
+            # row→query table: (8, M) VMEM blocks (SMEM allows only scalar
+            # loads, so this rides as a tensor input)
+            pl.BlockSpec((8, m), lambda i, rl, cnt: (i // 8, 0)),
+            pl.BlockSpec(
+                (batch, dim), lambda i, rl, cnt: (0, 0)
+            ),
+            pl.BlockSpec(
+                (1, cap, dim),
+                lambda i, rl, cnt: (
+                    jnp.minimum(jnp.maximum(rl[i], 0),
+                                cnt.shape[0] - 1), 0, 0
+                ),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+        ),
+    )
+    run = pl.pallas_call(
+        functools.partial(_grouped_kernel, metric=metric, k=k),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, m, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+    out_d, out_s = run(row_list, counts, qrow_table, q, arena)
+
+    # Epilogue: per-pair candidate rows back to (b, p) order, then a tiny
+    # final top-k over nprobe·k candidates per query.
+    pair_d = out_d[row_of_pair, m_of_pair]              # [BP, k] sorted order
+    pair_s = out_s[row_of_pair, m_of_pair]
+    real = (
+        (pair_s >= 0) & (key_sorted[:, None] < nlist)
+        & jnp.isfinite(pair_d)
+    )
+    pair_d = jnp.where(real, pair_d, jnp.inf)
+    pair_pos = jnp.where(real, key_sorted[:, None] * cap + pair_s, -1)
+    inv = jnp.argsort(order)
+    d = pair_d[inv].reshape(batch, nprobe * k)
+    pos = pair_pos[inv].reshape(batch, nprobe * k)
+    return topk_smallest(d, k, idx=pos, approx=approx)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret"),

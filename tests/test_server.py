@@ -157,19 +157,39 @@ def test_admin_error_codes(live_server):
 
 def test_concurrent_search(live_server):
     """4 threads × 5 requests with ≥80% success — the reference's bar
-    (grpc_integration_test.cpp:248-300); here all must succeed."""
+    (grpc_integration_test.cpp:248-300); here all must succeed.
+    Self-sufficient: builds its own index so it never depends on sibling
+    tests' state."""
+    import time
+
     rng = np.random.default_rng(1)
-    query = live_server["query"]
+    admin, query = live_server["admin"], live_server["query"]
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name="conc", dimension=16, nlist=8
+    ))
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index="conc", vectors=_vectors(rng, 300, 16)
+    ))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="conc"))
+    deadline = time.time() + 60
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="conc"))
+            break
+        except grpc.RpcError:
+            assert time.time() < deadline
+            time.sleep(0.2)
     errors = []
 
     def worker():
+        wrng = np.random.default_rng(2)
         for _ in range(5):
             try:
                 resp = query.Search(vdb_pb2.SearchRequest(
                     queries=[vdb_pb2.Vector(
-                        values=rng.standard_normal(16).astype(float)
+                        values=wrng.standard_normal(16).astype(float)
                     )],
-                    topk=3, nprobe=8, index="docs",
+                    topk=3, nprobe=8, index="conc",
                 ))
                 assert len(resp.results) == 1
             except Exception as e:  # noqa: BLE001
@@ -182,7 +202,7 @@ def test_concurrent_search(live_server):
         t.join()
     assert not errors, errors[:2]
     # Coalescing actually happened (batches fed, not per-query dispatch).
-    st = live_server["engine"].get_state("docs")
+    st = live_server["engine"].get_state("conc")
     assert st.coalescer.stats()["items"] >= 20
 
 
