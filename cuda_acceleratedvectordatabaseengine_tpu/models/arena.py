@@ -32,17 +32,36 @@ INVALID_ID = np.uint64(0xFFFFFFFFFFFFFFFF)  # reference sentinel UINT64_MAX
 
 @jax.jit
 def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list,
-                   arena_lo=None):
+                   arena_lo=None, arena_scale=None):
     """Scatter-append a batch into the arena as ONE compiled program (the
     unjitted op-by-op version paid a separate XLA compile + dispatch per
-    scatter, which dominated ingest time on networked TPU backends)."""
-    hi = vec_f32.astype(arena.dtype)
+    scatter, which dominated ingest time on networked TPU backends).
+
+    int8 arenas: a list's scale is fixed by its first rows (bulk build or
+    first append); later appends quantize with the existing scale, clipped.
+    Re-scaling would invalidate already-stored codes — epoch rebuilds pick
+    fresh scales."""
+    if arena.dtype == jnp.int8:
+        row_amax = jnp.max(jnp.abs(vec_f32), axis=-1)
+        seg_amax = jax.ops.segment_max(
+            row_amax, lists, num_segments=arena.shape[0]
+        )
+        fresh = jnp.maximum(seg_amax, 1e-12) / 127.0
+        arena_scale = jnp.where(counts > 0, arena_scale, fresh)
+        hi_f = jnp.clip(
+            jnp.round(vec_f32 / arena_scale[lists][:, None]), -127, 127
+        )
+        hi = hi_f.astype(jnp.int8)
+        deq = hi_f * arena_scale[lists][:, None]
+    else:
+        hi = vec_f32.astype(arena.dtype)
+        deq = hi.astype(jnp.float32)
     arena = arena.at[lists, slots].set(hi)
     arena_sq = arena_sq.at[lists, slots].set(jnp.sum(vec_f32 * vec_f32, -1))
     if arena_lo is not None:
-        lo = (vec_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        lo = (vec_f32 - deq).astype(jnp.bfloat16)
         arena_lo = arena_lo.at[lists, slots].set(lo)
-    return arena, arena_sq, counts + per_list, arena_lo
+    return arena, arena_sq, counts + per_list, arena_lo, arena_scale
 
 
 def _round_up(x: int, m: int) -> int:
@@ -87,6 +106,10 @@ class PackedListArena:
     # fp32-fidelity distances while the hot scan reads only the bf16 hi
     # plane (half the bandwidth of an fp32 arena).
     arena_lo: jax.Array | None = None
+    # int8 arenas: per-list symmetric dequant scale (value = int8 × scale).
+    # Per-list (not per-vector) so kernels read it as ONE scalar per block —
+    # TPU scalar-prefetch-friendly. Norms in arena_sq stay exact fp32.
+    arena_scale: jax.Array | None = None
 
     # Slot-granularity for capacity growth; multiple of the fp32 sublane
     # tile so every list's block keeps MXU/VPU-friendly shapes.
@@ -163,7 +186,10 @@ class PackedListArena:
             vec_d = vectors.astype(jnp.float32)
         else:
             vec_d = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
-        arena, arena_sq, counts, arena_lo = _append_device(
+        scale = out.arena_scale
+        if out.dtype == jnp.int8 and scale is None:
+            scale = jnp.zeros((out.nlist,), jnp.float32)
+        arena, arena_sq, counts, arena_lo, scale = _append_device(
             out.arena,
             out.arena_sq,
             out.counts,
@@ -172,13 +198,14 @@ class PackedListArena:
             vec_d,
             jnp.asarray(per_list.astype(np.int32)),
             out.arena_lo,
+            scale,
         )
 
         new_ids = out.ids.copy()
         new_ids[assignments, slots] = ids.astype(np.uint64)
         return dataclasses.replace(
             out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids,
-            arena_lo=arena_lo,
+            arena_lo=arena_lo, arena_scale=scale,
         )
 
     def grow(self, new_capacity: int) -> "PackedListArena":
@@ -217,8 +244,14 @@ class PackedListArena:
     # ------------------------------------------------------------------ #
 
     def to_host(self) -> dict:
+        """Dequantized fp32 view of the stored vectors (snapshots persist
+        values, not codes — scales re-derive exactly on load because every
+        list's max row saturates ±127 by construction)."""
+        arena_f = self.arena.astype(jnp.float32)
+        if self.dtype == jnp.int8 and self.arena_scale is not None:
+            arena_f = arena_f * self.arena_scale[:, None, None]
         return {
-            "arena": np.asarray(self.arena.astype(jnp.float32)),
+            "arena": np.asarray(arena_f),
             "counts": np.asarray(self.counts),
             "ids": self.ids,
         }
@@ -229,14 +262,24 @@ class PackedListArena:
     ) -> "PackedListArena":
         nlist, capacity, dim = arena.shape
         arena_f = arena.astype(np.float32)
-        dev = jnp.asarray(arena_f).astype(dtype)
+        dev_f = jnp.asarray(arena_f)
+        arena_scale = None
+        if jnp.dtype(dtype) == jnp.int8:
+            amax = jnp.max(jnp.abs(dev_f), axis=(1, 2))
+            arena_scale = jnp.maximum(amax, 1e-12) / 127.0
+            dev = jnp.clip(
+                jnp.round(dev_f / arena_scale[:, None, None]), -127, 127
+            ).astype(jnp.int8)
+        else:
+            dev = dev_f.astype(dtype)
         return cls(
             nlist=nlist,
             dim=dim,
             dtype=jnp.dtype(dtype),
             capacity=capacity,
             arena=dev,
-            arena_sq=jnp.sum(jnp.asarray(arena_f) ** 2, axis=-1),
+            arena_sq=jnp.sum(dev_f ** 2, axis=-1),
             counts=jnp.asarray(counts.astype(np.int32)),
             ids=ids.astype(np.uint64),
+            arena_scale=arena_scale,
         )

@@ -175,7 +175,24 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
         jnp.int32
     )
     slots = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-    hi = x.astype(out_dtype)
+    arena_scale = None
+    if out_dtype == jnp.int8:
+        # Symmetric per-list scalar quantization: scale = max|x| in the
+        # list / 127. Per-list (not per-row) so the scan kernels read ONE
+        # scalar per block; norms below stay exact fp32, so only the dot
+        # carries quantization noise.
+        row_amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        list_amax = jax.ops.segment_max(
+            row_amax, assignments, num_segments=nlist
+        )
+        arena_scale = jnp.maximum(list_amax, 1e-12) / 127.0
+        hi = jnp.clip(
+            jnp.round(
+                x.astype(jnp.float32) / arena_scale[assignments][:, None]
+            ), -127, 127,
+        ).astype(jnp.int8)
+    else:
+        hi = x.astype(out_dtype)
     arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
     arena = arena.at[assignments, slots].set(hi)
     # fp32 accumulation of squared norms without materializing an fp32 copy
@@ -185,12 +202,15 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
     arena_sq = arena_sq.at[assignments, slots].set(x_sq)
     arena_lo = None
     if store_lo:
-        lo = (x.astype(jnp.float32) - hi.astype(jnp.float32)).astype(
-            jnp.bfloat16
-        )
+        if out_dtype == jnp.int8:
+            deq = hi.astype(jnp.float32) * arena_scale[assignments][:, None]
+        else:
+            deq = hi.astype(jnp.float32)
+        lo = (x.astype(jnp.float32) - deq).astype(jnp.bfloat16)
         arena_lo = jnp.zeros((nlist, cap, x.shape[1]), jnp.bfloat16)
         arena_lo = arena_lo.at[assignments, slots].set(lo)
-    return arena, arena_sq, counts.astype(jnp.int32), slots, arena_lo
+    return arena, arena_sq, counts.astype(jnp.int32), slots, arena_lo, \
+        arena_scale
 
 
 @functools.partial(
@@ -202,6 +222,7 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
+    arena_scale=None,
 ):
     """The whole search for a query batch as one traced program."""
     q = queries.astype(jnp.float32)
@@ -214,23 +235,33 @@ def _ivf_search_device(
     if scan_impl == "ragged":
         d, pos = scan_probed_lists_ragged(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
-            approx=approx_topk,
+            approx=approx_topk, arena_scale=arena_scale,
         )
     elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
         from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-        fn = {
-            "pallas": pallas_scan.scan_probed_lists_pallas,
-            "pallas_sorted": pallas_scan.scan_probed_lists_pallas_sorted,
-            "pallas_grouped": pallas_scan.scan_probed_lists_pallas_grouped,
-        }[scan_impl]
-        d, pos = fn(
-            q, arena, arena_sq, counts, probe_ids, keep, metric,
-            approx=approx_topk,
-        )
+        if arena_scale is not None:
+            # int8 dequant is implemented in the sorted kernel (the default)
+            d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
+                q, arena, arena_sq, counts, probe_ids, keep, metric,
+                approx=approx_topk, arena_scale=arena_scale,
+            )
+        else:
+            fn = {
+                "pallas": pallas_scan.scan_probed_lists_pallas,
+                "pallas_sorted":
+                    pallas_scan.scan_probed_lists_pallas_sorted,
+                "pallas_grouped":
+                    pallas_scan.scan_probed_lists_pallas_grouped,
+            }[scan_impl]
+            d, pos = fn(
+                q, arena, arena_sq, counts, probe_ids, keep, metric,
+                approx=approx_topk,
+            )
     else:
         d, pos = scan_probed_lists(
-            q, arena, arena_sq, counts, probe_ids, keep, metric
+            q, arena, arena_sq, counts, probe_ids, keep, metric,
+            arena_scale=arena_scale,
         )
     if rerank_k > 0 and arena_lo is not None:
         # fp32-exact rerank: reconstruct candidates as hi + lo and
@@ -239,8 +270,10 @@ def _ivf_search_device(
         flat_hi = arena.reshape(nlist * cap, dim)
         flat_lo = arena_lo.reshape(nlist * cap, dim)
         safe = jnp.maximum(pos, 0)
-        cand = flat_hi[safe].astype(jnp.float32) \
-            + flat_lo[safe].astype(jnp.float32)      # [B, keep, D]
+        hi_f = flat_hi[safe].astype(jnp.float32)
+        if arena_scale is not None:
+            hi_f = hi_f * arena_scale[safe // cap][:, :, None]
+        cand = hi_f + flat_lo[safe].astype(jnp.float32)  # [B, keep, D]
         dots = jnp.einsum(
             "bd,bkd->bk", q, cand, preferred_element_type=jnp.float32,
         )
@@ -398,10 +431,12 @@ class IVFFlatIndex:
         )
         assignments_np = _balance_assignments(choices, cap, cfg.nlist)
         assignments = jnp.asarray(assignments_np)
-        arena, arena_sq, counts_d, slots, arena_lo = _bulk_pack_device(
-            x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype),
-            cfg.store_residuals and jnp.dtype(cfg.dtype) != jnp.float32,
-        )
+        arena, arena_sq, counts_d, slots, arena_lo, arena_scale = \
+            _bulk_pack_device(
+                x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype),
+                cfg.store_residuals
+                and jnp.dtype(cfg.dtype) != jnp.float32,
+            )
         if ids is None:
             ids = np.arange(n, dtype=np.uint64)
         ids_table = np.full((cfg.nlist, cap), int(INVALID_ID), np.uint64)
@@ -409,7 +444,7 @@ class IVFFlatIndex:
         self.arena = PackedListArena(
             nlist=cfg.nlist, dim=cfg.dimension, dtype=jnp.dtype(cfg.dtype),
             capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
-            ids=ids_table, arena_lo=arena_lo,
+            ids=ids_table, arena_lo=arena_lo, arena_scale=arena_scale,
         )
 
     # ------------------------------------------------------------------ #
@@ -465,6 +500,7 @@ class IVFFlatIndex:
             self.config.approx_topk,
             rerank_k,
             self.arena.arena_lo,
+            self.arena.arena_scale,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

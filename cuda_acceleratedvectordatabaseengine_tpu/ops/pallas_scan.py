@@ -64,13 +64,21 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
     out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
-def _sorted_kernel(rows_ref, lists_ref, counts_ref, q_ref, block_ref,
-                   out_ref, *, metric: Metric):
+def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
+                   block_ref, out_ref, *, metric: Metric, has_scale: bool):
     i = pl.program_id(0)
     b = rows_ref[i]                   # query row (-1 = invalid probe)
     list_id = lists_ref[i]
     q = q_ref[pl.ds(jnp.maximum(b, 0), 1), :].astype(jnp.float32)
     blk_f = block_ref[0].astype(jnp.float32)        # [cap, D]
+    if has_scale:
+        # int8 arena: dequant the whole block by its list's scale (carried
+        # as fp32 bits in the int32 scalar-prefetch array). Scaling the
+        # block keeps the in-kernel norms consistent with the dots.
+        s = jax.lax.bitcast_convert_type(
+            scale_ref[jnp.maximum(list_id, 0)], jnp.float32
+        )
+        blk_f = blk_f * s
     cap = blk_f.shape[0]
     dots = jax.lax.dot_general(
         blk_f, q,
@@ -104,6 +112,7 @@ def scan_probed_lists_pallas_sorted(
     metric: Metric = Metric.L2,
     approx: bool = False,
     interpret: bool = False,
+    arena_scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Probe-deduplicated Pallas scan.
 
@@ -130,29 +139,39 @@ def scan_probed_lists_pallas_sorted(
         flat[order] >= 0, (order // nprobe).astype(jnp.int32), -1
     )
 
+    has_scale = arena_scale is not None
+    scale_bits = (
+        jax.lax.bitcast_convert_type(
+            arena_scale.astype(jnp.float32), jnp.int32
+        )
+        if has_scale else jnp.zeros((nlist,), jnp.int32)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # rows, sorted lists, counts
+        num_scalar_prefetch=4,          # rows, sorted lists, counts, scale
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((batch, dim), lambda i, rows, lists, cnt: (0, 0)),
+            pl.BlockSpec(
+                (batch, dim), lambda i, rows, lists, cnt, sc: (0, 0)
+            ),
             pl.BlockSpec(
                 (1, cap, dim),
-                lambda i, rows, lists, cnt: (lists[i], 0, 0),
+                lambda i, rows, lists, cnt, sc: (lists[i], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, cap), lambda i, rows, lists, cnt: (i // 8, 0)
+            (8, cap), lambda i, rows, lists, cnt, sc: (i // 8, 0)
         ),
     )
     run = pl.pallas_call(
-        functools.partial(_sorted_kernel, metric=metric),
+        functools.partial(_sorted_kernel, metric=metric,
+                          has_scale=has_scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (-(-n_rows // 8) * 8, cap), jnp.float32
         ),
         interpret=interpret,
     )
-    d_sorted = run(rows, sorted_lists, counts, q, arena)[:n_rows]
+    d_sorted = run(rows, sorted_lists, counts, scale_bits, q, arena)[:n_rows]
 
     inv = jnp.argsort(order)
     d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)

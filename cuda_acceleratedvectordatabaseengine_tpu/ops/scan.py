@@ -29,17 +29,23 @@ def _block_distances(
     block_sq: jax.Array,   # [B, L] fp32 (only used for L2)
     q_sq: jax.Array,       # [B] fp32
     metric: Metric,
+    dots_scale: jax.Array | None = None,   # [B] fp32 (int8 dequant)
 ) -> jax.Array:
     """Per-query distances to a gathered block: [B, L] fp32.
 
     The contraction ``bd,bld->bl`` is a batched matvec; with the arena in
-    bfloat16 the MXU accumulates in fp32 (preferred_element_type).
+    bfloat16 the MXU accumulates in fp32 (preferred_element_type). int8
+    arenas contract in fp32 after cast and apply the per-list dequant scale
+    to the dots (norms stay exact fp32 in ``block_sq``).
     """
+    cdtype = jnp.float32 if block.dtype == jnp.int8 else block.dtype
     dots = jax.lax.dot_general(
-        q.astype(block.dtype), block,
+        q.astype(cdtype), block.astype(cdtype),
         dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if dots_scale is not None:
+        dots = dots * dots_scale[:, None]
     if metric == Metric.L2:
         return jnp.maximum(q_sq[:, None] - 2.0 * dots + block_sq, 0.0)
     elif metric == Metric.INNER_PRODUCT:
@@ -63,6 +69,7 @@ def scan_probed_lists(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     vma_axes: tuple = (),
+    arena_scale: jax.Array | None = None,   # [nlist] fp32, int8 arenas
 ) -> tuple[jax.Array, jax.Array]:
     """Scan each query's ``P`` probed inverted lists, fusing distance
     computation with an incremental top-k merge.
@@ -100,7 +107,10 @@ def scan_probed_lists(
         safe_lists = jnp.maximum(lists, 0)
         block = arena[safe_lists]                       # [B, L, D] gather
         block_sq = arena_sq[safe_lists]                 # [B, L]
-        d = _block_distances(q, block, block_sq, q_sq, metric)
+        scale = (
+            arena_scale[safe_lists] if arena_scale is not None else None
+        )
+        d = _block_distances(q, block, block_sq, q_sq, metric, scale)
         valid = (slot_logical[None, :] < counts[safe_lists][:, None]) & (
             lists >= 0
         )[:, None]
@@ -135,6 +145,7 @@ def scan_probed_lists_ragged(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
+    arena_scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric scan: one ragged grouped matmul for the whole batch.
 
@@ -166,10 +177,11 @@ def scan_probed_lists_ragged(
     group_sizes = jax.ops.segment_sum(
         jnp.ones_like(sorted_lists), sorted_lists, num_segments=nlist
     ).astype(jnp.int32)
-    q_rows = q[order // nprobe].astype(arena.dtype)    # [B*P, D] by list
+    cdtype = jnp.float32 if arena.dtype == jnp.int8 else arena.dtype
+    q_rows = q[order // nprobe].astype(cdtype)         # [B*P, D] by list
 
     dots_sorted = jax.lax.ragged_dot_general(
-        q_rows, arena, group_sizes,
+        q_rows, arena.astype(cdtype), group_sizes,
         ragged_dot_dimension_numbers=jax.lax.RaggedDotDimensionNumbers(
             dot_dimension_numbers=(((1,), (2,)), ((), ())),
             lhs_ragged_dimensions=[0],
@@ -177,6 +189,8 @@ def scan_probed_lists_ragged(
         ),
         preferred_element_type=jnp.float32,
     )                                                  # [B*P, cap]
+    if arena_scale is not None:
+        dots_sorted = dots_sorted * arena_scale[sorted_lists][:, None]
     inv = jnp.argsort(order)
     dots = dots_sorted[inv]                            # back to (b, p) order
 

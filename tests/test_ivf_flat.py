@@ -202,3 +202,63 @@ def test_exact_rerank_recovers_f32_distances(rng, oracle):
     err_rr = np.abs(d_rr - d_ref).max()
     err_plain = np.abs(d_plain - d_ref).max()
     assert err_rr < err_plain
+
+
+def test_int8_arena_recall_and_paths(oracle):
+    """int8 scalar-quantized arena: recall holds, save/load round-trips,
+    incremental add works, rerank recovers fp32 distances."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=32, nlist=16, dtype="int8",
+                        store_residuals=True)
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    assert idx.arena.arena.dtype == jnp.int8
+    assert idx.arena.arena_scale is not None
+    q = rng.standard_normal((10, 32)).astype(np.float32)
+    _, ids = idx.search(q, SearchParams(nprobe=16, k=10))
+    _, ref = oracle(q, x, 10)
+    hits = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, ref.astype(np.uint64))
+    ])
+    assert hits > 0.9, hits
+    # exact rerank restores fp32 distances
+    d_rr, ids_rr = idx.search(
+        q, SearchParams(nprobe=16, k=10, use_exact_rerank=True)
+    )
+    d_ref, _ = oracle(q, x, 10)
+    np.testing.assert_allclose(d_rr, d_ref, rtol=1e-3, atol=1e-3)
+    # incremental add quantizes against existing scales
+    more = rng.standard_normal((500, 32)).astype(np.float32)
+    idx.add(more, ids=np.arange(4000, 4500, dtype=np.uint64))
+    assert idx.ntotal == 4500
+    _, ids3 = idx.search(more[:3], SearchParams(nprobe=16, k=1))
+    assert (ids3[:, 0] == np.arange(4000, 4003, dtype=np.uint64)).all()
+
+
+def test_int8_save_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=16, nlist=8, dtype="int8"))
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    path = str(tmp_path / "snap8")
+    idx.save(path)
+    idx2 = IVFFlatIndex.load(path)
+    assert idx2.arena.arena.dtype == jnp.int8
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    p = SearchParams(nprobe=8, k=5)
+    d1, i1 = idx.search(q, p)
+    d2, i2 = idx2.search(q, p)
+    # Snapshots persist values, not the original exact norms, so near-tie
+    # ranks may swap; result sets and distances must agree.
+    for a, b in zip(i1, i2):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(d1), np.sort(d2), rtol=5e-2,
+                               atol=5e-2)
