@@ -112,6 +112,10 @@ def main():
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "int8", "float32"],
+                   help="arena storage dtype (int8 halves scan bandwidth "
+                        "and fits 10M x 768 on one v5e chip)")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_sorted"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
@@ -151,32 +155,80 @@ def main():
 
     key = jax.random.PRNGKey(42)
     t0 = time.time()
-    # One (even-sized) natural cluster per list with moderate spread: the
-    # trained quantizer aligns with the structure, keeping lists balanced
-    # (capacity ≈ mean → minimal padding → minimal scan bandwidth).
-    _stage("generating corpus")
-    x, centers = clustered_corpus(
-        key, args.n, args.dim, n_clusters=args.nlist, noise=0.25
-    )
-    x.block_until_ready()
-    del centers
-    t_gen = time.time() - t0
-
     cfg = IVFFlatConfig(
-        dimension=args.dim, nlist=args.nlist, dtype="bfloat16",
+        dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
         train_sample_per_list=64, max_capacity_factor=4.0,
     )
     idx = IVFFlatIndex(cfg)
-    t0 = time.time()
-    _stage("training coarse quantizer")
-    idx.train_from_device(x)
-    jax.block_until_ready(idx.centroids)
-    t_train = time.time() - t0
-    t0 = time.time()
-    _stage("bulk build")
-    idx.build_from_device(x)
-    jax.block_until_ready(idx.arena.arena)
-    t_build = time.time() - t0
+    itemsize = 2  # bf16 corpus chunks
+    chunked = args.n * args.dim * itemsize > 4 << 30
+    x_host = None
+    if not chunked:
+        # One (even-sized) natural cluster per list with moderate spread:
+        # the trained quantizer aligns with the structure, keeping lists
+        # balanced (capacity ≈ mean → minimal padding → minimal bandwidth).
+        _stage("generating corpus")
+        x, centers = clustered_corpus(
+            key, args.n, args.dim, n_clusters=args.nlist, noise=0.25
+        )
+        x.block_until_ready()
+        del centers
+        t_gen = time.time() - t0
+        t0 = time.time()
+        _stage("training coarse quantizer")
+        idx.train_from_device(x)
+        jax.block_until_ready(idx.centroids)
+        t_train = time.time() - t0
+        t0 = time.time()
+        _stage("bulk build")
+        idx.build_from_device(x)
+        jax.block_until_ready(idx.arena.arena)
+        t_build = time.time() - t0
+    else:
+        # Chunked build: the corpus exceeds comfortable device residency
+        # (e.g. the full 10M×768 baseline config). Generate → train on the
+        # first chunk → balanced capacity-respecting appends per chunk,
+        # downloading each chunk to host RAM for the exact oracle.
+        chunk_n = 500_000
+        mean = args.n // args.nlist
+        capacity = -(-int(mean * 1.35) // 128) * 128
+        t_gen = t_train = t_build = 0.0
+        x_parts = []
+        kx = key
+        for ci, start in enumerate(range(0, args.n, chunk_n)):
+            m = min(chunk_n, args.n - start)
+            _stage(f"chunk {ci}: generate {m}")
+            tg = time.time()
+            kx, sub = jax.random.split(kx)
+            xc, _ = clustered_corpus(
+                sub, m, args.dim, n_clusters=args.nlist, noise=0.25
+            )
+            xc.block_until_ready()
+            t_gen += time.time() - tg
+            if ci == 0:
+                tt = time.time()
+                _stage("training coarse quantizer (chunk 0)")
+                idx.train_from_device(xc)
+                jax.block_until_ready(idx.centroids)
+                t_train = time.time() - tt
+            tb = time.time()
+            _stage(f"chunk {ci}: balanced append")
+            idx.append_balanced(
+                xc,
+                ids=np.arange(start, start + m, dtype=np.uint64),
+                capacity=capacity,
+            )
+            jax.block_until_ready(idx.arena.arena)
+            t_build += time.time() - tb
+            _stage(f"chunk {ci}: download for oracle")
+            x_parts.append(
+                np.asarray(jax.device_get(xc)).astype(np.float32)
+            )
+            del xc
+        x_host = np.concatenate(x_parts)
+        del x_parts
+        # queries come from the host corpus in chunked mode
+        x = None
     cnts = np.asarray(idx.arena.counts)
     _stage(
         f"built: capacity={idx.arena.capacity} counts p50={int(np.percentile(cnts, 50))} "
@@ -187,8 +239,13 @@ def main():
     # Queries: perturbed corpus points (standard ANN-benchmark style).
     kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
     n_q = args.batch
-    qi = jax.random.randint(kq1, (n_q,), 0, args.n)
-    queries = x[qi] + 0.1 * jax.random.normal(
+    qi_h = np.asarray(jax.random.randint(kq1, (n_q,), 0, args.n))
+    base = (
+        x_host[qi_h] if x_host is not None
+        else np.asarray(jax.device_get(x[jnp.asarray(qi_h)])).astype(
+            np.float32)
+    )
+    queries = jnp.asarray(base) + 0.1 * jax.random.normal(
         kq2, (n_q, args.dim), jnp.float32
     )
 
@@ -199,7 +256,7 @@ def main():
     def device_search(q):
         return _ivf_search_device(
             q, *search_args, min(args.nprobe, args.nlist), args.k,
-            Metric.L2, args.scan,
+            Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
         )
 
     # Warm (compile) + recall measurement.
@@ -207,7 +264,9 @@ def main():
     d, pos = device_search(queries)
     jax.block_until_ready((d, pos))
     _stage("exact oracle")
-    _, true_pos = exact_oracle(queries, x, args.k)
+    _, true_pos = exact_oracle(
+        queries, x if x_host is None else x_host, args.k
+    )
     cap = idx.arena.capacity
     got = np.asarray(pos)
     # arena position → original row id via the host id table
@@ -244,7 +303,7 @@ def main():
         "nlist": args.nlist,
         "nprobe": args.nprobe,
         "k": args.k,
-        "arena_dtype": "bfloat16",
+        "arena_dtype": args.dtype,
         "scan_impl": args.scan,
         "capacity_per_list": cap,
         "gen_s": round(t_gen, 1),

@@ -22,6 +22,7 @@ mirroring the reference's evict-and-reload invalidation
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,7 @@ import numpy as np
 INVALID_ID = np.uint64(0xFFFFFFFFFFFFFFFF)  # reference sentinel UINT64_MAX
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1, 7))
 def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list,
                    arena_lo=None, arena_scale=None):
     """Scatter-append a batch into the arena as ONE compiled program (the

@@ -116,19 +116,25 @@ def _choose_capacity(
 
 
 def _balance_assignments(
-    choices: np.ndarray, cap: int, nlist: int
+    choices: np.ndarray, cap: int, nlist: int,
+    initial_counts: np.ndarray | None = None,
 ) -> np.ndarray:
     """Greedy capacity-respecting placement over ranked centroid choices
     ``[n, t]``: rank-0 lists fill first; rows that would overflow a full
     list fall to their next choice; anything still unplaced lands in the
-    least-full list. Vectorized per rank via the append-slot trick."""
+    least-full list. Vectorized per rank via the append-slot trick.
+    ``initial_counts`` supports chunked builds (placement respects rows
+    already in the arena)."""
     from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
         compute_append_slots,
     )
 
     n, t = choices.shape
     placed = np.full(n, -1, np.int64)
-    counts = np.zeros(nlist, np.int64)
+    counts = (
+        initial_counts.astype(np.int64).copy()
+        if initial_counts is not None else np.zeros(nlist, np.int64)
+    )
     for r in range(t):
         todo = np.flatnonzero(placed < 0)
         if todo.size == 0:
@@ -137,7 +143,10 @@ def _balance_assignments(
         slots = compute_append_slots(counts, lists)
         ok = slots < cap
         placed[todo[ok]] = lists[ok]
-        counts = np.bincount(placed[placed >= 0], minlength=nlist)
+        counts = np.bincount(
+            placed[placed >= 0], minlength=nlist
+        ) + (initial_counts.astype(np.int64)
+             if initial_counts is not None else 0)
     leftovers = np.flatnonzero(placed < 0)
     for i in leftovers:
         l = int(np.argmin(counts))
@@ -445,6 +454,44 @@ class IVFFlatIndex:
             nlist=cfg.nlist, dim=cfg.dimension, dtype=jnp.dtype(cfg.dtype),
             capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
             ids=ids_table, arena_lo=arena_lo, arena_scale=arena_scale,
+        )
+
+    def append_balanced(
+        self,
+        x_dev: jax.Array,
+        ids: np.ndarray | None = None,
+        capacity: int | None = None,
+    ) -> None:
+        """Chunked-build ingest: balanced capacity-respecting append of a
+        device-resident chunk. Used when the corpus doesn't fit on device
+        all at once (e.g. 10M×768 built from 1M chunks): the caller fixes
+        ``capacity`` up front; overflow rows spill to next-nearest lists,
+        so the arena never reallocates mid-build."""
+        if not self.trained:
+            raise RuntimeError("index must be trained before append")
+        cfg = self.config
+        n = x_dev.shape[0]
+        if self.metric == Metric.COSINE:
+            x_dev = l2_normalize(x_dev)
+        assign_metric = (
+            Metric.INNER_PRODUCT
+            if self.metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        if capacity is not None and capacity > self.arena.capacity:
+            self.arena = self.arena.grow(capacity)
+        cap = self.arena.capacity
+        choices = np.asarray(kmeans_assign_topk(
+            x_dev, self.centroids, 4, assign_metric
+        ))
+        counts_h = np.asarray(self.arena.counts)
+        assignments = _balance_assignments(
+            choices, cap, cfg.nlist, initial_counts=counts_h
+        )
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
+        self.arena = self.arena.append(
+            x_dev.astype(jnp.float32), np.asarray(ids), assignments
         )
 
     # ------------------------------------------------------------------ #

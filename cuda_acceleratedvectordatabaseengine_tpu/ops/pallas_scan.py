@@ -72,12 +72,10 @@ def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
     q = q_ref[pl.ds(jnp.maximum(b, 0), 1), :].astype(jnp.float32)
     blk_f = block_ref[0].astype(jnp.float32)        # [cap, D]
     if has_scale:
-        # int8 arena: dequant the whole block by its list's scale (carried
-        # as fp32 bits in the int32 scalar-prefetch array). Scaling the
-        # block keeps the in-kernel norms consistent with the dots.
-        s = jax.lax.bitcast_convert_type(
-            scale_ref[jnp.maximum(list_id, 0)], jnp.float32
-        )
+        # int8 arena: dequant the whole block by its list's scale (fp32
+        # scalar from SMEM). Scaling the block keeps the in-kernel norms
+        # consistent with the dots.
+        s = scale_ref[jnp.maximum(list_id, 0)]
         blk_f = blk_f * s
     cap = blk_f.shape[0]
     dots = jax.lax.dot_general(
@@ -141,10 +139,8 @@ def scan_probed_lists_pallas_sorted(
 
     has_scale = arena_scale is not None
     scale_bits = (
-        jax.lax.bitcast_convert_type(
-            arena_scale.astype(jnp.float32), jnp.int32
-        )
-        if has_scale else jnp.zeros((nlist,), jnp.int32)
+        arena_scale.astype(jnp.float32)
+        if has_scale else jnp.zeros((nlist,), jnp.float32)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,          # rows, sorted lists, counts, scale
