@@ -380,6 +380,27 @@ class IVFPQIndex:
         return self.search(queries, params)
 
     # ------------------------------------------------------------------ #
+    # residency surface (parity with IVFFlatIndex / declared GpuCache)
+    # ------------------------------------------------------------------ #
+
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64)) -> None:
+        """Warm = compile the search executables per batch bucket (the
+        arena is already HBM-resident; see IVFFlatIndex.warmup_lists)."""
+        if not self.trained:
+            return
+        dummy = np.zeros((1, self.config.dimension), np.float32)
+        for bs in batch_sizes:
+            self.search(np.repeat(dummy, bs, axis=0), SearchParams())
+        if list_ids is not None:
+            self.list_access_count[np.asarray(list_ids, np.int64)] += 1
+
+    def evict_list(self, list_id: int) -> None:
+        self.list_access_count[list_id] = 0
+
+    def get_hot_lists(self, n: int) -> np.ndarray:
+        return np.argsort(-self.list_access_count, kind="stable")[:n]
+
+    # ------------------------------------------------------------------ #
     # persistence
     # ------------------------------------------------------------------ #
 

@@ -166,6 +166,10 @@ def scan_probed_lists_pallas_sorted(
             (-(-n_rows // 8) * 8, cap), jnp.float32
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
+            # default 16MB scoped limit rejects f32 staging of big blocks
+        ),
     )
     d_sorted = run(rows, sorted_lists, counts, scale_bits, q, arena)[:n_rows]
 
@@ -364,6 +368,10 @@ def scan_probed_lists_pallas_grouped(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
+            # default 16MB scoped limit rejects f32 staging of big blocks
+        ),
     )
     out_d, out_s = run(row_list, counts, qrow_table, q, arena)
 
@@ -428,6 +436,10 @@ def scan_probed_lists_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, nprobe, cap), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
+            # default 16MB scoped limit rejects f32 staging of big blocks
+        ),
     )
     d = run(probe_ids, counts, q, arena)                # [B, P, cap]
 

@@ -133,8 +133,10 @@ class AdaptiveController:
             self._ema_ms = 0.9 * self._ema_ms + 0.1 * ms
 
     def timeout_s(self) -> float:
+        # Floor of 10 s (reference clamps [1 s, 30 s]): a batch that lands
+        # on a cold (bucket, k, nprobe) combination pays an XLA compile.
         with self._lock:
-            return min(max(3 * self._ema_ms / 1000.0, 1.0), 30.0)
+            return min(max(3 * self._ema_ms / 1000.0, 10.0), 60.0)
 
     def batch_size(self, active: int, cap: int) -> int:
         load = active / max(cap, 1)

@@ -185,6 +185,15 @@ class VdbEngine:
         index = (
             load_ivf_pq(path) if man.kind == "ivf_pq" else load_ivf_flat(path)
         )
+        # Warm the search executables BEFORE the swap goes live: the first
+        # compile of a new shape can take tens of seconds on TPU and would
+        # otherwise blow the request deadline right after activation.
+        try:
+            index.warmup_lists(
+                batch_sizes=(1, self.config.max_batch_size)
+            )
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
         with self.lock:
             st.index = index
             st.epoch = epoch_id
