@@ -151,6 +151,10 @@ class StreamingIVFFlatIndex:
             store.ids[l] = host["ids"][l, :c]
         self.store = store
         dtype = jnp.dtype(base.config.dtype)
+        if dtype == jnp.int8:
+            # The cache stages dequantized host values; re-quantizing per
+            # slot would need per-slot scales. bf16 keeps the bandwidth win.
+            dtype = jnp.dtype(jnp.bfloat16)
         if cache_slots is None:
             per_slot = cap * base.config.dimension * dtype.itemsize
             budget = max_device_bytes or (per_slot * max(nlist // 4, 1))

@@ -59,14 +59,16 @@ def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
-                     "global_cap", "scan_impl"),
+                     "global_cap", "scan_impl", "has_scale"),
 )
 def _sharded_search(
-    queries, centroids, arena_s, arena_sq_s, counts,
+    queries, centroids, arena_s, arena_sq_s, counts, arena_scale,
     mesh, nprobe, k, metric, n_shards, global_cap, scan_impl="gather",
+    has_scale=False,
 ):
-    def local_fn(q, c, arena_l, arena_sq_l, cnt):
+    def local_fn(q, c, arena_l, arena_sq_l, cnt, scale):
         s = jax.lax.axis_index(SHARD_AXIS)
+        scale_arg = scale if has_scale else None
         qf = q.astype(jnp.float32)
         if metric == Metric.COSINE:
             qf = l2_normalize(qf)
@@ -76,13 +78,14 @@ def _sharded_search(
             d, pos = scan_probed_lists_ragged(
                 qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
                 metric, approx=False, slot_stride=n_shards, slot_offset=s,
-                global_capacity=global_cap,
+                global_capacity=global_cap, arena_scale=scale_arg,
             )
         else:
             d, pos = scan_probed_lists(
                 qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
                 metric, slot_stride=n_shards, slot_offset=s,
                 global_capacity=global_cap, vma_axes=(SHARD_AXIS,),
+                arena_scale=scale_arg,
             )
         # Cross-chip merge: k candidates per chip → all_gather over ICI →
         # replicated global top-k. k·B·8 bytes per chip — tiny on ICI.
@@ -95,13 +98,14 @@ def _sharded_search(
         mesh=mesh,
         in_specs=(
             P(), P(), P(None, SHARD_AXIS, None), P(None, SHARD_AXIS), P(),
+            P(),
         ),
         out_specs=(P(), P()),
         # Outputs ARE replicated (identical all_gather + top-k on every
         # chip) but the static vma checker can't prove it through top_k.
         check_vma=False,
     )
-    return fn(queries, centroids, arena_s, arena_sq_s, counts)
+    return fn(queries, centroids, arena_s, arena_sq_s, counts, arena_scale)
 
 
 class ShardedIVFFlatIndex:
@@ -142,6 +146,13 @@ class ShardedIVFFlatIndex:
         self.arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
         self.counts = jax.device_put(arena.counts, repl)
         self.centroids = jax.device_put(self.base.centroids, repl)
+        # int8 arenas: per-list dequant scales replicate (tiny)
+        self.has_scale = arena.arena_scale is not None
+        self.arena_scale = jax.device_put(
+            arena.arena_scale if self.has_scale
+            else jnp.zeros((arena.nlist,), jnp.float32),
+            repl,
+        )
         self.global_cap = cap
         self._published = True
 
@@ -162,8 +173,9 @@ class ShardedIVFFlatIndex:
                 jnp.asarray(queries), NamedSharding(self.mesh, P())
             ),
             self.centroids, self.arena_s, self.arena_sq_s, self.counts,
+            self.arena_scale,
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
-            self.global_cap, self.scan_impl,
+            self.global_cap, self.scan_impl, self.has_scale,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

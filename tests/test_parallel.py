@@ -113,3 +113,49 @@ def test_sharded_ragged_scan_equals_single_chip(rng, n_shards):
     d, ids = sharded.search(q, params)
     np.testing.assert_array_equal(ids, ids_ref)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_int8_arena(rng):
+    """int8 striped arena: per-list scales replicate; results match the
+    single-chip int8 index exactly."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=32, nlist=16, dtype="int8")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+    for impl in ("gather", "ragged"):
+        sharded = ShardedIVFFlatIndex(idx, make_mesh(4), scan_impl=impl)
+        d, ids = sharded.search(q, params)
+        np.testing.assert_array_equal(ids, ids_ref)
+        np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_int8_base(rng):
+    """Streaming tier over an int8 base serves dequantized values."""
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host import (
+        StreamingIVFFlatIndex,
+    )
+
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=16, nlist=8, dtype="int8")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    streaming = StreamingIVFFlatIndex(idx, cache_slots=8)
+    assert streaming.cache.dtype == jnp.bfloat16
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    d, ids = streaming.search(q, SearchParams(nprobe=8, k=5))
+    d_ref, ids_ref = idx.search(q, SearchParams(nprobe=8, k=5))
+    # dequantized bf16 cache vs int8 device scan: result sets should match
+    same = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(ids, ids_ref)
+    ])
+    assert same > 0.9
