@@ -101,6 +101,50 @@ def exact_oracle(queries, x, k, chunk=100_000):
     )
 
 
+def make_oracle_updater(k: int):
+    """Device-side exact ground truth via k min-extraction passes.
+
+    Exact TopK over hundreds of thousands of columns stalls XLA's sort-based
+    lowering, and downloading multi-GB corpora for a host oracle crawls at
+    relay H2D speeds. k extraction passes (argmin + mask) over the [B, C]
+    chunk distances are exact, cheap (k reduction sweeps), and keep the
+    ground-truth computation entirely on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def update(best_d, best_i, q, xc, base):
+        qf = q.astype(jnp.float32)
+        xf = xc.astype(jnp.float32)
+        d = (
+            jnp.sum(qf * qf, -1, keepdims=True)
+            - 2.0 * qf @ xf.T
+            + jnp.sum(xf * xf, -1)[None, :]
+        )
+        col = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+
+        def extract(j, carry):
+            d_cur, bd, bi = carry
+            val = jnp.min(d_cur, axis=1)
+            idx = jnp.argmin(d_cur, axis=1)
+            bd = bd.at[:, j].set(val)
+            bi = bi.at[:, j].set(base + idx.astype(jnp.int64))
+            d_cur = jnp.where(col == idx[:, None], jnp.inf, d_cur)
+            return d_cur, bd, bi
+
+        nd = jnp.full_like(best_d, jnp.inf)
+        ni = jnp.full_like(best_i, -1)
+        _, nd, ni = jax.lax.fori_loop(0, k, extract, (d, nd, ni))
+        # merge with running top-k (tiny: 2k columns)
+        md = jnp.concatenate([best_d, nd], axis=1)
+        mi = jnp.concatenate([best_i, ni], axis=1)
+        neg, cols = jax.lax.top_k(-md, k)
+        return -neg, jnp.take_along_axis(mi, cols, axis=1)
+
+    return update
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -193,8 +237,11 @@ def main():
         mean = args.n // args.nlist
         capacity = -(-int(mean * 1.35) // 128) * 128
         t_gen = t_train = t_build = 0.0
-        x_parts = []
         kx = key
+        oracle_update = make_oracle_updater(args.k)
+        gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
+        gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+        chunk_queries = None
         for ci, start in enumerate(range(0, args.n, chunk_n)):
             m = min(chunk_n, args.n - start)
             _stage(f"chunk {ci}: generate {m}")
@@ -211,6 +258,13 @@ def main():
                 idx.train_from_device(xc)
                 jax.block_until_ready(idx.centroids)
                 t_train = time.time() - tt
+                kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
+                qi0 = jax.random.randint(kq1, (args.batch,), 0, m)
+                chunk_queries = xc[qi0].astype(
+                    jnp.float32
+                ) + 0.1 * jax.random.normal(
+                    kq2, (args.batch, args.dim), jnp.float32
+                )
             tb = time.time()
             _stage(f"chunk {ci}: balanced append")
             idx.append_balanced(
@@ -220,14 +274,13 @@ def main():
             )
             jax.block_until_ready(idx.arena.arena)
             t_build += time.time() - tb
-            _stage(f"chunk {ci}: download for oracle")
-            x_parts.append(
-                np.asarray(jax.device_get(xc)).astype(np.float32)
+            # exact ground truth, updated on device (no corpus download)
+            gt_d, gt_i = oracle_update(
+                gt_d, gt_i, chunk_queries, xc, jnp.int64(start)
             )
             del xc
-        x_host = np.concatenate(x_parts)
-        del x_parts
-        # queries come from the host corpus in chunked mode
+        chunked_truth = np.asarray(gt_i)
+        x_host = None
         x = None
     cnts = np.asarray(idx.arena.counts)
     _stage(
@@ -237,17 +290,18 @@ def main():
     )
 
     # Queries: perturbed corpus points (standard ANN-benchmark style).
-    kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
-    n_q = args.batch
-    qi_h = np.asarray(jax.random.randint(kq1, (n_q,), 0, args.n))
-    base = (
-        x_host[qi_h] if x_host is not None
-        else np.asarray(jax.device_get(x[jnp.asarray(qi_h)])).astype(
-            np.float32)
-    )
-    queries = jnp.asarray(base) + 0.1 * jax.random.normal(
-        kq2, (n_q, args.dim), jnp.float32
-    )
+    if chunked:
+        queries = chunk_queries
+    else:
+        kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
+        n_q = args.batch
+        qi_h = np.asarray(jax.random.randint(kq1, (n_q,), 0, args.n))
+        base = np.asarray(
+            jax.device_get(x[jnp.asarray(qi_h)])
+        ).astype(np.float32)
+        queries = jnp.asarray(base) + 0.1 * jax.random.normal(
+            kq2, (n_q, args.dim), jnp.float32
+        )
 
     search_args = (
         idx.centroids, idx.arena.arena, idx.arena.arena_sq, idx.arena.counts,
@@ -264,9 +318,10 @@ def main():
     d, pos = device_search(queries)
     jax.block_until_ready((d, pos))
     _stage("exact oracle")
-    _, true_pos = exact_oracle(
-        queries, x if x_host is None else x_host, args.k
-    )
+    if chunked:
+        true_pos = chunked_truth
+    else:
+        _, true_pos = exact_oracle(queries, x, args.k)
     cap = idx.arena.capacity
     got = np.asarray(pos)
     # arena position → original row id via the host id table
