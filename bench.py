@@ -147,7 +147,7 @@ def make_oracle_updater(k: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--nlist", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
@@ -156,7 +156,7 @@ def main():
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
-    p.add_argument("--dtype", default="bfloat16",
+    p.add_argument("--dtype", default="int8",
                    choices=["bfloat16", "int8", "float32"],
                    help="arena storage dtype (int8 halves scan bandwidth "
                         "and fits 10M x 768 on one v5e chip)")
@@ -321,7 +321,19 @@ def main():
     if chunked:
         true_pos = chunked_truth
     else:
-        _, true_pos = exact_oracle(queries, x, args.k)
+        upd = make_oracle_updater(args.k)
+        gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
+        gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+        step_n = 500_000
+        for start in range(0, args.n, step_n):
+            gt_d, gt_i = upd(
+                gt_d, gt_i, queries,
+                jax.lax.dynamic_slice_in_dim(
+                    x, start, min(step_n, args.n - start)
+                ) if args.n - start >= step_n else x[start:],
+                jnp.int64(start),
+            )
+        true_pos = np.asarray(gt_i)
     cap = idx.arena.capacity
     got = np.asarray(pos)
     # arena position → original row id via the host id table
