@@ -65,42 +65,6 @@ def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000):
     return jnp.concatenate(chunks, axis=0), centers
 
 
-def exact_oracle(queries, x, k, chunk=100_000):
-    """Exact brute-force ground truth, computed on the HOST (NumPy BLAS).
-
-    Device-exact top-k over 1M columns is exactly the operation ANN indices
-    exist to avoid — XLA's exact TopK at that width is glacial, and on this
-    remote-compile harness it stalls outright. The corpus is bf16; ranking
-    its fp32 cast on the host is exact for the values the index stores.
-    Cost: one corpus download + ~10 sgemm blocks.
-    """
-    import jax
-
-    q = np.asarray(queries, dtype=np.float32)
-    _stage("  oracle: downloading corpus")
-    x_h = np.asarray(jax.device_get(x)).astype(np.float32)
-    q_sq = (q * q).sum(-1)
-    best_d = np.full((q.shape[0], k), np.inf, np.float32)
-    best_i = np.full((q.shape[0], k), -1, np.int64)
-    for start in range(0, x_h.shape[0], chunk):
-        xc = x_h[start:start + chunk]
-        d = q_sq[:, None] - 2.0 * (q @ xc.T) + (xc * xc).sum(-1)[None, :]
-        merged_d = np.concatenate([best_d, d], axis=1)
-        merged_i = np.concatenate(
-            [best_i,
-             np.broadcast_to(start + np.arange(xc.shape[0])[None, :],
-                             d.shape)], axis=1,
-        )
-        sel = np.argpartition(merged_d, k, axis=1)[:, :k]
-        best_d = np.take_along_axis(merged_d, sel, 1)
-        best_i = np.take_along_axis(merged_i, sel, 1)
-    order = np.argsort(best_d, axis=1)
-    return (
-        np.take_along_axis(best_d, order, 1),
-        np.take_along_axis(best_i, order, 1),
-    )
-
-
 def make_oracle_updater(k: int):
     """Device-side exact ground truth via k min-extraction passes.
 

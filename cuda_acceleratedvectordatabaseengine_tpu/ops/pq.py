@@ -51,23 +51,37 @@ def train_product_quantizer(
     return jax.vmap(fit_one)(keys, x_sub)               # [m, ks, dsub]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
 def pq_encode(
     x: jax.Array,          # [n, dim] fp32 (residuals)
     codebooks: jax.Array,  # [m, ks, dsub] fp32
+    chunk_size: int = 4096,
 ) -> jax.Array:
     """Encode vectors to ``[n, m]`` uint8 codes: per-subspace nearest
-    codeword (argmin over an MXU distance contraction)."""
+    codeword (argmin over an MXU distance contraction). Chunked over n —
+    the [n, m, ks] distance tensor would otherwise scale to tens of GB."""
     n, dim = x.shape
     m, ks, dsub = codebooks.shape
-    x_sub = x.reshape(n, m, dsub)
-    # ||r - c||² = r² - 2 r·c + c²; argmin over ks.
-    dots = jnp.einsum(
-        "nmd,mkd->nmk", x_sub, codebooks,
-        preferred_element_type=jnp.float32,
-    )
     c_sq = jnp.sum(codebooks * codebooks, axis=-1)      # [m, ks]
-    d = c_sq[None] - 2.0 * dots                          # r² constant in argmin
-    return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+    def encode_chunk(xc):
+        x_sub = xc.reshape(xc.shape[0], m, dsub)
+        dots = jnp.einsum(
+            "nmd,mkd->nmk", x_sub, codebooks,
+            preferred_element_type=jnp.float32,
+        )
+        d = c_sq[None] - 2.0 * dots                     # r² constant in argmin
+        return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+    if n <= chunk_size:
+        return encode_chunk(x)
+    pad = (-n) % chunk_size
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    chunks = xp.reshape(-1, chunk_size, dim)
+    _, codes = jax.lax.scan(
+        lambda _, xc: (None, encode_chunk(xc)), None, chunks
+    )
+    return codes.reshape(-1, m)[:n]
 
 
 def pq_distance_tables(
