@@ -58,7 +58,9 @@ def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list,
         hi = vec_f32.astype(arena.dtype)
         deq = hi.astype(jnp.float32)
     arena = arena.at[lists, slots].set(hi)
-    arena_sq = arena_sq.at[lists, slots].set(jnp.sum(vec_f32 * vec_f32, -1))
+    # norms of the STORED (dequantized) representation — scan distances are
+    # distances to the stored point (see _bulk_pack_device).
+    arena_sq = arena_sq.at[lists, slots].set(jnp.sum(deq * deq, -1))
     if arena_lo is not None:
         lo = (vec_f32 - deq).astype(jnp.bfloat16)
         arena_lo = arena_lo.at[lists, slots].set(lo)

@@ -204,9 +204,16 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
         hi = x.astype(out_dtype)
     arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
     arena = arena.at[assignments, slots].set(hi)
-    # fp32 accumulation of squared norms without materializing an fp32 copy
-    # of the corpus (the cast fuses into the reduction).
-    x_sq = jnp.sum(jnp.square(x.astype(jnp.float32)), -1)
+    # Squared norms of the STORED representation (fp32 accumulation, cast
+    # fused into the reduction): for int8 that's the dequantized value —
+    # scan distances must be distances to the stored point; mixing exact
+    # norms with quantized dots adds an inconsistent bias term.
+    if out_dtype == jnp.int8:
+        x_sq = jnp.square(arena_scale[assignments]) * jnp.sum(
+            jnp.square(hi.astype(jnp.float32)), -1
+        )
+    else:
+        x_sq = jnp.sum(jnp.square(hi.astype(jnp.float32)), -1)
     arena_sq = jnp.zeros((nlist, cap), jnp.float32)
     arena_sq = arena_sq.at[assignments, slots].set(x_sq)
     arena_lo = None

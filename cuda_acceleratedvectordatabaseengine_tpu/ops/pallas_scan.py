@@ -64,6 +64,42 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
     out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
+def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
+                        qsq_ref, q_ref, block_ref, blocksq_ref,
+                        out_ref, *, metric: Metric):
+    """int8 fast path. The old generic kernel scaled the WHOLE block and
+    reduced its norms per step — O(cap·D) VPU work that dominated at large
+    capacities. Here the dot is the only O(cap·D) op (fp32 staging:
+    int8→int32 dots aren't lowered by this Mosaic version, and bf16
+    operands trip its vector.broadcast verifier); the per-list scale folds
+    into the [1, cap] dots, and EXACT fp32 norms arrive as a blocked input
+    (also making int8 L2 distances use true norms, not quantized ones)."""
+    i = pl.program_id(0)
+    b = rows_ref[i]
+    list_id = lists_ref[i]
+    safe_l = jnp.maximum(list_id, 0)
+    q_row = q_ref[pl.ds(jnp.maximum(b, 0), 1), :]       # (1, D) fp32 exact
+    blk = block_ref[0]                                  # [cap, D] int8
+    cap = blk.shape[0]
+    dots = jax.lax.dot_general(
+        blk.astype(jnp.float32), q_row,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(1, cap)
+    s = scale_ref[safe_l]
+    blk_sq = blocksq_ref[pl.ds(safe_l % 8, 1), :]       # (1, cap) exact fp32
+    if metric == Metric.L2:
+        d = jnp.maximum(qsq_ref[jnp.maximum(b, 0)] - 2.0 * s * dots
+                        + blk_sq, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        d = -s * dots
+    else:
+        d = 1.0 - s * dots
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    valid = (slot < counts_ref[safe_l]) & (b >= 0)
+    out_ref[i % 8, :] = jnp.where(valid, d, jnp.inf)[0]
+
+
 def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
                    block_ref, out_ref, *, metric: Metric, has_scale: bool):
     i = pl.program_id(0)
@@ -123,7 +159,6 @@ def scan_probed_lists_pallas_sorted(
     the same dedup the ragged grouped matmul gets, with the DMA pipeline's
     latency hiding.
     """
-    del arena_sq
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     q = queries.astype(jnp.float32)
@@ -137,41 +172,87 @@ def scan_probed_lists_pallas_sorted(
         flat[order] >= 0, (order // nprobe).astype(jnp.int32), -1
     )
 
-    has_scale = arena_scale is not None
-    scale_bits = (
-        arena_scale.astype(jnp.float32)
-        if has_scale else jnp.zeros((nlist,), jnp.float32)
+    vmem = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
+        # default 16MB scoped limit rejects fp32 staging of big blocks
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,          # rows, sorted lists, counts, scale
-        grid=(n_rows,),
-        in_specs=[
-            pl.BlockSpec(
-                (batch, dim), lambda i, rows, lists, cnt, sc: (0, 0)
+    out_shape = jax.ShapeDtypeStruct((-(-n_rows // 8) * 8, cap), jnp.float32)
+
+    if arena.dtype == jnp.int8 and arena_scale is not None:
+        # int8 fast path: exact fp32 queries, int8 blocks dequantized into
+        # the [1, cap] dots, exact norms as a blocked input.
+        q_sq = jnp.sum(q * q, axis=-1)
+        nlist_pad = -(-nlist // 8) * 8
+        sq_blocked = (
+            jnp.pad(arena_sq, ((0, nlist_pad - nlist), (0, 0)))
+            if nlist_pad != nlist else arena_sq
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # rows, lists, counts, scale, qsq
+            grid=(n_rows,),
+            in_specs=[
+                pl.BlockSpec(
+                    (batch, dim),
+                    lambda i, r, l, c, s, qs: (0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, cap, dim),
+                    lambda i, r, l, c, s, qs: (l[i], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (8, cap),
+                    lambda i, r, l, c, s, qs: (l[i] // 8, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, cap), lambda i, r, l, c, s, qs: (i // 8, 0)
             ),
-            pl.BlockSpec(
-                (1, cap, dim),
-                lambda i, rows, lists, cnt, sc: (lists[i], 0, 0),
+        )
+        run = pl.pallas_call(
+            functools.partial(_sorted_kernel_int8, metric=metric),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=vmem,
+        )
+        d_sorted = run(
+            rows, sorted_lists, counts,
+            arena_scale.astype(jnp.float32), q_sq,
+            q, arena, sq_blocked,
+        )[:n_rows]
+    else:
+        has_scale = arena_scale is not None
+        scale_arr = (
+            arena_scale.astype(jnp.float32)
+            if has_scale else jnp.zeros((nlist,), jnp.float32)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,      # rows, sorted lists, counts, scale
+            grid=(n_rows,),
+            in_specs=[
+                pl.BlockSpec(
+                    (batch, dim), lambda i, rows, lists, cnt, sc: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, cap, dim),
+                    lambda i, rows, lists, cnt, sc: (lists[i], 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (8, cap), lambda i, rows, lists, cnt, sc: (i // 8, 0)
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (8, cap), lambda i, rows, lists, cnt, sc: (i // 8, 0)
-        ),
-    )
-    run = pl.pallas_call(
-        functools.partial(_sorted_kernel, metric=metric,
-                          has_scale=has_scale),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (-(-n_rows // 8) * 8, cap), jnp.float32
-        ),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
-            # default 16MB scoped limit rejects f32 staging of big blocks
-        ),
-    )
-    d_sorted = run(rows, sorted_lists, counts, scale_bits, q, arena)[:n_rows]
+        )
+        run = pl.pallas_call(
+            functools.partial(_sorted_kernel, metric=metric,
+                              has_scale=has_scale),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=vmem,
+        )
+        d_sorted = run(
+            rows, sorted_lists, counts, scale_arr, q, arena
+        )[:n_rows]
 
     inv = jnp.argsort(order)
     d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)
