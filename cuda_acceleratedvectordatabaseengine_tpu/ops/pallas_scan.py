@@ -66,7 +66,7 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
 
 def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
                         qsq_ref, q_ref, block_ref, blocksq_ref,
-                        out_ref, *, metric: Metric):
+                        out_ref, cast_ref, last_ref, *, metric: Metric):
     """int8 fast path. The old generic kernel scaled the WHOLE block and
     reduced its norms per step — O(cap·D) VPU work that dominated at large
     capacities. Here the dot is the only O(cap·D) op (fp32 staging:
@@ -79,10 +79,17 @@ def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
     list_id = lists_ref[i]
     safe_l = jnp.maximum(list_id, 0)
     q_row = q_ref[pl.ds(jnp.maximum(b, 0), 1), :]       # (1, D) fp32 exact
-    blk = block_ref[0]                                  # [cap, D] int8
-    cap = blk.shape[0]
+    cap = block_ref.shape[1]
+    # Cast the block once per DISTINCT list: the grid is sorted by list, so
+    # consecutive steps reuse the cast staged in persistent VMEM scratch —
+    # the int8→fp32 cast sweep was the dominant per-step cost.
+    @pl.when((i == 0) | (last_ref[0] != list_id))
+    def _():
+        cast_ref[...] = block_ref[0].astype(jnp.float32)
+        last_ref[0] = list_id
+
     dots = jax.lax.dot_general(
-        blk.astype(jnp.float32), q_row,
+        cast_ref[...], q_row,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(1, cap)
@@ -101,28 +108,36 @@ def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
 
 
 def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
-                   block_ref, out_ref, *, metric: Metric, has_scale: bool):
+                   block_ref, out_ref, cast_ref, sq_ref, last_ref,
+                   *, metric: Metric, has_scale: bool):
     i = pl.program_id(0)
     b = rows_ref[i]                   # query row (-1 = invalid probe)
     list_id = lists_ref[i]
     q = q_ref[pl.ds(jnp.maximum(b, 0), 1), :].astype(jnp.float32)
-    blk_f = block_ref[0].astype(jnp.float32)        # [cap, D]
-    if has_scale:
-        # int8 arena: dequant the whole block by its list's scale (fp32
-        # scalar from SMEM). Scaling the block keeps the in-kernel norms
-        # consistent with the dots.
-        s = scale_ref[jnp.maximum(list_id, 0)]
-        blk_f = blk_f * s
-    cap = blk_f.shape[0]
+    cap = block_ref.shape[1]
+
+    # Stage the fp32 (dequantized) block + its norms once per DISTINCT
+    # list; the sorted grid revisits each list for all its probing queries,
+    # and the cast/norm sweeps were the dominant per-step cost.
+    @pl.when((i == 0) | (last_ref[0] != list_id))
+    def _():
+        blk_f = block_ref[0].astype(jnp.float32)
+        if has_scale:
+            blk_f = blk_f * scale_ref[jnp.maximum(list_id, 0)]
+        cast_ref[...] = blk_f
+        sq_ref[...] = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)
+        last_ref[0] = list_id
+
     dots = jax.lax.dot_general(
-        blk_f, q,
+        cast_ref[...], q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(1, cap)
     if metric == Metric.L2:
         q_sq = jnp.sum(q * q)
-        blk_sq = jnp.sum(blk_f * blk_f, axis=-1).reshape(1, cap)
-        d = jnp.maximum(q_sq - 2.0 * dots + blk_sq, 0.0)
+        d = jnp.maximum(
+            q_sq - 2.0 * dots + sq_ref[...].reshape(1, cap), 0.0
+        )
     elif metric == Metric.INNER_PRODUCT:
         d = -dots
     else:
@@ -207,6 +222,10 @@ def scan_probed_lists_pallas_sorted(
             out_specs=pl.BlockSpec(
                 (8, cap), lambda i, r, l, c, s, qs: (i // 8, 0)
             ),
+            scratch_shapes=[
+                pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+                pltpu.SMEM((1,), jnp.int32),           # last cast list id
+            ],
         )
         run = pl.pallas_call(
             functools.partial(_sorted_kernel_int8, metric=metric),
@@ -241,6 +260,11 @@ def scan_probed_lists_pallas_sorted(
             out_specs=pl.BlockSpec(
                 (8, cap), lambda i, rows, lists, cnt, sc: (i // 8, 0)
             ),
+            scratch_shapes=[
+                pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+                pltpu.VMEM((cap, 1), jnp.float32),     # norms cache
+                pltpu.SMEM((1,), jnp.int32),           # last cast list id
+            ],
         )
         run = pl.pallas_call(
             functools.partial(_sorted_kernel, metric=metric,
