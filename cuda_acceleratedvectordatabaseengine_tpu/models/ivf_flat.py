@@ -256,21 +256,18 @@ def _ivf_search_device(
     elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
         from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-        if arena_scale is not None:
-            # int8 dequant is implemented in the sorted kernel (the default)
+        if scan_impl == "pallas_grouped":
+            d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
+                q, arena, arena_sq, counts, probe_ids, keep, metric,
+                approx=approx_topk, arena_scale=arena_scale,
+            )
+        elif arena_scale is not None or scan_impl == "pallas_sorted":
             d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
             )
         else:
-            fn = {
-                "pallas": pallas_scan.scan_probed_lists_pallas,
-                "pallas_sorted":
-                    pallas_scan.scan_probed_lists_pallas_sorted,
-                "pallas_grouped":
-                    pallas_scan.scan_probed_lists_pallas_grouped,
-            }[scan_impl]
-            d, pos = fn(
+            d, pos = pallas_scan.scan_probed_lists_pallas(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk,
             )

@@ -297,8 +297,9 @@ def scan_probed_lists_pallas_sorted(
     )
 
 
-def _grouped_kernel(row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
-                    out_d_ref, out_s_ref, *, metric: Metric, k: int):
+def _grouped_kernel(row_list_ref, counts_ref, scale_ref, qrow_ref, q_ref,
+                    block_ref, out_d_ref, out_s_ref, cast_ref, sq_ref,
+                    last_ref, *, metric: Metric, k: int, has_scale: bool):
     # Mosaic note: every intermediate is born 2-D (keepdims reductions,
     # transposed one-hot) — 1-D→2-D vector reshapes don't lower.
     i = pl.program_id(0)
@@ -307,7 +308,19 @@ def _grouped_kernel(row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
     cap = block_ref.shape[1]
     m = qrow_ref.shape[1]
     batch = q_ref.shape[0]
-    blk_f = block_ref[0].astype(jnp.float32)            # [cap, D]
+
+    # fp32 (dequantized) block + norms staged once per DISTINCT list in
+    # persistent scratch (rows of the same list are consecutive).
+    @pl.when((i == 0) | (last_ref[0] != list_id))
+    def _():
+        blk_f = block_ref[0].astype(jnp.float32)
+        if has_scale:
+            blk_f = blk_f * scale_ref[
+                jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
+            ]
+        cast_ref[...] = blk_f
+        sq_ref[...] = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)
+        last_ref[0] = list_id
 
     # This row's M query vectors as a one-hot MXU matmul (Mosaic has no
     # in-kernel gather): onehot_T [B, M] × contraction over B.
@@ -321,15 +334,14 @@ def _grouped_kernel(row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
         preferred_element_type=jnp.float32,
     )                                                   # [M, D]
     dots = jax.lax.dot_general(                         # [M, cap] MXU
-        q_sub, blk_f,
+        q_sub, cast_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if metric == Metric.L2:
         q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
-        blk_sq = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)  # [cap, 1]
         d = jnp.maximum(
-            q_sq - 2.0 * dots + jnp.transpose(blk_sq), 0.0
+            q_sq - 2.0 * dots + jnp.transpose(sq_ref[...]), 0.0
         )
     elif metric == Metric.INNER_PRODUCT:
         d = -dots
@@ -383,6 +395,7 @@ def scan_probed_lists_pallas_grouped(
     approx: bool = False,
     interpret: bool = False,
     m_budget: int | None = None,
+    arena_scale: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas scan — the fastest single-chip path.
 
@@ -442,31 +455,42 @@ def scan_probed_lists_pallas_grouped(
         qrow_table, ((0, n_rows_pad - n_rows), (0, 0)),
         constant_values=-1,
     )
+    has_scale = arena_scale is not None
+    scale_arr = (
+        arena_scale.astype(jnp.float32)
+        if has_scale else jnp.zeros((nlist,), jnp.float32)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # row→list, counts
+        num_scalar_prefetch=3,          # row→list, counts, scale
         grid=(n_rows,),
         in_specs=[
             # row→query table: (8, M) VMEM blocks (SMEM allows only scalar
             # loads, so this rides as a tensor input)
-            pl.BlockSpec((8, m), lambda i, rl, cnt: (i // 8, 0)),
+            pl.BlockSpec((8, m), lambda i, rl, cnt, sc: (i // 8, 0)),
             pl.BlockSpec(
-                (batch, dim), lambda i, rl, cnt: (0, 0)
+                (batch, dim), lambda i, rl, cnt, sc: (0, 0)
             ),
             pl.BlockSpec(
                 (1, cap, dim),
-                lambda i, rl, cnt: (
+                lambda i, rl, cnt, sc: (
                     jnp.minimum(jnp.maximum(rl[i], 0),
                                 cnt.shape[0] - 1), 0, 0
                 ),
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt, sc: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt, sc: (i, 0, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+            pltpu.VMEM((cap, 1), jnp.float32),     # norms cache
+            pltpu.SMEM((1,), jnp.int32),           # last cast list id
+        ],
     )
     run = pl.pallas_call(
-        functools.partial(_grouped_kernel, metric=metric, k=k),
+        functools.partial(_grouped_kernel, metric=metric, k=k,
+                          has_scale=has_scale),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
@@ -478,7 +502,7 @@ def scan_probed_lists_pallas_grouped(
             # default 16MB scoped limit rejects f32 staging of big blocks
         ),
     )
-    out_d, out_s = run(row_list, counts, qrow_table, q, arena)
+    out_d, out_s = run(row_list, counts, scale_arr, qrow_table, q, arena)
 
     # Epilogue: per-pair candidate rows back to (b, p) order, then a tiny
     # final top-k over nprobe·k candidates per query.
