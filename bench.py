@@ -272,10 +272,11 @@ def main():
     )
 
     def device_search(q):
-        return _ivf_search_device(
+        d, pos, _probes = _ivf_search_device(
             q, *search_args, min(args.nprobe, args.nlist), args.k,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
         )
+        return d, pos
 
     # Warm (compile) + recall measurement.
     _stage("warm compile + first search")

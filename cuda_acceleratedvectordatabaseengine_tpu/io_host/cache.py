@@ -141,18 +141,24 @@ class HbmListCache:
                 v, _s, c = host_fetch(l)
                 arrays.append(np.asarray(v[:c], np.float32))
                 cnts_list.append(c)
-            # Parallel C++ staging assembly (pad + norms) — the host-side
-            # hot path of a cache miss; falls back to NumPy without the
-            # native lib.
-            stack, sq = native.gather_lists(arrays, self.capacity, self.dim)
+            # Parallel C++ staging assembly (pad) — the host-side hot path
+            # of a cache miss; falls back to NumPy without the native lib.
+            stack, _sq_f32 = native.gather_lists(
+                arrays, self.capacity, self.dim
+            )
             cnts = np.asarray(cnts_list, np.int32)
             slot_arr = jnp.asarray(
                 np.fromiter(slots_for_missing.values(), np.int32, n_miss)
             )
-            self.cache_arena = self.cache_arena.at[slot_arr].set(
-                jnp.asarray(stack).astype(self.dtype)
+            stack_d = jnp.asarray(stack).astype(self.dtype)
+            self.cache_arena = self.cache_arena.at[slot_arr].set(stack_d)
+            # Norms of the STORED (dtype-cast) representation, not the fp32
+            # staging values: scan distances must be distances to the stored
+            # point (see models/arena.py) — fp32 norms against cast dots
+            # would bias L2 near ties.
+            self.cache_sq = self.cache_sq.at[slot_arr].set(
+                jnp.sum(jnp.square(stack_d.astype(jnp.float32)), -1)
             )
-            self.cache_sq = self.cache_sq.at[slot_arr].set(jnp.asarray(sq))
             self.cache_counts = self.cache_counts.at[slot_arr].set(
                 jnp.asarray(cnts)
             )

@@ -149,7 +149,16 @@ def _balance_assignments(
              if initial_counts is not None else 0)
     leftovers = np.flatnonzero(placed < 0)
     for i in leftovers:
-        l = int(np.argmin(counts))
+        # Only lists with free slots are eligible: spilling past ``cap``
+        # would force the arena to grow mid-build, breaking the chunked
+        # build's "never reallocates" contract (and momentarily doubling a
+        # multi-GB device arena).
+        open_lists = np.flatnonzero(counts < cap)
+        if open_lists.size == 0:
+            raise ValueError(
+                f"arena full: {n} rows into nlist={nlist} × cap={cap}"
+            )
+        l = int(open_lists[np.argmin(counts[open_lists])])
         placed[i] = l
         counts[l] += 1
     return placed.astype(np.int32)
@@ -240,7 +249,12 @@ def _ivf_search_device(
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
     arena_scale=None,
 ):
-    """The whole search for a query batch as one traced program."""
+    """The whole search for a query batch as one traced program.
+
+    Returns ``(dists [B, k], pos [B, k], probe_ids [B, nprobe])`` — the
+    probe set rides along (tiny int32) so the host's hotness accounting
+    counts lists that were *probed*, not just lists that contributed
+    results."""
     q = queries.astype(jnp.float32)
     if metric == Metric.COSINE:
         q = l2_normalize(q)
@@ -299,8 +313,9 @@ def _ivf_search_device(
             q_sq = jnp.sum(q * q, axis=-1)
             exact = jnp.maximum(q_sq[:, None] - 2.0 * dots + c_sq, 0.0)
         exact = jnp.where(pos >= 0, exact, jnp.inf)
-        return topk_smallest(exact, k, idx=pos)
-    return d[:, :k], pos[:, :k]
+        d, pos = topk_smallest(exact, k, idx=pos)
+        return d, pos, probe_ids
+    return d[:, :k], pos[:, :k], probe_ids
 
 
 class IVFFlatIndex:
@@ -528,8 +543,13 @@ class IVFFlatIndex:
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
         nprobe = min(params.nprobe, self.config.nlist)
+        # Snapshot the arena handle ONCE: a concurrent add() (e.g. gRPC
+        # AddVectors) swaps self.arena, and mixing a new ids table/capacity
+        # with positions computed against the old arrays would silently
+        # return wrong user ids.
+        arena = self.arena
         rerank_k = 0
-        if params.use_exact_rerank and self.arena.arena_lo is not None:
+        if params.use_exact_rerank and arena.arena_lo is not None:
             rerank_k = min(max(4 * params.k, params.k), 256)
         scan_impl = self.config.scan_impl
         if scan_impl == "auto":
@@ -538,28 +558,30 @@ class IVFFlatIndex:
                 else "gather"
             )
 
-        d, pos = _ivf_search_device(
+        d, pos, probe_ids = _ivf_search_device(
             jnp.asarray(queries),
             self.centroids,
-            self.arena.arena,
-            self.arena.arena_sq,
-            self.arena.counts,
+            arena.arena,
+            arena.arena_sq,
+            arena.counts,
             nprobe,
             params.k,
             self.metric,
             scan_impl,
             self.config.approx_topk,
             rerank_k,
-            self.arena.arena_lo,
-            self.arena.arena_scale,
+            arena.arena_lo,
+            arena.arena_scale,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
-        ids = self.arena.positions_to_ids(pos)
+        ids = arena.positions_to_ids(pos)
         d[pos < 0] = FLT_MAX
-        # hotness accounting (GpuCache/ListPrefetcher analog)
-        probed = np.unique(pos[pos >= 0] // self.arena.capacity)
-        self.list_access_count[probed] += 1
+        # Hotness accounting (GpuCache/ListPrefetcher analog) over the
+        # actual probe set — lists probed but contributing no results still
+        # accumulate heat.
+        probed = np.unique(np.asarray(probe_ids)[:b])
+        self.list_access_count[probed[probed >= 0]] += 1
         return d, ids
 
     def search_batch(

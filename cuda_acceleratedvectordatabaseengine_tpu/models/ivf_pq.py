@@ -97,6 +97,7 @@ def _ivf_pq_search_device(
     counts,         # [nlist] int32
     raw_arena,      # [nlist, cap, D] raw dtype or None
     raw_sq,         # [nlist, cap] fp32 or None
+    raw_scale,      # [nlist] fp32 per-list dequant scale (int8 raw) or None
     nprobe: int,
     k: int,
     metric: Metric,
@@ -161,9 +162,14 @@ def _ivf_pq_search_device(
         flat = raw_arena.reshape(nlist * cap, dim)
         flat_sq = raw_sq.reshape(nlist * cap)
         safe_p = jnp.maximum(best_p, 0)
-        cand = flat[safe_p]                       # [B, keep, D]
+        # Dequantize candidates to fp32 (int8 arenas carry a per-list
+        # scale; casting the fp32 query DOWN to the arena dtype instead
+        # would destroy the rerank).
+        cand = flat[safe_p].astype(jnp.float32)   # [B, keep, D]
+        if raw_scale is not None:
+            cand = cand * raw_scale[safe_p // cap][:, :, None]
         dots = jnp.einsum(
-            "bd,bkd->bk", q.astype(cand.dtype), cand,
+            "bd,bkd->bk", q, cand,
             preferred_element_type=jnp.float32,
         )
         if metric == Metric.INNER_PRODUCT:
@@ -352,6 +358,7 @@ class IVFPQIndex:
 
         raw_arena = self.raw.arena if self.raw is not None else None
         raw_sq = self.raw.arena_sq if self.raw is not None else None
+        raw_scale = self.raw.arena_scale if self.raw is not None else None
         d, pos = _ivf_pq_search_device(
             jnp.asarray(queries),
             self.centroids,
@@ -360,6 +367,7 @@ class IVFPQIndex:
             self.counts,
             raw_arena,
             raw_sq,
+            raw_scale,
             nprobe,
             params.k,
             self.metric,
@@ -413,7 +421,9 @@ class IVFPQIndex:
             "ids": self.ids,
         }
         if self.raw is not None:
-            out["arena"] = np.asarray(self.raw.arena.astype(jnp.float32))
+            # to_host() dequantizes int8 arenas (scale × code); a bare
+            # astype(float32) would persist raw codes as if they were values.
+            out["arena"] = self.raw.to_host()["arena"]
         return out
 
     def save(self, path: str) -> None:

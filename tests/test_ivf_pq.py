@@ -122,3 +122,22 @@ def test_ivf_pq_config_validation():
         IVFPQConfig(dimension=30, m=8)
     with pytest.raises(ValueError):
         IVFPQConfig(dimension=32, m=8, nbits=4)
+
+
+def test_ivf_pq_int8_raw_rerank(rng, oracle):
+    """int8 raw arenas must be dequantized in the exact rerank (regression:
+    the rerank once cast the fp32 query down to int8 and treated codes as
+    values) and in persisted snapshots."""
+    idx, x = _build(rng, raw_dtype="int8")
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=16, k=5, use_exact_rerank=True))
+    for b in range(4):
+        for j in range(5):
+            true = ((q[b] - x[int(ids[b, j])]) ** 2).sum()
+            np.testing.assert_allclose(d[b, j], true, rtol=5e-2, atol=5e-2)
+    # state_arrays persists dequantized values, not raw int8 codes
+    arena = idx.state_arrays()["arena"]
+    counts = np.asarray(idx.counts)
+    l = int(np.argmax(counts))
+    uid = int(idx.ids[l, 0])
+    np.testing.assert_allclose(arena[l, 0], x[uid], rtol=0.1, atol=0.05)
