@@ -35,6 +35,36 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
 
 
+def _local_counts(counts, cap, slot_stride, slot_offset):
+    """Valid LOCAL slots per list under round-robin slot striping.
+
+    With the arena's slot axis striped across N chips (local slot ``j`` on
+    shard ``s`` holds logical slot ``j*N + s`` — see ``parallel/sharded``),
+    the in-kernel validity test stays the plain ``local_slot < count`` form
+    if we hand the kernel the per-shard count ``ceil((count - offset) / N)``
+    instead of the global one. Keeps the kernels striping-oblivious."""
+    if slot_stride == 1:
+        return counts
+    lc = (counts - slot_offset + slot_stride - 1) // slot_stride
+    return jnp.clip(lc, 0, cap).astype(counts.dtype)
+
+
+def _striped_positions(probe_ids, counts, cap, slot_stride, slot_offset,
+                       global_cap):
+    """[B, P, cap] global arena positions (-1 invalid) in LOGICAL slot
+    space, shared epilogue of the Pallas scans."""
+    safe = jnp.maximum(probe_ids, 0)
+    slot_logical = (
+        jnp.arange(cap, dtype=jnp.int32) * slot_stride + slot_offset
+    )
+    valid = (slot_logical[None, None, :] < counts[safe][:, :, None]) & (
+        probe_ids >= 0
+    )[:, :, None]
+    return jnp.where(
+        valid, safe[:, :, None] * global_cap + slot_logical[None, None, :], -1
+    )
+
+
 def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
             *, metric: Metric):
     b = pl.program_id(0)
@@ -149,7 +179,8 @@ def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "approx", "interpret"),
+    static_argnames=("k", "metric", "approx", "interpret", "slot_stride",
+                     "global_capacity"),
 )
 def scan_probed_lists_pallas_sorted(
     queries: jax.Array,
@@ -162,6 +193,9 @@ def scan_probed_lists_pallas_sorted(
     approx: bool = False,
     interpret: bool = False,
     arena_scale: jax.Array | None = None,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Probe-deduplicated Pallas scan.
 
@@ -173,9 +207,16 @@ def scan_probed_lists_pallas_sorted(
     lists), so HBM traffic drops from B·P blocks to ~unique-lists blocks —
     the same dedup the ragged grouped matmul gets, with the DMA pipeline's
     latency hiding.
+
+    ``slot_stride``/``slot_offset``/``global_capacity`` support the
+    multi-chip slot-striped arena (see ``ops/scan.scan_probed_lists`` and
+    ``parallel/sharded.py``): the kernel runs on local slots against
+    per-shard counts; positions come back in logical (global) space.
     """
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
+    global_cap = global_capacity if global_capacity is not None else cap
+    kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     q = queries.astype(jnp.float32)
     n_rows = batch * nprobe
 
@@ -235,7 +276,7 @@ def scan_probed_lists_pallas_sorted(
             compiler_params=vmem,
         )
         d_sorted = run(
-            rows, sorted_lists, counts,
+            rows, sorted_lists, kernel_counts,
             arena_scale.astype(jnp.float32), q_sq,
             q, arena, sq_blocked,
         )[:n_rows]
@@ -275,19 +316,14 @@ def scan_probed_lists_pallas_sorted(
             compiler_params=vmem,
         )
         d_sorted = run(
-            rows, sorted_lists, counts, scale_arr, q, arena
+            rows, sorted_lists, kernel_counts, scale_arr, q, arena
         )[:n_rows]
 
     inv = jnp.argsort(order)
     d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)
 
-    safe = jnp.maximum(probe_ids, 0)
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    pos = jnp.where(
-        (slot_iota[None, None, :] < counts[safe][:, :, None])
-        & (probe_ids >= 0)[:, :, None],
-        safe[:, :, None] * cap + slot_iota[None, None, :],
-        -1,
+    pos = _striped_positions(
+        probe_ids, counts, cap, slot_stride, slot_offset, global_cap
     )
     return topk_smallest(
         d.reshape(batch, nprobe * cap),
@@ -382,7 +418,8 @@ def _grouped_kernel(row_list_ref, counts_ref, scale_ref, qrow_ref, q_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "approx", "interpret", "m_budget"),
+    static_argnames=("k", "metric", "approx", "interpret", "m_budget",
+                     "slot_stride", "global_capacity"),
 )
 def scan_probed_lists_pallas_grouped(
     queries: jax.Array,
@@ -396,6 +433,9 @@ def scan_probed_lists_pallas_grouped(
     interpret: bool = False,
     m_budget: int | None = None,
     arena_scale: jax.Array | None = None,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas scan — the fastest single-chip path.
 
@@ -411,6 +451,8 @@ def scan_probed_lists_pallas_grouped(
     del arena_sq
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
+    global_cap = global_capacity if global_capacity is not None else cap
+    kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
         m_budget = max(8, min(32, -(-n_pairs // nlist) * 2))
@@ -502,10 +544,13 @@ def scan_probed_lists_pallas_grouped(
             # default 16MB scoped limit rejects f32 staging of big blocks
         ),
     )
-    out_d, out_s = run(row_list, counts, scale_arr, qrow_table, q, arena)
+    out_d, out_s = run(
+        row_list, kernel_counts, scale_arr, qrow_table, q, arena
+    )
 
     # Epilogue: per-pair candidate rows back to (b, p) order, then a tiny
-    # final top-k over nprobe·k candidates per query.
+    # final top-k over nprobe·k candidates per query. Local slots map to
+    # logical ones under striping (see _local_counts).
     pair_d = out_d[row_of_pair, m_of_pair]              # [BP, k] sorted order
     pair_s = out_s[row_of_pair, m_of_pair]
     real = (
@@ -513,7 +558,12 @@ def scan_probed_lists_pallas_grouped(
         & jnp.isfinite(pair_d)
     )
     pair_d = jnp.where(real, pair_d, jnp.inf)
-    pair_pos = jnp.where(real, key_sorted[:, None] * cap + pair_s, -1)
+    pair_pos = jnp.where(
+        real,
+        key_sorted[:, None] * global_cap
+        + (pair_s * slot_stride + slot_offset),
+        -1,
+    )
     inv = jnp.argsort(order)
     d = pair_d[inv].reshape(batch, nprobe * k)
     pos = pair_pos[inv].reshape(batch, nprobe * k)
@@ -522,7 +572,8 @@ def scan_probed_lists_pallas_grouped(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "approx", "interpret"),
+    static_argnames=("k", "metric", "approx", "interpret", "slot_stride",
+                     "global_capacity"),
 )
 def scan_probed_lists_pallas(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -534,10 +585,15 @@ def scan_probed_lists_pallas(
     metric: Metric = Metric.L2,
     approx: bool = False,
     interpret: bool = False,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     del arena_sq  # norms are recomputed from the stored block in-kernel
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
+    global_cap = global_capacity if global_capacity is not None else cap
+    kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     q = queries.astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -570,15 +626,10 @@ def scan_probed_lists_pallas(
             # default 16MB scoped limit rejects f32 staging of big blocks
         ),
     )
-    d = run(probe_ids, counts, q, arena)                # [B, P, cap]
+    d = run(probe_ids, kernel_counts, q, arena)         # [B, P, cap]
 
-    safe = jnp.maximum(probe_ids, 0)
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    pos = jnp.where(
-        (slot_iota[None, None, :] < counts[safe][:, :, None])
-        & (probe_ids >= 0)[:, :, None],
-        safe[:, :, None] * cap + slot_iota[None, None, :],
-        -1,
+    pos = _striped_positions(
+        probe_ids, counts, cap, slot_stride, slot_offset, global_cap
     )
     return topk_smallest(
         d.reshape(batch, nprobe * cap),

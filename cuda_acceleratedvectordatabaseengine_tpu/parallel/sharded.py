@@ -59,12 +59,12 @@ def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
-                     "global_cap", "scan_impl", "has_scale"),
+                     "global_cap", "scan_impl", "has_scale", "interpret"),
 )
 def _sharded_search(
     queries, centroids, arena_s, arena_sq_s, counts, arena_scale,
     mesh, nprobe, k, metric, n_shards, global_cap, scan_impl="gather",
-    has_scale=False,
+    has_scale=False, interpret=False,
 ):
     def local_fn(q, c, arena_l, arena_sq_l, cnt, scale):
         s = jax.lax.axis_index(SHARD_AXIS)
@@ -74,18 +74,42 @@ def _sharded_search(
             qf = l2_normalize(qf)
         coarse = pairwise_distance(qf, c, metric)       # replicated [B,nlist]
         _, probe = topk_smallest(coarse, nprobe)
+        probe = probe.astype(jnp.int32)
+        stripe = dict(slot_stride=n_shards, slot_offset=s,
+                      global_capacity=global_cap)
         if scan_impl == "ragged":
             d, pos = scan_probed_lists_ragged(
-                qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
-                metric, approx=False, slot_stride=n_shards, slot_offset=s,
-                global_capacity=global_cap, arena_scale=scale_arg,
+                qf, arena_l, arena_sq_l, cnt, probe, k,
+                metric, approx=False, arena_scale=scale_arg, **stripe,
             )
+        elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
+            # The fast single-chip kernels, striping-aware: each chip runs
+            # its Pallas scan over the local sub-arena; positions come back
+            # in logical slot space so the merge below needs no remapping.
+            from cuda_acceleratedvectordatabaseengine_tpu.ops import (
+                pallas_scan,
+            )
+
+            if scan_impl == "pallas_grouped":
+                d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
+                    qf, arena_l, arena_sq_l, cnt, probe, k, metric,
+                    arena_scale=scale_arg, interpret=interpret, **stripe,
+                )
+            elif scan_impl == "pallas_sorted" or scale_arg is not None:
+                d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
+                    qf, arena_l, arena_sq_l, cnt, probe, k, metric,
+                    arena_scale=scale_arg, interpret=interpret, **stripe,
+                )
+            else:
+                d, pos = pallas_scan.scan_probed_lists_pallas(
+                    qf, arena_l, arena_sq_l, cnt, probe, k, metric,
+                    interpret=interpret, **stripe,
+                )
         else:
             d, pos = scan_probed_lists(
-                qf, arena_l, arena_sq_l, cnt, probe.astype(jnp.int32), k,
-                metric, slot_stride=n_shards, slot_offset=s,
-                global_capacity=global_cap, vma_axes=(SHARD_AXIS,),
-                arena_scale=scale_arg,
+                qf, arena_l, arena_sq_l, cnt, probe, k,
+                metric, vma_axes=(SHARD_AXIS,),
+                arena_scale=scale_arg, **stripe,
             )
         # Cross-chip merge: k candidates per chip → all_gather over ICI →
         # replicated global top-k. k·B·8 bytes per chip — tiny on ICI.
@@ -117,14 +141,24 @@ class ShardedIVFFlatIndex:
     SPMD across all chips with an ICI all-gather merge.
     """
 
-    def __init__(self, base: IVFFlatIndex, mesh, scan_impl: str = "gather"):
+    def __init__(self, base: IVFFlatIndex, mesh, scan_impl: str = "auto"):
         if not base.trained:
             raise RuntimeError("base index must be trained")
         self.base = base
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         self.metric = base.metric
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas_sorted" if jax.default_backend() == "tpu"
+                else "gather"
+            )
         self.scan_impl = scan_impl
+        # Pallas kernels need the interpreter off-TPU (CPU-mesh tests).
+        self.interpret = (
+            scan_impl.startswith("pallas")
+            and jax.default_backend() != "tpu"
+        )
         self._published = False
         self.refresh()
 
@@ -175,7 +209,7 @@ class ShardedIVFFlatIndex:
             self.centroids, self.arena_s, self.arena_sq_s, self.counts,
             self.arena_scale,
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
-            self.global_cap, self.scan_impl, self.has_scale,
+            self.global_cap, self.scan_impl, self.has_scale, self.interpret,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -159,3 +159,41 @@ def test_streaming_int8_base(rng):
         for a, b in zip(ids, ids_ref)
     ])
     assert same > 0.9
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_sorted",
+                                  "pallas_grouped"])
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_pallas_scan_equals_single_chip(rng, impl, n_shards):
+    """The fast Pallas kernels must be exact through shard_map slot
+    striping (interpret mode on the CPU mesh) — the path that makes
+    multi-chip serving run at single-chip kernel speed."""
+    idx, x = _build(rng)
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+    sharded = ShardedIVFFlatIndex(idx, make_mesh(n_shards), scan_impl=impl)
+    assert sharded.interpret  # CPU mesh → interpreter
+    d, ids = sharded.search(q, params)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["pallas_sorted", "pallas_grouped"])
+def test_sharded_pallas_int8(rng, impl):
+    """int8 striped arena through the Pallas kernels: per-list dequant
+    scales + exact stored norms must survive slot striping."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=32, nlist=16, dtype="int8")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.build_from_device(jnp.asarray(x))
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+    sharded = ShardedIVFFlatIndex(idx, make_mesh(4), scan_impl=impl)
+    d, ids = sharded.search(q, params)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
