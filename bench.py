@@ -194,25 +194,60 @@ def main():
         t_build = time.time() - t0
     else:
         # Chunked build: the corpus exceeds comfortable device residency
-        # (e.g. the full 10M×768 baseline config). Generate → train on the
-        # first chunk → balanced capacity-respecting appends per chunk,
-        # downloading each chunk to host RAM for the exact oracle.
+        # (e.g. the full 10M×768 baseline config). Chunk generation is
+        # keyed deterministically, so two passes see identical data:
+        # pass 1 extracts query base rows spread across ALL chunks (not
+        # just chunk 0); pass 2 regenerates each chunk to train → balanced
+        # append → exact-oracle update, never holding two chunks at once.
         chunk_n = 500_000
         mean = args.n // args.nlist
         capacity = -(-int(mean * 1.35) // 128) * 128
         t_gen = t_train = t_build = 0.0
+        starts = list(range(0, args.n, chunk_n))
         kx = key
+        chunk_keys = []
+        for _ in starts:
+            kx, sub = jax.random.split(kx)
+            chunk_keys.append(sub)
+
+        # Query plan: args.batch corpus rows sampled uniformly over [0, n).
+        kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
+        qi_global = np.sort(np.asarray(
+            jax.random.randint(kq1, (args.batch,), 0, args.n)
+        ))
+        q_base = np.zeros((args.batch, args.dim), np.float32)
+        _stage("pass 1: sampling query rows across all chunks")
+        for ci, start in enumerate(starts):
+            m = min(chunk_n, args.n - start)
+            sel = np.flatnonzero(
+                (qi_global >= start) & (qi_global < start + m)
+            )
+            if sel.size == 0:
+                continue
+            tg = time.time()
+            xc, _ = clustered_corpus(
+                chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
+                noise=0.25,
+            )
+            q_base[sel] = np.asarray(
+                xc[jnp.asarray(qi_global[sel] - start)].astype(jnp.float32)
+            )
+            t_gen += time.time() - tg
+            del xc
+        chunk_queries = jnp.asarray(q_base) + 0.1 * jax.random.normal(
+            kq2, (args.batch, args.dim), jnp.float32
+        )
+
         oracle_update = make_oracle_updater(args.k)
         gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
         gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
-        chunk_queries = None
-        for ci, start in enumerate(range(0, args.n, chunk_n)):
+        for ci, start in enumerate(starts):
             m = min(chunk_n, args.n - start)
             _stage(f"chunk {ci}: generate {m}")
             tg = time.time()
-            kx, sub = jax.random.split(kx)
             xc, _ = clustered_corpus(
-                sub, m, args.dim, n_clusters=args.nlist, noise=0.25
+                chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
+                noise=0.25,
             )
             xc.block_until_ready()
             t_gen += time.time() - tg
@@ -222,13 +257,6 @@ def main():
                 idx.train_from_device(xc)
                 jax.block_until_ready(idx.centroids)
                 t_train = time.time() - tt
-                kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
-                qi0 = jax.random.randint(kq1, (args.batch,), 0, m)
-                chunk_queries = xc[qi0].astype(
-                    jnp.float32
-                ) + 0.1 * jax.random.normal(
-                    kq2, (args.batch, args.dim), jnp.float32
-                )
             tb = time.time()
             _stage(f"chunk {ci}: balanced append")
             idx.append_balanced(
@@ -275,6 +303,7 @@ def main():
         d, pos, _probes = _ivf_search_device(
             q, *search_args, min(args.nprobe, args.nlist), args.k,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
+            idx.arena.anchors,
         )
         return d, pos
 

@@ -75,6 +75,10 @@ class IVFFlatConfig:
                                      # enabling fp32-exact rerank from a
                                      # bf16 hot scan (SearchParams.
                                      # use_exact_rerank)
+    int8_residual: bool = True       # int8 arenas: encode x − centroid[l]
+                                     # (per-row scales) instead of raw x —
+                                     # ~4× finer quantization on clustered
+                                     # corpora at zero extra HBM/QPS cost
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -176,7 +180,8 @@ def _assign_and_count(x, centroids, nlist, metric):
 @functools.partial(
     jax.jit, static_argnames=("nlist", "cap", "out_dtype", "store_lo")
 )
-def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
+def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False,
+                      anchors=None):
     """Pack an entire corpus into a fresh arena in ONE device program:
     stable sort by list, per-list rank via exclusive-cumsum offsets, scatter.
     The device-side bulk-build path (offline builds / benchmarks) — no
@@ -195,42 +200,35 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
     slots = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
     arena_scale = None
     if out_dtype == jnp.int8:
-        # Symmetric per-list scalar quantization: scale = max|x| in the
-        # list / 127. Per-list (not per-row) so the scan kernels read ONE
-        # scalar per block; norms below stay exact fp32, so only the dot
-        # carries quantization noise.
-        row_amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-        list_amax = jax.ops.segment_max(
-            row_amax, assignments, num_segments=nlist
-        )
-        arena_scale = jnp.maximum(list_amax, 1e-12) / 127.0
+        # Symmetric PER-ROW scalar quantization: scale = max|x − anchor|
+        # per row / 127, stored as [nlist, cap] so the scan kernels read a
+        # list's scales as one [1, cap] VMEM row. With ``anchors`` (the
+        # coarse centroids) codes encode the residual x − c_l — ~4× tighter
+        # range on clustered corpora → ~4× finer quantization at 8 bits
+        # (standard IVF residual encoding, cf. FAISS IVF*,SQ8).
+        a_rows = anchors[assignments] if anchors is not None else 0.0
+        res = x.astype(jnp.float32) - a_rows
+        row_amax = jnp.max(jnp.abs(res), axis=-1)
+        row_scale = jnp.maximum(row_amax, 1e-12) / 127.0
         hi = jnp.clip(
-            jnp.round(
-                x.astype(jnp.float32) / arena_scale[assignments][:, None]
-            ), -127, 127,
+            jnp.round(res / row_scale[:, None]), -127, 127,
         ).astype(jnp.int8)
+        arena_scale = jnp.zeros((nlist, cap), jnp.float32)
+        arena_scale = arena_scale.at[assignments, slots].set(row_scale)
+        deq = a_rows + hi.astype(jnp.float32) * row_scale[:, None]
     else:
         hi = x.astype(out_dtype)
+        deq = hi.astype(jnp.float32)
     arena = jnp.zeros((nlist, cap, x.shape[1]), out_dtype)
     arena = arena.at[assignments, slots].set(hi)
-    # Squared norms of the STORED representation (fp32 accumulation, cast
-    # fused into the reduction): for int8 that's the dequantized value —
-    # scan distances must be distances to the stored point; mixing exact
-    # norms with quantized dots adds an inconsistent bias term.
-    if out_dtype == jnp.int8:
-        x_sq = jnp.square(arena_scale[assignments]) * jnp.sum(
-            jnp.square(hi.astype(jnp.float32)), -1
-        )
-    else:
-        x_sq = jnp.sum(jnp.square(hi.astype(jnp.float32)), -1)
+    # Squared norms of the STORED (dequantized) representation: scan
+    # distances must be distances to the stored point; mixing exact norms
+    # with quantized dots adds an inconsistent bias term.
+    x_sq = jnp.sum(jnp.square(deq), -1)
     arena_sq = jnp.zeros((nlist, cap), jnp.float32)
     arena_sq = arena_sq.at[assignments, slots].set(x_sq)
     arena_lo = None
     if store_lo:
-        if out_dtype == jnp.int8:
-            deq = hi.astype(jnp.float32) * arena_scale[assignments][:, None]
-        else:
-            deq = hi.astype(jnp.float32)
         lo = (x.astype(jnp.float32) - deq).astype(jnp.bfloat16)
         arena_lo = jnp.zeros((nlist, cap, x.shape[1]), jnp.bfloat16)
         arena_lo = arena_lo.at[assignments, slots].set(lo)
@@ -247,7 +245,7 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False):
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
-    arena_scale=None,
+    arena_scale=None, arena_anchors=None,
 ):
     """The whole search for a query batch as one traced program.
 
@@ -266,6 +264,7 @@ def _ivf_search_device(
         d, pos = scan_probed_lists_ragged(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
             approx=approx_topk, arena_scale=arena_scale,
+            arena_anchors=arena_anchors,
         )
     elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
         from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
@@ -274,11 +273,13 @@ def _ivf_search_device(
             d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
+                arena_anchors=arena_anchors,
             )
         elif arena_scale is not None or scan_impl == "pallas_sorted":
             d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
+                arena_anchors=arena_anchors,
             )
         else:
             d, pos = pallas_scan.scan_probed_lists_pallas(
@@ -288,7 +289,7 @@ def _ivf_search_device(
     else:
         d, pos = scan_probed_lists(
             q, arena, arena_sq, counts, probe_ids, keep, metric,
-            arena_scale=arena_scale,
+            arena_scale=arena_scale, arena_anchors=arena_anchors,
         )
     if rerank_k > 0 and arena_lo is not None:
         # fp32-exact rerank: reconstruct candidates as hi + lo and
@@ -299,7 +300,9 @@ def _ivf_search_device(
         safe = jnp.maximum(pos, 0)
         hi_f = flat_hi[safe].astype(jnp.float32)
         if arena_scale is not None:
-            hi_f = hi_f * arena_scale[safe // cap][:, :, None]
+            hi_f = hi_f * arena_scale.reshape(-1)[safe][:, :, None]
+        if arena_anchors is not None:
+            hi_f = hi_f + arena_anchors[safe // cap]
         cand = hi_f + flat_lo[safe].astype(jnp.float32)  # [B, keep, D]
         dots = jnp.einsum(
             "bd,bkd->bk", q, cand, preferred_element_type=jnp.float32,
@@ -343,6 +346,26 @@ class IVFFlatIndex:
     # build
     # ------------------------------------------------------------------ #
 
+    def _quant_anchors(self) -> jax.Array | None:
+        """Residual anchors for int8 encoding (the coarse centroids), or
+        ``None`` when raw-value quantization is configured."""
+        if (
+            jnp.dtype(self.config.dtype) == jnp.int8
+            and self.config.int8_residual
+            and self.centroids is not None
+        ):
+            return self.centroids
+        return None
+
+    def _publish_anchors(self) -> None:
+        """After training, bind the centroids to the (still empty) arena so
+        the append ingest path encodes residuals too. Never rebinds once
+        rows exist — stored codes are only decodable with the anchors they
+        were encoded against."""
+        anchors = self._quant_anchors()
+        if anchors is not None and self.arena.total_vectors == 0:
+            self.arena = dataclasses.replace(self.arena, anchors=anchors)
+
     def train(self, vectors: np.ndarray) -> None:
         """k-means++ (seed from config, reference uses 42) + fixed Lloyd
         iterations, entirely on device (``ivf_flat_index.cpp:49-145``).
@@ -370,6 +393,7 @@ class IVFFlatIndex:
         )
         self.centroids = centroids
         self.trained = True
+        self._publish_anchors()
 
     def add(self, vectors: np.ndarray, ids: np.ndarray | None = None) -> None:
         """Assign → scatter-append into the packed arena
@@ -420,6 +444,7 @@ class IVFFlatIndex:
             key, sample, cfg.nlist, iters=cfg.train_iters
         )
         self.trained = True
+        self._publish_anchors()
 
     def build_from_device(
         self, x_dev: jax.Array, ids: np.ndarray | None = None
@@ -459,11 +484,13 @@ class IVFFlatIndex:
         )
         assignments_np = _balance_assignments(choices, cap, cfg.nlist)
         assignments = jnp.asarray(assignments_np)
+        anchors = self._quant_anchors()
         arena, arena_sq, counts_d, slots, arena_lo, arena_scale = \
             _bulk_pack_device(
                 x_dev, assignments, cfg.nlist, cap, jnp.dtype(cfg.dtype),
                 cfg.store_residuals
                 and jnp.dtype(cfg.dtype) != jnp.float32,
+                anchors,
             )
         if ids is None:
             ids = np.arange(n, dtype=np.uint64)
@@ -473,6 +500,7 @@ class IVFFlatIndex:
             nlist=cfg.nlist, dim=cfg.dimension, dtype=jnp.dtype(cfg.dtype),
             capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
             ids=ids_table, arena_lo=arena_lo, arena_scale=arena_scale,
+            anchors=anchors,
         )
 
     def append_balanced(
@@ -572,6 +600,7 @@ class IVFFlatIndex:
             rerank_k,
             arena.arena_lo,
             arena.arena_scale,
+            arena.anchors,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
@@ -664,8 +693,13 @@ class IVFFlatIndex:
     ) -> "IVFFlatIndex":
         idx = cls(config)
         idx.centroids = jnp.asarray(centroids.astype(np.float32))
+        anchors = (
+            centroids.astype(np.float32)
+            if jnp.dtype(config.dtype) == jnp.int8 and config.int8_residual
+            else None
+        )
         idx.arena = PackedListArena.from_host(
-            arena, counts, ids, jnp.dtype(config.dtype)
+            arena, counts, ids, jnp.dtype(config.dtype), anchors=anchors
         )
         idx.trained = True
         return idx

@@ -97,7 +97,8 @@ def _ivf_pq_search_device(
     counts,         # [nlist] int32
     raw_arena,      # [nlist, cap, D] raw dtype or None
     raw_sq,         # [nlist, cap] fp32 or None
-    raw_scale,      # [nlist] fp32 per-list dequant scale (int8 raw) or None
+    raw_scale,      # [nlist, cap] fp32 per-row dequant scales (int8) or None
+    raw_anchors,    # [nlist, D] fp32 residual anchors (int8) or None
     nprobe: int,
     k: int,
     metric: Metric,
@@ -162,12 +163,14 @@ def _ivf_pq_search_device(
         flat = raw_arena.reshape(nlist * cap, dim)
         flat_sq = raw_sq.reshape(nlist * cap)
         safe_p = jnp.maximum(best_p, 0)
-        # Dequantize candidates to fp32 (int8 arenas carry a per-list
-        # scale; casting the fp32 query DOWN to the arena dtype instead
-        # would destroy the rerank).
+        # Dequantize candidates to fp32 (int8 arenas carry per-row scales
+        # and optionally residual anchors; casting the fp32 query DOWN to
+        # the arena dtype instead would destroy the rerank).
         cand = flat[safe_p].astype(jnp.float32)   # [B, keep, D]
         if raw_scale is not None:
-            cand = cand * raw_scale[safe_p // cap][:, :, None]
+            cand = cand * raw_scale.reshape(-1)[safe_p][:, :, None]
+        if raw_anchors is not None:
+            cand = cand + raw_anchors[safe_p // cap]
         dots = jnp.einsum(
             "bd,bkd->bk", q, cand,
             preferred_element_type=jnp.float32,
@@ -359,6 +362,7 @@ class IVFPQIndex:
         raw_arena = self.raw.arena if self.raw is not None else None
         raw_sq = self.raw.arena_sq if self.raw is not None else None
         raw_scale = self.raw.arena_scale if self.raw is not None else None
+        raw_anchors = self.raw.anchors if self.raw is not None else None
         d, pos = _ivf_pq_search_device(
             jnp.asarray(queries),
             self.centroids,
@@ -368,6 +372,7 @@ class IVFPQIndex:
             raw_arena,
             raw_sq,
             raw_scale,
+            raw_anchors,
             nprobe,
             params.k,
             self.metric,

@@ -11,13 +11,20 @@ current block's compute (the guide's scalar-prefetch + double-buffering
 patterns). List blocks never round-trip through HBM; only the [cap]
 distance row is written out.
 
+Quantization contract (matches ``models/arena.PackedListArena``): a stored
+point is ``x̂ = anchor[l] + scale[l, slot] · code`` (anchor 0 / scale 1 when
+absent), ``arena_sq`` holds exact fp32 ``‖x̂‖²``, and the kernels recover
+``q·x̂ = q·anchor[l] + scale ⊙ (q·code)`` — per-row scales ride as a
+``[1, cap]`` VMEM row, the anchor as a ``[1, D]`` block with one extra tiny
+dot per distinct list.
+
 TPU tiling notes (Mosaic requires the last two block dims to be 8/128
 multiples or full-size):
   - queries ride as ONE full-array VMEM block (B·D·4 bytes ≪ VMEM);
-  - the output block is the whole [P, cap] row-group of query b, revisited
-    across the inner grid dimension;
-  - squared norms are computed in-kernel from the bf16 block (this is the
-    norm of the *stored* vector — self-consistent for L2).
+  - per-list rows (norms, scales) ride as (8, cap) blocks indexed l//8;
+  - blocks are staged to fp32 VMEM scratch once per DISTINCT list (the
+    sorted grid revisits lists), because Mosaic's mixed bf16→fp32 dot
+    lowering trips a verifier bug and int8→int32 dots aren't lowered.
 
 The final top-k runs outside (XLA), as in the ragged path.
 """
@@ -33,6 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+
+_VMEM_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the default
+    # 16MB scoped limit rejects fp32 staging of big list blocks
+)
 
 
 def _local_counts(counts, cap, slot_stride, slot_offset):
@@ -65,6 +77,14 @@ def _striped_positions(probe_ids, counts, cap, slot_stride, slot_offset,
     )
 
 
+def _pad_rows8(a):
+    """Pad a [nlist, ...] per-list table to an 8-multiple of rows so it can
+    ride as (8, cap) VMEM blocks."""
+    nlist = a.shape[0]
+    pad = -nlist % 8
+    return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
+
+
 def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
             *, metric: Metric):
     b = pl.program_id(0)
@@ -94,16 +114,23 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
     out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
-def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
-                        qsq_ref, q_ref, block_ref, blocksq_ref,
-                        out_ref, cast_ref, last_ref, *, metric: Metric):
-    """int8 fast path. The old generic kernel scaled the WHOLE block and
-    reduced its norms per step — O(cap·D) VPU work that dominated at large
-    capacities. Here the dot is the only O(cap·D) op (fp32 staging:
-    int8→int32 dots aren't lowered by this Mosaic version, and bf16
-    operands trip its vector.broadcast verifier); the per-list scale folds
-    into the [1, cap] dots, and EXACT fp32 norms arrive as a blocked input
-    (also making int8 L2 distances use true norms, not quantized ones)."""
+def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool):
+    """Probe-dedup sorted scan step: one (query, probe) pair per grid step,
+    arena block staged to fp32 scratch once per DISTINCT list. The dot is
+    the only O(cap·D) op per step; norms arrive exact as a blocked input
+    and per-row dequant scales fold into the [1, cap] dots."""
+    (rows_ref, lists_ref, counts_ref, qsq_ref, q_ref, block_ref,
+     blocksq_ref) = refs[:7]
+    pos = 7
+    scale_ref = anchor_ref = None
+    if has_scale:
+        scale_ref = refs[pos]
+        pos += 1
+    if has_anchor:
+        anchor_ref = refs[pos]
+        pos += 1
+    out_ref, cast_ref, last_ref = refs[pos:pos + 3]
+
     i = pl.program_id(0)
     b = rows_ref[i]
     list_id = lists_ref[i]
@@ -112,7 +139,7 @@ def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
     cap = block_ref.shape[1]
     # Cast the block once per DISTINCT list: the grid is sorted by list, so
     # consecutive steps reuse the cast staged in persistent VMEM scratch —
-    # the int8→fp32 cast sweep was the dominant per-step cost.
+    # the cast sweep was the dominant per-step cost.
     @pl.when((i == 0) | (last_ref[0] != list_id))
     def _():
         cast_ref[...] = block_ref[0].astype(jnp.float32)
@@ -123,57 +150,27 @@ def _sorted_kernel_int8(rows_ref, lists_ref, counts_ref, scale_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(1, cap)
-    s = scale_ref[safe_l]
-    blk_sq = blocksq_ref[pl.ds(safe_l % 8, 1), :]       # (1, cap) exact fp32
+    qx = dots
+    if has_scale:
+        qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
+    if has_anchor:
+        qa = jax.lax.dot_general(                       # (1, 1) q·anchor
+            anchor_ref[...], q_row,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qx = qx + qa
     if metric == Metric.L2:
-        d = jnp.maximum(qsq_ref[jnp.maximum(b, 0)] - 2.0 * s * dots
-                        + blk_sq, 0.0)
-    elif metric == Metric.INNER_PRODUCT:
-        d = -s * dots
-    else:
-        d = 1.0 - s * dots
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    valid = (slot < counts_ref[safe_l]) & (b >= 0)
-    out_ref[i % 8, :] = jnp.where(valid, d, jnp.inf)[0]
-
-
-def _sorted_kernel(rows_ref, lists_ref, counts_ref, scale_ref, q_ref,
-                   block_ref, out_ref, cast_ref, sq_ref, last_ref,
-                   *, metric: Metric, has_scale: bool):
-    i = pl.program_id(0)
-    b = rows_ref[i]                   # query row (-1 = invalid probe)
-    list_id = lists_ref[i]
-    q = q_ref[pl.ds(jnp.maximum(b, 0), 1), :].astype(jnp.float32)
-    cap = block_ref.shape[1]
-
-    # Stage the fp32 (dequantized) block + its norms once per DISTINCT
-    # list; the sorted grid revisits each list for all its probing queries,
-    # and the cast/norm sweeps were the dominant per-step cost.
-    @pl.when((i == 0) | (last_ref[0] != list_id))
-    def _():
-        blk_f = block_ref[0].astype(jnp.float32)
-        if has_scale:
-            blk_f = blk_f * scale_ref[jnp.maximum(list_id, 0)]
-        cast_ref[...] = blk_f
-        sq_ref[...] = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)
-        last_ref[0] = list_id
-
-    dots = jax.lax.dot_general(
-        cast_ref[...], q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(1, cap)
-    if metric == Metric.L2:
-        q_sq = jnp.sum(q * q)
+        blk_sq = blocksq_ref[pl.ds(safe_l % 8, 1), :]   # (1, cap) exact fp32
         d = jnp.maximum(
-            q_sq - 2.0 * dots + sq_ref[...].reshape(1, cap), 0.0
+            qsq_ref[jnp.maximum(b, 0)] - 2.0 * qx + blk_sq, 0.0
         )
     elif metric == Metric.INNER_PRODUCT:
-        d = -dots
+        d = -qx
     else:
-        d = 1.0 - dots
+        d = 1.0 - qx
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    valid = (slot < counts_ref[jnp.maximum(list_id, 0)]) & (b >= 0)
+    valid = (slot < counts_ref[safe_l]) & (b >= 0)
     out_ref[i % 8, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
@@ -193,6 +190,7 @@ def scan_probed_lists_pallas_sorted(
     approx: bool = False,
     interpret: bool = False,
     arena_scale: jax.Array | None = None,
+    arena_anchors: jax.Array | None = None,
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
@@ -218,7 +216,10 @@ def scan_probed_lists_pallas_sorted(
     global_cap = global_capacity if global_capacity is not None else cap
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
     n_rows = batch * nprobe
+    has_scale = arena_scale is not None
+    has_anchor = arena_anchors is not None
 
     flat = probe_ids.reshape(-1)
     order = jnp.argsort(jnp.maximum(flat, 0), stable=True)
@@ -228,96 +229,48 @@ def scan_probed_lists_pallas_sorted(
         flat[order] >= 0, (order // nprobe).astype(jnp.int32), -1
     )
 
-    vmem = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
-        # default 16MB scoped limit rejects fp32 staging of big blocks
-    )
     out_shape = jax.ShapeDtypeStruct((-(-n_rows // 8) * 8, cap), jnp.float32)
 
-    if arena.dtype == jnp.int8 and arena_scale is not None:
-        # int8 fast path: exact fp32 queries, int8 blocks dequantized into
-        # the [1, cap] dots, exact norms as a blocked input.
-        q_sq = jnp.sum(q * q, axis=-1)
-        nlist_pad = -(-nlist // 8) * 8
-        sq_blocked = (
-            jnp.pad(arena_sq, ((0, nlist_pad - nlist), (0, 0)))
-            if nlist_pad != nlist else arena_sq
+    in_specs = [
+        pl.BlockSpec((batch, dim), lambda i, r, l, c, qs: (0, 0)),
+        pl.BlockSpec(
+            (1, cap, dim), lambda i, r, l, c, qs: (l[i], 0, 0)
+        ),
+        pl.BlockSpec((8, cap), lambda i, r, l, c, qs: (l[i] // 8, 0)),
+    ]
+    operands = [q, arena, _pad_rows8(arena_sq)]
+    if has_scale:
+        in_specs.append(
+            pl.BlockSpec((8, cap), lambda i, r, l, c, qs: (l[i] // 8, 0))
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # rows, lists, counts, scale, qsq
-            grid=(n_rows,),
-            in_specs=[
-                pl.BlockSpec(
-                    (batch, dim),
-                    lambda i, r, l, c, s, qs: (0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, cap, dim),
-                    lambda i, r, l, c, s, qs: (l[i], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (8, cap),
-                    lambda i, r, l, c, s, qs: (l[i] // 8, 0),
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (8, cap), lambda i, r, l, c, s, qs: (i // 8, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
-                pltpu.SMEM((1,), jnp.int32),           # last cast list id
-            ],
+        operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
+    if has_anchor:
+        in_specs.append(
+            pl.BlockSpec((1, dim), lambda i, r, l, c, qs: (l[i], 0))
         )
-        run = pl.pallas_call(
-            functools.partial(_sorted_kernel_int8, metric=metric),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-            compiler_params=vmem,
-        )
-        d_sorted = run(
-            rows, sorted_lists, kernel_counts,
-            arena_scale.astype(jnp.float32), q_sq,
-            q, arena, sq_blocked,
-        )[:n_rows]
-    else:
-        has_scale = arena_scale is not None
-        scale_arr = (
-            arena_scale.astype(jnp.float32)
-            if has_scale else jnp.zeros((nlist,), jnp.float32)
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,      # rows, sorted lists, counts, scale
-            grid=(n_rows,),
-            in_specs=[
-                pl.BlockSpec(
-                    (batch, dim), lambda i, rows, lists, cnt, sc: (0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, cap, dim),
-                    lambda i, rows, lists, cnt, sc: (lists[i], 0, 0),
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (8, cap), lambda i, rows, lists, cnt, sc: (i // 8, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
-                pltpu.VMEM((cap, 1), jnp.float32),     # norms cache
-                pltpu.SMEM((1,), jnp.int32),           # last cast list id
-            ],
-        )
-        run = pl.pallas_call(
-            functools.partial(_sorted_kernel, metric=metric,
-                              has_scale=has_scale),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-            compiler_params=vmem,
-        )
-        d_sorted = run(
-            rows, sorted_lists, kernel_counts, scale_arr, q, arena
-        )[:n_rows]
+        operands.append(arena_anchors.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # rows, lists, counts, qsq
+        grid=(n_rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, cap), lambda i, r, l, c, qs: (i // 8, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+            pltpu.SMEM((1,), jnp.int32),           # last cast list id
+        ],
+    )
+    run = pl.pallas_call(
+        functools.partial(_sorted_kernel, metric=metric,
+                          has_scale=has_scale, has_anchor=has_anchor),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
+    )
+    d_sorted = run(rows, sorted_lists, kernel_counts, q_sq, *operands)[:n_rows]
 
     inv = jnp.argsort(order)
     d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)
@@ -333,29 +286,35 @@ def scan_probed_lists_pallas_sorted(
     )
 
 
-def _grouped_kernel(row_list_ref, counts_ref, scale_ref, qrow_ref, q_ref,
-                    block_ref, out_d_ref, out_s_ref, cast_ref, sq_ref,
-                    last_ref, *, metric: Metric, k: int, has_scale: bool):
+def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
+                    has_anchor: bool):
     # Mosaic note: every intermediate is born 2-D (keepdims reductions,
     # transposed one-hot) — 1-D→2-D vector reshapes don't lower.
+    (row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
+     blocksq_ref) = refs[:6]
+    pos = 6
+    scale_ref = anchor_ref = None
+    if has_scale:
+        scale_ref = refs[pos]
+        pos += 1
+    if has_anchor:
+        anchor_ref = refs[pos]
+        pos += 1
+    out_d_ref, out_s_ref, cast_ref, last_ref = refs[pos:pos + 4]
+
     i = pl.program_id(0)
     list_id = row_list_ref[i]
     nlist = counts_ref.shape[0]
     cap = block_ref.shape[1]
     m = qrow_ref.shape[1]
     batch = q_ref.shape[0]
+    safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
 
-    # fp32 (dequantized) block + norms staged once per DISTINCT list in
+    # fp32 cast of the raw block staged once per DISTINCT list in
     # persistent scratch (rows of the same list are consecutive).
     @pl.when((i == 0) | (last_ref[0] != list_id))
     def _():
-        blk_f = block_ref[0].astype(jnp.float32)
-        if has_scale:
-            blk_f = blk_f * scale_ref[
-                jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
-            ]
-        cast_ref[...] = blk_f
-        sq_ref[...] = jnp.sum(blk_f * blk_f, axis=-1, keepdims=True)
+        cast_ref[...] = block_ref[0].astype(jnp.float32)
         last_ref[0] = list_id
 
     # This row's M query vectors as a one-hot MXU matmul (Mosaic has no
@@ -374,19 +333,29 @@ def _grouped_kernel(row_list_ref, counts_ref, scale_ref, qrow_ref, q_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    qx = dots
+    if has_scale:
+        qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
+    if has_anchor:
+        qa = jax.lax.dot_general(                       # [M, 1] q·anchor
+            q_sub, anchor_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qx = qx + qa
     if metric == Metric.L2:
         q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
         d = jnp.maximum(
-            q_sq - 2.0 * dots + jnp.transpose(sq_ref[...]), 0.0
+            q_sq - 2.0 * qx + blocksq_ref[pl.ds(safe_l % 8, 1), :], 0.0
         )
     elif metric == Metric.INNER_PRODUCT:
-        d = -dots
+        d = -qx
     else:
-        d = 1.0 - dots
+        d = 1.0 - qx
     # Slot validity only; row validity (padded slots, sentinel rows) is an
     # epilogue concern — junk rows are simply never gathered there.
     slot = jax.lax.broadcasted_iota(jnp.int32, (m, cap), 1)
-    cnt = counts_ref[jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)]
+    cnt = counts_ref[safe_l]
     d = jnp.where(slot < cnt, d, jnp.inf)
 
     # In-kernel top-k: k min-extraction passes over [M, cap] on the VPU —
@@ -433,6 +402,7 @@ def scan_probed_lists_pallas_grouped(
     interpret: bool = False,
     m_budget: int | None = None,
     arena_scale: jax.Array | None = None,
+    arena_anchors: jax.Array | None = None,
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
@@ -448,7 +418,6 @@ def scan_probed_lists_pallas_grouped(
     output from M·cap distances to M·k candidates — so the XLA epilogue
     top-k runs over ``nprobe·k`` per query instead of ``nprobe·cap``.
     """
-    del arena_sq
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     global_cap = global_capacity if global_capacity is not None else cap
@@ -459,6 +428,8 @@ def scan_probed_lists_pallas_grouped(
     m = m_budget
     # Static row bound: full rows + one partial row per list (+ sentinel).
     n_rows = n_pairs // m + nlist + 1
+    has_scale = arena_scale is not None
+    has_anchor = arena_anchors is not None
 
     q = queries.astype(jnp.float32)
     flat = probe_ids.reshape(-1)
@@ -497,56 +468,59 @@ def scan_probed_lists_pallas_grouped(
         qrow_table, ((0, n_rows_pad - n_rows), (0, 0)),
         constant_values=-1,
     )
-    has_scale = arena_scale is not None
-    scale_arr = (
-        arena_scale.astype(jnp.float32)
-        if has_scale else jnp.zeros((nlist,), jnp.float32)
-    )
+
+    def _blk(i, rl, cnt):
+        return jnp.minimum(jnp.maximum(rl[i], 0), cnt.shape[0] - 1)
+
+    in_specs = [
+        # row→query table: (8, M) VMEM blocks (SMEM allows only scalar
+        # loads, so this rides as a tensor input)
+        pl.BlockSpec((8, m), lambda i, rl, cnt: (i // 8, 0)),
+        pl.BlockSpec((batch, dim), lambda i, rl, cnt: (0, 0)),
+        pl.BlockSpec(
+            (1, cap, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
+        ),
+        pl.BlockSpec(
+            (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+        ),
+    ]
+    operands = [qrow_table, q, arena, _pad_rows8(arena_sq)]
+    if has_scale:
+        in_specs.append(pl.BlockSpec(
+            (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+        ))
+        operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
+    if has_anchor:
+        in_specs.append(pl.BlockSpec(
+            (1, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0)
+        ))
+        operands.append(arena_anchors.astype(jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # row→list, counts, scale
+        num_scalar_prefetch=2,          # row→list, counts
         grid=(n_rows,),
-        in_specs=[
-            # row→query table: (8, M) VMEM blocks (SMEM allows only scalar
-            # loads, so this rides as a tensor input)
-            pl.BlockSpec((8, m), lambda i, rl, cnt, sc: (i // 8, 0)),
-            pl.BlockSpec(
-                (batch, dim), lambda i, rl, cnt, sc: (0, 0)
-            ),
-            pl.BlockSpec(
-                (1, cap, dim),
-                lambda i, rl, cnt, sc: (
-                    jnp.minimum(jnp.maximum(rl[i], 0),
-                                cnt.shape[0] - 1), 0, 0
-                ),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt, sc: (i, 0, 0)),
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt, sc: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
-            pltpu.VMEM((cap, 1), jnp.float32),     # norms cache
             pltpu.SMEM((1,), jnp.int32),           # last cast list id
         ],
     )
     run = pl.pallas_call(
         functools.partial(_grouped_kernel, metric=metric, k=k,
-                          has_scale=has_scale),
+                          has_scale=has_scale, has_anchor=has_anchor),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.int32),
         ),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
-            # default 16MB scoped limit rejects f32 staging of big blocks
-        ),
+        compiler_params=_VMEM_PARAMS,
     )
-    out_d, out_s = run(
-        row_list, kernel_counts, scale_arr, qrow_table, q, arena
-    )
+    out_d, out_s = run(row_list, kernel_counts, *operands)
 
     # Epilogue: per-pair candidate rows back to (b, p) order, then a tiny
     # final top-k over nprobe·k candidates per query. Local slots map to
@@ -621,10 +595,7 @@ def scan_probed_lists_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, nprobe, cap), jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,  # v5e has 128MB VMEM; the
-            # default 16MB scoped limit rejects f32 staging of big blocks
-        ),
+        compiler_params=_VMEM_PARAMS,
     )
     d = run(probe_ids, kernel_counts, q, arena)         # [B, P, cap]
 

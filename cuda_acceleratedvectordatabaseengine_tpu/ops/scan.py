@@ -29,14 +29,16 @@ def _block_distances(
     block_sq: jax.Array,   # [B, L] fp32 (only used for L2)
     q_sq: jax.Array,       # [B] fp32
     metric: Metric,
-    dots_scale: jax.Array | None = None,   # [B] fp32 (int8 dequant)
+    dots_scale: jax.Array | None = None,   # [B, L] fp32 (int8 dequant)
+    dots_bias: jax.Array | None = None,    # [B] fp32 (q·anchor, residual)
 ) -> jax.Array:
     """Per-query distances to a gathered block: [B, L] fp32.
 
     The contraction ``bd,bld->bl`` is a batched matvec; with the arena in
     bfloat16 the MXU accumulates in fp32 (preferred_element_type). int8
-    arenas contract in fp32 after cast and apply the per-list dequant scale
-    to the dots (norms stay exact fp32 in ``block_sq``).
+    arenas contract in fp32 after cast; ``q·x̂`` is recovered as
+    ``dots_bias + dots_scale ⊙ (q·code)`` (per-row scales, optional residual
+    anchor term; norms stay exact fp32 in ``block_sq``).
     """
     cdtype = jnp.float32 if block.dtype == jnp.int8 else block.dtype
     dots = jax.lax.dot_general(
@@ -45,7 +47,9 @@ def _block_distances(
         preferred_element_type=jnp.float32,
     )
     if dots_scale is not None:
-        dots = dots * dots_scale[:, None]
+        dots = dots * dots_scale
+    if dots_bias is not None:
+        dots = dots + dots_bias[:, None]
     if metric == Metric.L2:
         return jnp.maximum(q_sq[:, None] - 2.0 * dots + block_sq, 0.0)
     elif metric == Metric.INNER_PRODUCT:
@@ -69,7 +73,8 @@ def scan_probed_lists(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     vma_axes: tuple = (),
-    arena_scale: jax.Array | None = None,   # [nlist] fp32, int8 arenas
+    arena_scale: jax.Array | None = None,   # [nlist, L] fp32, int8 arenas
+    arena_anchors: jax.Array | None = None, # [nlist, D] fp32 residual anchors
 ) -> tuple[jax.Array, jax.Array]:
     """Scan each query's ``P`` probed inverted lists, fusing distance
     computation with an incremental top-k merge.
@@ -102,6 +107,16 @@ def scan_probed_lists(
         init_d = jax.lax.pcast(init_d, vma_axes, to="varying")
         init_p = jax.lax.pcast(init_p, vma_axes, to="varying")
 
+    # q·anchor for every (query, list) once up front — one small MXU matmul.
+    qa_all = (
+        jax.lax.dot_general(
+            q, arena_anchors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if arena_anchors is not None else None
+    )
+
     def step(carry, lists):
         best_d, best_p = carry
         safe_lists = jnp.maximum(lists, 0)
@@ -110,7 +125,11 @@ def scan_probed_lists(
         scale = (
             arena_scale[safe_lists] if arena_scale is not None else None
         )
-        d = _block_distances(q, block, block_sq, q_sq, metric, scale)
+        bias = (
+            jnp.take_along_axis(qa_all, safe_lists[:, None], axis=1)[:, 0]
+            if qa_all is not None else None
+        )
+        d = _block_distances(q, block, block_sq, q_sq, metric, scale, bias)
         valid = (slot_logical[None, :] < counts[safe_lists][:, None]) & (
             lists >= 0
         )[:, None]
@@ -145,7 +164,8 @@ def scan_probed_lists_ragged(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
-    arena_scale: jax.Array | None = None,
+    arena_scale: jax.Array | None = None,   # [nlist, cap] per-row scales
+    arena_anchors: jax.Array | None = None, # [nlist, D] residual anchors
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric scan: one ragged grouped matmul for the whole batch.
 
@@ -190,9 +210,20 @@ def scan_probed_lists_ragged(
         preferred_element_type=jnp.float32,
     )                                                  # [B*P, cap]
     if arena_scale is not None:
-        dots_sorted = dots_sorted * arena_scale[sorted_lists][:, None]
+        dots_sorted = dots_sorted * arena_scale[sorted_lists]
     inv = jnp.argsort(order)
     dots = dots_sorted[inv]                            # back to (b, p) order
+    if arena_anchors is not None:
+        # q·x̂ = q·anchor[l] + scale ⊙ (q·code): add the anchor dot per pair.
+        qa_all = jax.lax.dot_general(
+            q, arena_anchors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [B, nlist]
+        qa_pair = jnp.take_along_axis(
+            qa_all, safe.reshape(batch, nprobe), axis=1
+        ).reshape(-1)
+        dots = dots + qa_pair[:, None]
 
     block_sq = arena_sq[safe]                          # [B*P, cap]
     if metric == Metric.L2:

@@ -59,16 +59,18 @@ def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
-                     "global_cap", "scan_impl", "has_scale", "interpret"),
+                     "global_cap", "scan_impl", "has_scale", "has_anchor",
+                     "interpret"),
 )
 def _sharded_search(
     queries, centroids, arena_s, arena_sq_s, counts, arena_scale,
-    mesh, nprobe, k, metric, n_shards, global_cap, scan_impl="gather",
-    has_scale=False, interpret=False,
+    arena_anchors, mesh, nprobe, k, metric, n_shards, global_cap,
+    scan_impl="gather", has_scale=False, has_anchor=False, interpret=False,
 ):
-    def local_fn(q, c, arena_l, arena_sq_l, cnt, scale):
+    def local_fn(q, c, arena_l, arena_sq_l, cnt, scale, anchors):
         s = jax.lax.axis_index(SHARD_AXIS)
         scale_arg = scale if has_scale else None
+        anchor_arg = anchors if has_anchor else None
         qf = q.astype(jnp.float32)
         if metric == Metric.COSINE:
             qf = l2_normalize(qf)
@@ -80,7 +82,8 @@ def _sharded_search(
         if scan_impl == "ragged":
             d, pos = scan_probed_lists_ragged(
                 qf, arena_l, arena_sq_l, cnt, probe, k,
-                metric, approx=False, arena_scale=scale_arg, **stripe,
+                metric, approx=False, arena_scale=scale_arg,
+                arena_anchors=anchor_arg, **stripe,
             )
         elif scan_impl in ("pallas", "pallas_sorted", "pallas_grouped"):
             # The fast single-chip kernels, striping-aware: each chip runs
@@ -93,12 +96,14 @@ def _sharded_search(
             if scan_impl == "pallas_grouped":
                 d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena_l, arena_sq_l, cnt, probe, k, metric,
-                    arena_scale=scale_arg, interpret=interpret, **stripe,
+                    arena_scale=scale_arg, arena_anchors=anchor_arg,
+                    interpret=interpret, **stripe,
                 )
             elif scan_impl == "pallas_sorted" or scale_arg is not None:
                 d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                     qf, arena_l, arena_sq_l, cnt, probe, k, metric,
-                    arena_scale=scale_arg, interpret=interpret, **stripe,
+                    arena_scale=scale_arg, arena_anchors=anchor_arg,
+                    interpret=interpret, **stripe,
                 )
             else:
                 d, pos = pallas_scan.scan_probed_lists_pallas(
@@ -109,7 +114,7 @@ def _sharded_search(
             d, pos = scan_probed_lists(
                 qf, arena_l, arena_sq_l, cnt, probe, k,
                 metric, vma_axes=(SHARD_AXIS,),
-                arena_scale=scale_arg, **stripe,
+                arena_scale=scale_arg, arena_anchors=anchor_arg, **stripe,
             )
         # Cross-chip merge: k candidates per chip → all_gather over ICI →
         # replicated global top-k. k·B·8 bytes per chip — tiny on ICI.
@@ -122,14 +127,15 @@ def _sharded_search(
         mesh=mesh,
         in_specs=(
             P(), P(), P(None, SHARD_AXIS, None), P(None, SHARD_AXIS), P(),
-            P(),
+            P(None, SHARD_AXIS), P(),
         ),
         out_specs=(P(), P()),
         # Outputs ARE replicated (identical all_gather + top-k on every
         # chip) but the static vma checker can't prove it through top_k.
         check_vma=False,
     )
-    return fn(queries, centroids, arena_s, arena_sq_s, counts, arena_scale)
+    return fn(queries, centroids, arena_s, arena_sq_s, counts, arena_scale,
+              arena_anchors)
 
 
 class ShardedIVFFlatIndex:
@@ -180,11 +186,18 @@ class ShardedIVFFlatIndex:
         self.arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
         self.counts = jax.device_put(arena.counts, repl)
         self.centroids = jax.device_put(self.base.centroids, repl)
-        # int8 arenas: per-list dequant scales replicate (tiny)
+        # int8 arenas: per-row dequant scales stripe with the slot axis;
+        # residual anchors (tiny [nlist, D]) replicate.
         self.has_scale = arena.arena_scale is not None
         self.arena_scale = jax.device_put(
-            arena.arena_scale if self.has_scale
-            else jnp.zeros((arena.nlist,), jnp.float32),
+            arena.arena_scale[:, perm] if self.has_scale
+            else jnp.zeros((arena.nlist, n), jnp.float32),
+            shard2,
+        )
+        self.has_anchor = arena.anchors is not None
+        self.arena_anchors = jax.device_put(
+            arena.anchors if self.has_anchor
+            else jnp.zeros((arena.nlist, arena.dim), jnp.float32),
             repl,
         )
         self.global_cap = cap
@@ -207,9 +220,10 @@ class ShardedIVFFlatIndex:
                 jnp.asarray(queries), NamedSharding(self.mesh, P())
             ),
             self.centroids, self.arena_s, self.arena_sq_s, self.counts,
-            self.arena_scale,
+            self.arena_scale, self.arena_anchors,
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
-            self.global_cap, self.scan_impl, self.has_scale, self.interpret,
+            self.global_cap, self.scan_impl, self.has_scale,
+            self.has_anchor, self.interpret,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -179,6 +179,24 @@ class PriorityRequestQueue:
                 return None
             return heapq.heappop(self._heap)[2]
 
+    def drain(self, max_n: int, window_s: float) -> list:
+        """Batch dequeue: block until at least one item arrives, then wait
+        out the coalescing window (or until ``max_n`` items are queued) and
+        pop up to ``max_n`` items in priority order — the batcher-facing
+        surface (used by ``RequestCoalescer``; the reference declared this
+        queue and never called it, ``load_balancer.cpp:273-329``)."""
+        with self._cv:
+            while not self._heap:
+                self._cv.wait()
+            deadline = time.monotonic() + window_s
+            while len(self._heap) < max_n:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            n = min(max_n, len(self._heap))
+            return [heapq.heappop(self._heap)[2] for _ in range(n)]
+
     def __len__(self) -> int:
         with self._lock:
             return len(self._heap)

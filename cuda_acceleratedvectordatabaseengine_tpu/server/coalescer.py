@@ -8,6 +8,12 @@ Here coalescing IS the hot path: concurrent Search RPCs for the same index
 merge into one fixed-shape device batch (padded to the bucket sizes in
 ``utils/batching.py``), which is what keeps the MXU fed and compile caches
 warm.
+
+Two reference surfaces that existed as dead code there are live here:
+  - the pending queue is the 4-level ``PriorityRequestQueue`` (S8,
+    ``load_balancer.cpp:273-329``) — urgent requests jump the batch line;
+  - ``max_batch_fn`` lets the owner plug in the load-adaptive batch size
+    (``AdaptiveController.batch_size``, ``load_balancer.cpp:75-85``).
 """
 
 from __future__ import annotations
@@ -18,6 +24,11 @@ import threading
 import time
 from typing import Any, Callable
 
+from cuda_acceleratedvectordatabaseengine_tpu.server.balancer import (
+    Priority,
+    PriorityRequestQueue,
+)
+
 
 @dataclasses.dataclass
 class _Pending:
@@ -27,7 +38,7 @@ class _Pending:
 
 
 class RequestCoalescer:
-    """Generic windowed batcher.
+    """Windowed batcher over a priority queue.
 
     ``batch_fn(payloads) -> results`` is called with the drained batch on a
     worker thread; result i resolves future i. Exceptions fail the whole
@@ -41,30 +52,34 @@ class RequestCoalescer:
         window_s: float = 0.002,
         max_batch: int = 64,
         name: str = "coalescer",
+        max_batch_fn: Callable[[], int] | None = None,
     ):
         self.batch_fn = batch_fn
         self.window_s = window_s
         self.max_batch = max_batch
-        self._queue: list[_Pending] = []
+        self.max_batch_fn = max_batch_fn
+        self._queue = PriorityRequestQueue()
         self._lock = threading.Lock()
-        self._kick = threading.Condition(self._lock)
         self._stop = False
+        self._batches = 0
+        self._items = 0
         self._worker = threading.Thread(
             target=self._loop, name=name, daemon=True
         )
-        self._batches = 0
-        self._items = 0
         self._worker.start()
 
     # ------------------------------------------------------------------ #
 
-    def submit(self, payload) -> concurrent.futures.Future:
+    def submit(
+        self, payload, priority: Priority = Priority.NORMAL
+    ) -> concurrent.futures.Future:
         fut: concurrent.futures.Future = concurrent.futures.Future()
         with self._lock:
             if self._stop:
                 raise RuntimeError("coalescer stopped")
-            self._queue.append(_Pending(payload, fut, time.monotonic()))
-            self._kick.notify()
+        self._queue.put(
+            _Pending(payload, fut, time.monotonic()), priority
+        )
         return fut
 
     def stats(self) -> dict:
@@ -79,38 +94,39 @@ class RequestCoalescer:
     def stop(self) -> None:
         with self._lock:
             self._stop = True
-            self._kick.notify_all()
+        # sentinel wakes the drain; URGENT so it can't starve behind backlog
+        self._queue.put(None, Priority.URGENT)
         self._worker.join(timeout=5)
 
     # ------------------------------------------------------------------ #
 
+    def _current_max_batch(self) -> int:
+        if self.max_batch_fn is not None:
+            try:
+                return max(1, min(int(self.max_batch_fn()), self.max_batch))
+            except Exception:  # noqa: BLE001 — sizing is advisory only
+                pass
+        return self.max_batch
+
     def _loop(self) -> None:
         while True:
+            drained = self._queue.drain(
+                self._current_max_batch(), self.window_s
+            )
+            batch = [p for p in drained if p is not None]
             with self._lock:
-                while not self._queue and not self._stop:
-                    self._kick.wait()
-                if self._stop and not self._queue:
-                    return
-                # Window: wait for more work until window expiry or full
-                # batch (reference loop, ``query_service.cpp:587-636``).
-                deadline = self._queue[0].enqueued_at + self.window_s
-                while (
-                    len(self._queue) < self.max_batch
-                    and not self._stop
-                ):
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    self._kick.wait(timeout=remaining)
-                batch = self._queue[: self.max_batch]
-                self._queue = self._queue[self.max_batch:]
-                self._batches += 1
-                self._items += len(batch)
+                stopping = self._stop
+                if batch:
+                    self._batches += 1
+                    self._items += len(batch)
             try:
-                results = self.batch_fn([p.payload for p in batch])
-                for p, r in zip(batch, results):
-                    p.future.set_result(r)
+                if batch:
+                    results = self.batch_fn([p.payload for p in batch])
+                    for p, r in zip(batch, results):
+                        p.future.set_result(r)
             except Exception as e:  # noqa: BLE001 — fail the whole batch
                 for p in batch:
                     if not p.future.done():
                         p.future.set_exception(e)
+            if stopping and len(self._queue) == 0:
+                return

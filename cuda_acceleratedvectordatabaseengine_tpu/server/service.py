@@ -40,6 +40,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.server.balancer import (
     AdaptiveController,
     CircuitBreaker,
     ConcurrencyLimiter,
+    Priority,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.server.coalescer import (
     RequestCoalescer,
@@ -177,6 +178,12 @@ class VdbEngine:
             window_s=self.config.coalesce_window_ms / 1000.0,
             max_batch=self.config.max_batch_size,
             name=f"coalesce-{st.name}",
+            # Load-adaptive draining (reference intent, never wired there:
+            # ``load_balancer.cpp:75-85``): under concurrency pressure drain
+            # smaller batches so queueing latency stays bounded.
+            max_batch_fn=lambda: self.adaptive.batch_size(
+                self.limiter.active, self.limiter.max_concurrent
+            ),
         )
 
     def _load_epoch_into(self, st: IndexState, epoch_id: str) -> None:
@@ -330,6 +337,16 @@ def _abort(context, code, msg):
     context.abort(code, msg)
 
 
+def _wire_priority(request) -> Priority:
+    """SearchRequest.priority wire values (0/unset=normal, 1=low, 2=normal,
+    3=high, 4=urgent) → coalescer Priority."""
+    mapping = {
+        1: Priority.LOW, 2: Priority.NORMAL,
+        3: Priority.HIGH, 4: Priority.URGENT,
+    }
+    return mapping.get(getattr(request, "priority", 0), Priority.NORMAL)
+
+
 class QueryServiceImpl:
     """gRPC QueryService (S2)."""
 
@@ -356,7 +373,9 @@ class QueryServiceImpl:
         t0 = time.monotonic()
         ok = False
         try:
-            fut = st.coalescer.submit((queries, params))
+            fut = st.coalescer.submit(
+                (queries, params), priority=_wire_priority(request)
+            )
             d, ids = fut.result(timeout=eng.adaptive.timeout_s())
             resp = vdb_pb2.SearchResponse()
             for row_d, row_i in zip(d, ids):

@@ -118,52 +118,110 @@ def test_pallas_grouped_hot_list(rng):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
-def test_pallas_sorted_int8_path(rng):
-    """int8 fast path (int8×int8 MXU dots + exact norms): distances must
-    match the same math computed in numpy, and candidate sets must match
-    the fp32 gather scan on well-separated data."""
+def _quantize_per_row(arena_f, anchors=None):
+    """Per-row symmetric int8 quantization (same math as the build path);
+    optional residual anchors [nlist, dim]."""
+    res = arena_f - (anchors[:, None, :] if anchors is not None else 0.0)
+    scale = np.maximum(np.abs(res).max(axis=-1), 1e-12) / 127.0
+    codes = np.clip(
+        np.round(res / scale[:, :, None]), -127, 127
+    ).astype(np.int8)
+    deq = codes.astype(np.float32) * scale[:, :, None]
+    if anchors is not None:
+        deq = deq + anchors[:, None, :]
+    return codes, scale.astype(np.float32), deq
+
+
+def _numpy_int8_reference(q, arena_i8, scale, arena_sq, probe, cap, k,
+                          anchors=None):
+    """Quantized-math L2 reference: d = ‖q‖² − 2(q·a + s⊙(q·code)) + ‖x̂‖²."""
+    B = q.shape[0]
+    out_d, out_p = [], []
+    for b in range(B):
+        cand_d, cand_p = [], []
+        for l in probe[b]:
+            dots = arena_i8[l].astype(np.float32) @ q[b]
+            qx = scale[l] * dots
+            if anchors is not None:
+                qx = qx + anchors[l] @ q[b]
+            dd = np.maximum((q[b] ** 2).sum() - 2 * qx + arena_sq[l], 0)
+            cand_d.append(dd)
+            cand_p.append(l * cap + np.arange(cap))
+        cand_d = np.concatenate(cand_d)
+        cand_p = np.concatenate(cand_p)
+        ref_order = np.argsort(cand_d, kind="stable")[:k]
+        out_d.append(cand_d[ref_order])
+        out_p.append(cand_p[ref_order])
+    return np.stack(out_d), np.stack(out_p)
+
+
+@pytest.mark.parametrize("use_anchors", [False, True])
+@pytest.mark.parametrize("impl", ["sorted", "grouped", "gather", "ragged"])
+def test_int8_per_row_scale_paths(rng, impl, use_anchors):
+    """int8 quantized math (per-row scales, optional residual anchors):
+    every scan implementation must match the numpy reference exactly."""
     from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
+        scan_probed_lists_pallas_grouped,
         scan_probed_lists_pallas_sorted,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import (
+        scan_probed_lists_ragged,
     )
 
     nlist, cap, dim, B, P, k = 8, 128, 32, 4, 3, 5
     x = rng.standard_normal((nlist * cap, dim)).astype(np.float32)
     arena_f = x.reshape(nlist, cap, dim)
     counts = np.full(nlist, cap, np.int32)
-    # per-list int8 quantization (same as the build path)
-    scale = np.abs(arena_f).max(axis=(1, 2)) / 127.0
-    arena_i8 = np.clip(
-        np.round(arena_f / scale[:, None, None]), -127, 127
-    ).astype(np.int8)
-    arena_sq = (arena_f ** 2).sum(-1).astype(np.float32)
+    anchors = (
+        rng.standard_normal((nlist, dim)).astype(np.float32)
+        if use_anchors else None
+    )
+    arena_i8, scale, deq = _quantize_per_row(arena_f, anchors)
+    arena_sq = (deq ** 2).sum(-1).astype(np.float32)
     q = rng.standard_normal((B, dim)).astype(np.float32)
     probe = np.stack([
         rng.choice(nlist, P, replace=False) for _ in range(B)
     ]).astype(np.int32)
 
-    d, pos = scan_probed_lists_pallas_sorted(
+    kw = dict(
+        arena_scale=jnp.asarray(scale),
+        arena_anchors=jnp.asarray(anchors) if use_anchors else None,
+    )
+    args = (
         jnp.asarray(q), jnp.asarray(arena_i8), jnp.asarray(arena_sq),
         jnp.asarray(counts), jnp.asarray(probe), k, Metric.L2,
-        interpret=True, arena_scale=jnp.asarray(scale.astype(np.float32)),
     )
+    if impl == "sorted":
+        d, pos = scan_probed_lists_pallas_sorted(
+            *args, interpret=True, **kw
+        )
+    elif impl == "grouped":
+        d, pos = scan_probed_lists_pallas_grouped(
+            *args, interpret=True, m_budget=8, **kw
+        )
+    elif impl == "ragged":
+        d, pos = scan_probed_lists_ragged(*args, approx=False, **kw)
+    else:
+        d, pos = scan_probed_lists(*args, **kw)
     d, pos = np.asarray(d), np.asarray(pos)
 
-    # numpy reference of the same quantized math (queries stay exact fp32)
+    ref_d, ref_p = _numpy_int8_reference(
+        q, arena_i8, scale, arena_sq, probe, cap, k, anchors
+    )
     for b in range(B):
-        cand_d = []
-        cand_p = []
-        for l in probe[b]:
-            dots = arena_i8[l].astype(np.float32) @ q[b]
-            s = scale[l]
-            dd = np.maximum(
-                (q[b] ** 2).sum() - 2 * s * dots + arena_sq[l], 0
-            )
-            cand_d.append(dd)
-            cand_p.append(l * cap + np.arange(cap))
-        cand_d = np.concatenate(cand_d)
-        cand_p = np.concatenate(cand_p)
-        ref_order = np.argsort(cand_d, kind="stable")[:k]
-        np.testing.assert_allclose(
-            d[b], cand_d[ref_order], rtol=1e-5, atol=1e-5
-        )
-        assert set(pos[b].tolist()) == set(cand_p[ref_order].tolist())
+        np.testing.assert_allclose(d[b], ref_d[b], rtol=1e-4, atol=1e-4)
+        assert set(pos[b].tolist()) == set(ref_p[b].tolist())
+
+
+def test_residual_quantization_is_finer(rng):
+    """Residual (anchored) int8 encoding reconstructs clustered data much
+    more accurately than raw-value encoding — the recall lever."""
+    nlist, cap, dim = 8, 64, 32
+    centers = 4.0 * rng.standard_normal((nlist, dim)).astype(np.float32)
+    noise = 0.25 * rng.standard_normal((nlist, cap, dim)).astype(np.float32)
+    arena_f = centers[:, None, :] + noise
+    _, _, deq_raw = _quantize_per_row(arena_f, None)
+    _, _, deq_res = _quantize_per_row(arena_f, centers)
+    err_raw = np.abs(deq_raw - arena_f).mean()
+    err_res = np.abs(deq_res - arena_f).mean()
+    assert err_res < err_raw / 4.0, (err_raw, err_res)

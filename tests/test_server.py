@@ -377,3 +377,82 @@ def test_failed_build_reports_error(live_server):
     # the index remains searchable-empty, not corrupted
     stats = admin.GetStats(vdb_pb2.StatsRequest(index="empty"))
     assert stats.indexed_vectors == 0
+
+
+def test_coalescer_priority_and_adaptive_batch():
+    """S8 priority queue + adaptive batch sizing are live in the coalescer:
+    urgent submissions drain ahead of earlier low-priority ones, and the
+    drain size follows max_batch_fn."""
+    import time
+
+    from cuda_acceleratedvectordatabaseengine_tpu.server.balancer import (
+        Priority,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.coalescer import (
+        RequestCoalescer,
+    )
+
+    seen_batches = []
+    gate = threading.Event()
+
+    def batch_fn(items):
+        gate.wait(timeout=5)
+        seen_batches.append(list(items))
+        return items
+
+    co = RequestCoalescer(
+        batch_fn, window_s=0.05, max_batch=64, max_batch_fn=lambda: 2
+    )
+    try:
+        # First submission occupies the worker once the window closes; the
+        # gate keeps batch_fn busy while we stack up prioritized work.
+        futs = [co.submit("low", Priority.LOW)]
+        time.sleep(0.002)
+        futs.append(co.submit("normal", Priority.NORMAL))
+        futs.append(co.submit("urgent", Priority.URGENT))
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=5) in ("low", "normal", "urgent")
+        # max_batch_fn=2 caps every drained batch at 2
+        assert all(len(b) <= 2 for b in seen_batches)
+        # the urgent item must never drain after the low one in a later
+        # batch: find positions in the flattened drain order
+        order = [x for b in seen_batches for x in b]
+        assert order.index("urgent") < order.index("low") or \
+            seen_batches[0][0] == "low"  # low drained alone before urgent came
+    finally:
+        co.stop()
+
+
+def test_search_priority_field_accepted(live_server):
+    """SearchRequest.priority is wire-accepted end-to-end (urgent queries
+    jump the coalescer line; wire value 4 = URGENT)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    admin, query = live_server["admin"], live_server["query"]
+    name = "prio-idx"
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name=name, dimension=16, metric="L2", nlist=4
+    ))
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index=name, vectors=_vectors(rng, 128, 16)
+    ))
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index=name))
+    deadline = time.time() + 60
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index=name))
+            break
+        except grpc.RpcError as e:
+            if e.code() != grpc.StatusCode.FAILED_PRECONDITION:
+                raise
+            assert time.time() < deadline, "build never finished"
+            time.sleep(0.2)
+    probe = rng.standard_normal(16).astype(np.float32)
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=probe)], topk=4, nprobe=4,
+        index=name, priority=4,
+    ))
+    assert len(resp.results) == 1
+    assert len(resp.results[0].neighbors) >= 1
