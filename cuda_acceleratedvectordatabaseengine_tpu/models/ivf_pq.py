@@ -38,6 +38,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
 from cuda_acceleratedvectordatabaseengine_tpu.ops.pq import (
     pq_adc_lookup,
+    pq_decode as _pq_decode,
     pq_distance_tables,
     pq_encode,
     train_product_quantizer,
@@ -71,6 +72,9 @@ class IVFPQConfig:
     train_sample_per_list: int = 128
     pq_train_sample: int = 65536
     seed: int = 42
+    scan_impl: str = "auto"     # "auto" → grouped Pallas ADC kernel on TPU
+                                # (decode-staging; the XLA take_along_axis
+                                # lookup is TPU-pathological), "xla" | "pallas"
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -87,13 +91,15 @@ class IVFPQConfig:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k")
+    jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k",
+                              "scan_impl", "interpret")
 )
 def _ivf_pq_search_device(
     queries,        # [B, D] fp32
     centroids,      # [nlist, D] fp32
     codebooks,      # [m, ks, dsub] fp32
-    code_arena,     # [nlist, cap, m] uint8
+    code_arena_t,   # [nlist, m, cap] uint8 (subspace-major)
+    code_sq,        # [nlist, cap] fp32 ‖c_l + r̂‖² of decoded points
     counts,         # [nlist] int32
     raw_arena,      # [nlist, cap, D] raw dtype or None
     raw_sq,         # [nlist, cap] fp32 or None
@@ -103,9 +109,11 @@ def _ivf_pq_search_device(
     k: int,
     metric: Metric,
     rerank_k: int,  # 0 = no rerank
+    scan_impl: str = "xla",
+    interpret: bool = False,
 ):
     b, dim = queries.shape
-    nlist, cap, m = code_arena.shape
+    nlist, m, cap = code_arena_t.shape
     q = queries.astype(jnp.float32)
     if metric == Metric.COSINE:
         q = l2_normalize(q)
@@ -121,40 +129,59 @@ def _ivf_pq_search_device(
     _, probe_ids = topk_smallest(coarse, nprobe)
 
     keep = max(k, rerank_k)
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    init_d = jnp.full((b, keep), jnp.inf, jnp.float32)
-    init_p = jnp.full((b, keep), -1, jnp.int32)
+    if scan_impl == "pallas":
+        # Grouped Pallas ADC: decode-staged per distinct list, MXU dots —
+        # the TPU path (XLA take_along_axis ADC measured at 15 QPS there).
+        from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-    def step(carry, lists):
-        best_d, best_p = carry
-        safe = jnp.maximum(lists, 0)
-        c = centroids[safe]                       # [B, D]
-        if metric == Metric.INNER_PRODUCT:
-            # d = -(q·x) = -(q·c) - (q·r): table term from q, bias from c.
-            q_sub = q.reshape(b, m, dim // m)
-            tables = -jnp.einsum(
-                "bmd,mkd->bmk", q_sub, codebooks,
-                preferred_element_type=jnp.float32,
+        kernel_metric = (
+            Metric.INNER_PRODUCT
+            if metric == Metric.INNER_PRODUCT else Metric.L2
+        )
+        best_d, best_p = pallas_scan.scan_probed_codes_pallas_grouped(
+            q, code_arena_t, code_sq, counts, centroids, codebooks,
+            probe_ids.astype(jnp.int32), keep, kernel_metric,
+            interpret=interpret,
+        )
+    else:
+        slot_iota = jnp.arange(cap, dtype=jnp.int32)
+        init_d = jnp.full((b, keep), jnp.inf, jnp.float32)
+        init_p = jnp.full((b, keep), -1, jnp.int32)
+
+        def step(carry, lists):
+            best_d, best_p = carry
+            safe = jnp.maximum(lists, 0)
+            c = centroids[safe]                       # [B, D]
+            if metric == Metric.INNER_PRODUCT:
+                # d = -(q·x) = -(q·c) - (q·r): table term from q, bias from c.
+                q_sub = q.reshape(b, m, dim // m)
+                tables = -jnp.einsum(
+                    "bmd,mkd->bmk", q_sub, codebooks,
+                    preferred_element_type=jnp.float32,
+                )
+                bias = -jnp.sum(q * c, axis=-1)
+            else:
+                # L2 (and cosine-as-L2): ||q - (c + r)||² ≈ ADC over residual
+                # tables; exact for the quantized representation.
+                tables = pq_distance_tables(q - c, codebooks)
+                bias = jnp.zeros((b,), jnp.float32)
+            codes = code_arena_t[safe]                # [B, m, cap] gather
+            d = pq_adc_lookup(tables, codes) + bias[:, None]
+            valid = (slot_iota[None, :] < counts[safe][:, None]) & (
+                lists >= 0
+            )[:, None]
+            d = jnp.where(valid, d, jnp.inf)
+            pos = jnp.where(
+                valid, safe[:, None] * cap + slot_iota[None, :], -1
             )
-            bias = -jnp.sum(q * c, axis=-1)
-        else:
-            # L2 (and cosine-as-L2): ||q - (c + r)||² ≈ ADC over residual
-            # tables; exact for the quantized representation.
-            tables = pq_distance_tables(q - c, codebooks)
-            bias = jnp.zeros((b,), jnp.float32)
-        codes = code_arena[safe]                  # [B, cap, m] gather
-        d = pq_adc_lookup(tables, codes) + bias[:, None]
-        valid = (slot_iota[None, :] < counts[safe][:, None]) & (
-            lists >= 0
-        )[:, None]
-        d = jnp.where(valid, d, jnp.inf)
-        pos = jnp.where(valid, safe[:, None] * cap + slot_iota[None, :], -1)
-        dd = jnp.concatenate([best_d, d], axis=-1)
-        pp = jnp.concatenate([best_p, pos], axis=-1)
-        best_d, best_p = topk_smallest(dd, keep, idx=pp)
-        return (best_d, best_p), None
+            dd = jnp.concatenate([best_d, d], axis=-1)
+            pp = jnp.concatenate([best_p, pos], axis=-1)
+            best_d, best_p = topk_smallest(dd, keep, idx=pp)
+            return (best_d, best_p), None
 
-    (best_d, best_p), _ = jax.lax.scan(step, (init_d, init_p), probe_ids.T)
+        (best_d, best_p), _ = jax.lax.scan(
+            step, (init_d, init_p), probe_ids.T
+        )
 
     if rerank_k > 0 and raw_arena is not None:
         # Exact rerank: gather the raw candidate vectors and recompute true
@@ -202,9 +229,15 @@ class IVFPQIndex:
         self.centroids: jax.Array | None = None
         self.codebooks: jax.Array | None = None   # [m, ks, dsub] fp32
         cap = PackedListArena.SLOT_ALIGN
-        self.code_arena = jnp.zeros(
-            (config.nlist, cap, config.m), jnp.uint8
+        # Codes live TRANSPOSED on device ([nlist, m, cap]) so the Pallas
+        # ADC kernel's per-subspace rows are contiguous sublane slices;
+        # the public ``code_arena`` property presents [nlist, cap, m].
+        self.code_arena_t = jnp.zeros(
+            (config.nlist, config.m, cap), jnp.uint8
         )
+        # ‖c_l + r̂‖² of each DECODED point (the PQ analog of arena_sq) —
+        # the Pallas kernel's norms input.
+        self.code_sq = jnp.zeros((config.nlist, cap), jnp.float32)
         self.raw: PackedListArena | None = (
             PackedListArena.create(
                 config.nlist, config.dimension,
@@ -223,7 +256,35 @@ class IVFPQIndex:
 
     @property
     def capacity(self) -> int:
-        return self.code_arena.shape[1]
+        return self.code_arena_t.shape[2]
+
+    @property
+    def code_arena(self) -> jax.Array:
+        """[nlist, cap, m] view (storage is transposed — see __init__)."""
+        return self.code_arena_t.transpose(0, 2, 1)
+
+    @code_arena.setter
+    def code_arena(self, value) -> None:
+        self.code_arena_t = jnp.asarray(value).transpose(0, 2, 1)
+        self._refresh_code_sq()
+
+    def _refresh_code_sq(self) -> None:
+        """Recompute decoded-point norms for the whole arena (load path);
+        requires codebooks + centroids to be set. Chunked over lists so the
+        decoded fp32 intermediate never exceeds ~0.5 GB."""
+        if self.codebooks is None or self.centroids is None:
+            return
+        nlist, m, cap = self.code_arena_t.shape
+        dim = self.config.dimension
+        step = max(1, (128 << 20) // max(cap * dim * 4, 1))
+        out = []
+        for s in range(0, nlist, step):
+            block = self.code_arena_t[s:s + step]        # [S, m, cap]
+            codes = block.transpose(0, 2, 1).reshape(-1, m)
+            dec = _pq_decode(codes, self.codebooks)
+            deq = dec.reshape(block.shape[0], cap, dim) +                 self.centroids[s:s + step, None, :]
+            out.append(jnp.sum(deq * deq, axis=-1))
+        self.code_sq = jnp.concatenate(out, axis=0)
 
     @property
     def counts(self) -> jax.Array:
@@ -313,7 +374,15 @@ class IVFPQIndex:
 
         lists_d = jnp.asarray(assignments.astype(np.int32))
         slots_d = jnp.asarray(slots.astype(np.int32))
-        self.code_arena = self.code_arena.at[lists_d, slots_d].set(codes)
+        self.code_arena_t = self.code_arena_t.at[lists_d, :, slots_d].set(
+            codes
+        )
+        deq = _pq_decode(codes, self.codebooks) + self.centroids[
+            jnp.asarray(assignments)
+        ]
+        self.code_sq = self.code_sq.at[lists_d, slots_d].set(
+            jnp.sum(deq * deq, axis=-1)
+        )
         if self.raw is not None:
             self.raw = self.raw.append(vectors, np.asarray(ids), assignments)
         else:
@@ -324,9 +393,10 @@ class IVFPQIndex:
 
     def _grow(self, new_cap: int) -> None:
         pad = new_cap - self.capacity
-        self.code_arena = jnp.pad(
-            self.code_arena, ((0, 0), (0, pad), (0, 0))
+        self.code_arena_t = jnp.pad(
+            self.code_arena_t, ((0, 0), (0, 0), (0, pad))
         )
+        self.code_sq = jnp.pad(self.code_sq, ((0, 0), (0, pad)))
         if self.raw is None:
             ids = np.full(
                 (self.config.nlist, new_cap), INVALID_ID, np.uint64
@@ -363,11 +433,18 @@ class IVFPQIndex:
         raw_sq = self.raw.arena_sq if self.raw is not None else None
         raw_scale = self.raw.arena_scale if self.raw is not None else None
         raw_anchors = self.raw.anchors if self.raw is not None else None
+        scan_impl = self.config.scan_impl
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+        interpret = scan_impl == "pallas" and jax.default_backend() != "tpu"
         d, pos = _ivf_pq_search_device(
             jnp.asarray(queries),
             self.centroids,
             self.codebooks,
-            self.code_arena,
+            self.code_arena_t,
+            self.code_sq,
             self.counts,
             raw_arena,
             raw_sq,
@@ -377,6 +454,8 @@ class IVFPQIndex:
             params.k,
             self.metric,
             rerank_k,
+            scan_impl,
+            interpret,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
@@ -447,7 +526,7 @@ class IVFPQIndex:
         return load_ivf_pq(path)
 
     def memory_stats(self) -> dict:
-        code_bytes = self.code_arena.size
+        code_bytes = self.code_arena_t.size
         raw_bytes = self.raw.nbytes_device() if self.raw is not None else 0
         cb_bytes = 0 if self.codebooks is None else self.codebooks.size * 4
         cent_bytes = 0 if self.centroids is None else self.centroids.size * 4

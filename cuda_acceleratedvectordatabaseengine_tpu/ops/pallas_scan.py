@@ -155,7 +155,7 @@ def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool):
         qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
     if has_anchor:
         qa = jax.lax.dot_general(                       # (1, 1) q·anchor
-            anchor_ref[...], q_row,
+            anchor_ref[0], q_row,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -245,10 +245,14 @@ def scan_probed_lists_pallas_sorted(
         )
         operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
     if has_anchor:
+        # [nlist, 1, D] with (1, 1, D) blocks: a plain (1, D) block violates
+        # Mosaic's 8/128-or-full rule on the last two dims.
         in_specs.append(
-            pl.BlockSpec((1, dim), lambda i, r, l, c, qs: (l[i], 0))
+            pl.BlockSpec((1, 1, dim), lambda i, r, l, c, qs: (l[i], 0, 0))
         )
-        operands.append(arena_anchors.astype(jnp.float32))
+        operands.append(
+            arena_anchors.astype(jnp.float32)[:, None, :]
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # rows, lists, counts, qsq
@@ -286,80 +290,15 @@ def scan_probed_lists_pallas_sorted(
     )
 
 
-def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
-                    has_anchor: bool):
-    # Mosaic note: every intermediate is born 2-D (keepdims reductions,
-    # transposed one-hot) — 1-D→2-D vector reshapes don't lower.
-    (row_list_ref, counts_ref, qrow_ref, q_ref, block_ref,
-     blocksq_ref) = refs[:6]
-    pos = 6
-    scale_ref = anchor_ref = None
-    if has_scale:
-        scale_ref = refs[pos]
-        pos += 1
-    if has_anchor:
-        anchor_ref = refs[pos]
-        pos += 1
-    out_d_ref, out_s_ref, cast_ref, last_ref = refs[pos:pos + 4]
-
-    i = pl.program_id(0)
-    list_id = row_list_ref[i]
-    nlist = counts_ref.shape[0]
-    cap = block_ref.shape[1]
-    m = qrow_ref.shape[1]
-    batch = q_ref.shape[0]
-    safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
-
-    # fp32 cast of the raw block staged once per DISTINCT list in
-    # persistent scratch (rows of the same list are consecutive).
-    @pl.when((i == 0) | (last_ref[0] != list_id))
-    def _():
-        cast_ref[...] = block_ref[0].astype(jnp.float32)
-        last_ref[0] = list_id
-
-    # This row's M query vectors as a one-hot MXU matmul (Mosaic has no
-    # in-kernel gather): onehot_T [B, M] × contraction over B.
-    qv = jnp.maximum(qrow_ref[pl.ds(i % 8, 1), :], 0)   # (1, M) int32
-    onehot_t = (
-        jax.lax.broadcasted_iota(jnp.int32, (batch, m), 0) == qv
-    ).astype(jnp.float32)                               # [B, M]
-    q_sub = jax.lax.dot_general(
-        onehot_t, q_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # [M, D]
-    dots = jax.lax.dot_general(                         # [M, cap] MXU
-        q_sub, cast_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qx = dots
-    if has_scale:
-        qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
-    if has_anchor:
-        qa = jax.lax.dot_general(                       # [M, 1] q·anchor
-            q_sub, anchor_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        qx = qx + qa
-    if metric == Metric.L2:
-        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
-        d = jnp.maximum(
-            q_sq - 2.0 * qx + blocksq_ref[pl.ds(safe_l % 8, 1), :], 0.0
-        )
-    elif metric == Metric.INNER_PRODUCT:
-        d = -qx
-    else:
-        d = 1.0 - qx
-    # Slot validity only; row validity (padded slots, sentinel rows) is an
-    # epilogue concern — junk rows are simply never gathered there.
+def _emit_row_topk(d, cnt, k: int, out_d_ref, out_s_ref):
+    """Shared grouped-kernel tail: mask invalid slots, then k
+    min-extraction passes over [M, cap] on the VPU — shrinks the kernel
+    output from M·cap distances to M·k candidates. Row validity (padded
+    slots, sentinel rows) is an epilogue concern — junk rows are simply
+    never gathered there."""
+    m, cap = d.shape
     slot = jax.lax.broadcasted_iota(jnp.int32, (m, cap), 1)
-    cnt = counts_ref[safe_l]
     d = jnp.where(slot < cnt, d, jnp.inf)
-
-    # In-kernel top-k: k min-extraction passes over [M, cap] on the VPU —
-    # shrinks the kernel output from M·cap distances to M·k candidates.
     col = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
     big = jnp.int32(cap + 1)
 
@@ -383,6 +322,137 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
     )
     out_d_ref[0] = best_d
     out_s_ref[0] = best_s
+
+
+def _pack_pairs_into_rows(probe_ids, nlist: int, m: int, n_rows: int):
+    """Sort (query, probe) pairs by list id and pack them into list-rows of
+    up to M same-list queries (shared by the grouped scan kernels).
+
+    Returns ``(order, key_sorted, row_of_pair, m_of_pair, row_list,
+    qrow_table)`` where ``row_list [n_rows]`` maps grid row → list id
+    (sentinel ``nlist`` for unused rows) and ``qrow_table [n_rows_pad, m]``
+    maps (row, m-slot) → query index (−1 empty)."""
+    batch, nprobe = probe_ids.shape
+    n_pairs = batch * nprobe
+    flat = probe_ids.reshape(-1)
+    pair_b = jnp.arange(n_pairs, dtype=jnp.int32) // nprobe
+    key = jnp.where(flat >= 0, flat, nlist)             # invalid → sentinel
+    order = jnp.argsort(key, stable=True)
+    key_sorted = key[order]
+    gcounts = jax.ops.segment_sum(
+        jnp.ones((n_pairs,), jnp.int32), key_sorted,
+        num_segments=nlist + 1,
+    )
+    gstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gcounts)[:-1].astype(
+            jnp.int32)]
+    )
+    r_in_list = jnp.arange(n_pairs, dtype=jnp.int32) - gstart[key_sorted]
+    rows_per_list = -(-gcounts // m)
+    row_offset = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(rows_per_list)[:-1].astype(jnp.int32)]
+    )
+    row_of_pair = row_offset[key_sorted] + r_in_list // m
+    m_of_pair = r_in_list % m
+
+    row_list = jnp.full((n_rows,), nlist, jnp.int32).at[row_of_pair].set(
+        key_sorted
+    )
+    qrow_table = jnp.full((n_rows, m), -1, jnp.int32).at[
+        row_of_pair, m_of_pair
+    ].set(jnp.where(flat[order] >= 0, pair_b[order], -1))
+    n_rows_pad = -(-n_rows // 8) * 8
+    qrow_table = jnp.pad(
+        qrow_table, ((0, n_rows_pad - n_rows), (0, 0)),
+        constant_values=-1,
+    )
+    return order, key_sorted, row_of_pair, m_of_pair, row_list, qrow_table
+
+
+def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
+                      global_cap, slot_stride, slot_offset, approx):
+    """Per-pair candidate rows back to (b, p) order, then a tiny final
+    top-k over nprobe·k candidates per query (shared by the grouped scan
+    kernels). Local slots map to logical ones under striping."""
+    order, key_sorted, row_of_pair, m_of_pair, _, _ = pack
+    pair_d = out_d[row_of_pair, m_of_pair]              # [BP, k] sorted order
+    pair_s = out_s[row_of_pair, m_of_pair]
+    real = (
+        (pair_s >= 0) & (key_sorted[:, None] < nlist)
+        & jnp.isfinite(pair_d)
+    )
+    pair_d = jnp.where(real, pair_d, jnp.inf)
+    pair_pos = jnp.where(
+        real,
+        key_sorted[:, None] * global_cap
+        + (pair_s * slot_stride + slot_offset),
+        -1,
+    )
+    inv = jnp.argsort(order)
+    d = pair_d[inv].reshape(batch, nprobe * k)
+    pos = pair_pos[inv].reshape(batch, nprobe * k)
+    return topk_smallest(d, k, idx=pos, approx=approx)
+
+
+def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
+                    has_anchor: bool):
+    # Mosaic note: every intermediate is born 2-D (keepdims reductions) —
+    # 1-D→2-D vector reshapes don't lower.
+    (row_list_ref, counts_ref, qrows_ref, block_ref, blocksq_ref) = refs[:5]
+    pos = 5
+    scale_ref = anchor_ref = None
+    if has_scale:
+        scale_ref = refs[pos]
+        pos += 1
+    if has_anchor:
+        anchor_ref = refs[pos]
+        pos += 1
+    out_d_ref, out_s_ref, cast_ref, last_ref = refs[pos:pos + 4]
+
+    i = pl.program_id(0)
+    list_id = row_list_ref[i]
+    nlist = counts_ref.shape[0]
+    cap = block_ref.shape[1]
+    m = qrows_ref.shape[1]
+    safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
+
+    # fp32 cast of the raw block staged once per DISTINCT list in
+    # persistent scratch (rows of the same list are consecutive).
+    @pl.when((i == 0) | (last_ref[0] != list_id))
+    def _():
+        cast_ref[...] = block_ref[0].astype(jnp.float32)
+        last_ref[0] = list_id
+
+    # This row's M query vectors arrive pre-gathered by XLA ([n_rows, M, D]
+    # blocks): a fixed ~M·D·4 bytes/step of HBM instead of the one-hot
+    # gather matmul whose cost scaled with batch × steps.
+    q_sub = qrows_ref[0]                                # [M, D] fp32
+    dots = jax.lax.dot_general(                         # [M, cap] MXU
+        q_sub, cast_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qx = dots
+    if has_scale:
+        qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
+    if has_anchor:
+        qa = jax.lax.dot_general(                       # [M, 1] q·anchor
+            q_sub, anchor_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qx = qx + qa
+    if metric == Metric.L2:
+        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
+        d = jnp.maximum(
+            q_sq - 2.0 * qx + blocksq_ref[pl.ds(safe_l % 8, 1), :], 0.0
+        )
+    elif metric == Metric.INNER_PRODUCT:
+        d = -qx
+    else:
+        d = 1.0 - qx
+    _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
 
 
 @functools.partial(
@@ -432,51 +502,18 @@ def scan_probed_lists_pallas_grouped(
     has_anchor = arena_anchors is not None
 
     q = queries.astype(jnp.float32)
-    flat = probe_ids.reshape(-1)
-    pair_b = (
-        jnp.arange(n_pairs, dtype=jnp.int32) // nprobe
-    )
-    key = jnp.where(flat >= 0, flat, nlist)             # invalid → sentinel
-    order = jnp.argsort(key, stable=True)
-    key_sorted = key[order]
-    gcounts = jax.ops.segment_sum(
-        jnp.ones((n_pairs,), jnp.int32), key_sorted,
-        num_segments=nlist + 1,
-    )
-    gstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gcounts)[:-1].astype(
-            jnp.int32)]
-    )
-    r_in_list = jnp.arange(n_pairs, dtype=jnp.int32) - gstart[key_sorted]
-    rows_per_list = -(-gcounts // m)
-    row_offset = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(rows_per_list)[:-1].astype(jnp.int32)]
-    )
-    row_of_pair = row_offset[key_sorted] + r_in_list // m
-    m_of_pair = r_in_list % m
-
-    row_list = jnp.full((n_rows,), nlist, jnp.int32).at[row_of_pair].set(
-        key_sorted
-    )
-    qrow_table = jnp.full((n_rows, m), -1, jnp.int32).at[
-        row_of_pair, m_of_pair
-    ].set(jnp.where(flat[order] >= 0, pair_b[order], -1))
-
-    n_rows_pad = -(-n_rows // 8) * 8
-    qrow_table = jnp.pad(
-        qrow_table, ((0, n_rows_pad - n_rows), (0, 0)),
-        constant_values=-1,
-    )
+    pack = _pack_pairs_into_rows(probe_ids, nlist, m, n_rows)
+    (order, key_sorted, row_of_pair, m_of_pair, row_list, qrow_table) = pack
 
     def _blk(i, rl, cnt):
         return jnp.minimum(jnp.maximum(rl[i], 0), cnt.shape[0] - 1)
 
+    # Pre-gather each row's M queries in XLA (junk slots read q[0]; the
+    # epilogue's `real` mask drops them).
+    q_rows = q[jnp.maximum(qrow_table, 0)]              # [n_rows_pad, M, D]
+
     in_specs = [
-        # row→query table: (8, M) VMEM blocks (SMEM allows only scalar
-        # loads, so this rides as a tensor input)
-        pl.BlockSpec((8, m), lambda i, rl, cnt: (i // 8, 0)),
-        pl.BlockSpec((batch, dim), lambda i, rl, cnt: (0, 0)),
+        pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (i, 0, 0)),
         pl.BlockSpec(
             (1, cap, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
         ),
@@ -484,17 +521,20 @@ def scan_probed_lists_pallas_grouped(
             (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
         ),
     ]
-    operands = [qrow_table, q, arena, _pad_rows8(arena_sq)]
+    operands = [q_rows, arena, _pad_rows8(arena_sq)]
     if has_scale:
         in_specs.append(pl.BlockSpec(
             (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
         ))
         operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
     if has_anchor:
+        # [nlist, 1, D] with (1, 1, D) blocks (Mosaic last-two-dims rule).
         in_specs.append(pl.BlockSpec(
-            (1, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0)
+            (1, 1, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
         ))
-        operands.append(arena_anchors.astype(jnp.float32))
+        operands.append(
+            arena_anchors.astype(jnp.float32)[:, None, :]
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # row→list, counts
@@ -521,27 +561,10 @@ def scan_probed_lists_pallas_grouped(
         compiler_params=_VMEM_PARAMS,
     )
     out_d, out_s = run(row_list, kernel_counts, *operands)
-
-    # Epilogue: per-pair candidate rows back to (b, p) order, then a tiny
-    # final top-k over nprobe·k candidates per query. Local slots map to
-    # logical ones under striping (see _local_counts).
-    pair_d = out_d[row_of_pair, m_of_pair]              # [BP, k] sorted order
-    pair_s = out_s[row_of_pair, m_of_pair]
-    real = (
-        (pair_s >= 0) & (key_sorted[:, None] < nlist)
-        & jnp.isfinite(pair_d)
+    return _grouped_epilogue(
+        out_d, out_s, pack, batch, nprobe, k, nlist, global_cap,
+        slot_stride, slot_offset, approx,
     )
-    pair_d = jnp.where(real, pair_d, jnp.inf)
-    pair_pos = jnp.where(
-        real,
-        key_sorted[:, None] * global_cap
-        + (pair_s * slot_stride + slot_offset),
-        -1,
-    )
-    inv = jnp.argsort(order)
-    d = pair_d[inv].reshape(batch, nprobe * k)
-    pos = pair_pos[inv].reshape(batch, nprobe * k)
-    return topk_smallest(d, k, idx=pos, approx=approx)
 
 
 @functools.partial(
@@ -607,4 +630,169 @@ def scan_probed_lists_pallas(
         k,
         idx=pos.reshape(batch, nprobe * cap),
         approx=approx,
+    )
+
+
+def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
+                       codesq_ref, cbt_ref, anchor_ref, out_d_ref,
+                       out_s_ref, decode_ref, last_ref,
+                       *, metric: Metric, k: int, dsub: int, ks: int):
+    """Grouped ADC scan: PQ decode-staging instead of dtype cast-staging.
+
+    The insight that makes ADC TPU-native: ADC over a list's codes is
+    EXACTLY a scan of the PQ-decoded vectors (Σ_j table[b,j,code] =
+    ‖q − c_l − r̂‖² with r̂ = concat_j codebook_j[code_j]). Mosaic has no
+    gather, so the table lookup becomes per-subspace one-hot MXU matmuls
+    staged ONCE per distinct list: decode_T[j·dsub:(j+1)·dsub, :] =
+    cbT_j [dsub, ks] × onehot_j [ks, cap]. After staging, each grid step is
+    the same [M, D] × [D, cap] dot as the int8 grouped kernel — the decode
+    (the expensive part of the reference's per-code shared-memory lookup
+    loop, ``engine/kernels.cuh:281-288``) amortizes over every query
+    probing the list."""
+    i = pl.program_id(0)
+    list_id = row_list_ref[i]
+    nlist = counts_ref.shape[0]
+    m_sub = codes_ref.shape[1]
+    cap = codes_ref.shape[2]
+    safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
+
+    @pl.when((i == 0) | (last_ref[0] != list_id))
+    def _():
+        codes = codes_ref[0].astype(jnp.int32)          # [m, cap]
+        for j in range(m_sub):                          # static unroll
+            cj = codes[j:j + 1, :]                      # [1, cap]
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (ks, cap), 0) == cj
+            ).astype(jnp.float32)                       # [ks, cap]
+            dec = jax.lax.dot_general(                  # [dsub, cap] MXU
+                cbt_ref[j * dsub:(j + 1) * dsub, :], onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            decode_ref[j * dsub:(j + 1) * dsub, :] = dec
+        last_ref[0] = list_id
+
+    q_sub = qrows_ref[0]                                # [M, D] fp32
+    dots = jax.lax.dot_general(                         # [M, cap] MXU
+        q_sub, decode_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qa = jax.lax.dot_general(                           # [M, 1] q·centroid
+        q_sub, anchor_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qx = dots + qa                                      # q·(c_l + r̂)
+    if metric == Metric.L2:
+        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)
+        d = jnp.maximum(
+            q_sq - 2.0 * qx + codesq_ref[pl.ds(safe_l % 8, 1), :], 0.0
+        )
+    elif metric == Metric.INNER_PRODUCT:
+        d = -qx
+    else:
+        d = 1.0 - qx
+    _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "approx", "interpret", "m_budget",
+                     "slot_stride", "global_capacity"),
+)
+def scan_probed_codes_pallas_grouped(
+    queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
+    codes_t: jax.Array,     # [nlist, m, cap] uint8 (TRANSPOSED code arena)
+    code_sq: jax.Array,     # [nlist, cap] fp32 ‖c_l + r̂‖² of decoded points
+    counts: jax.Array,      # [nlist] int32
+    centroids: jax.Array,   # [nlist, D] fp32 coarse centroids (PQ anchors)
+    codebooks: jax.Array,   # [m, ks, dsub] fp32
+    probe_ids: jax.Array,   # [B, P] int32 (-1 = no probe)
+    k: int,
+    metric: Metric = Metric.L2,
+    approx: bool = False,
+    interpret: bool = False,
+    m_budget: int | None = None,
+    slot_stride: int = 1,
+    slot_offset: jax.Array | int = 0,
+    global_capacity: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """List-centric grouped Pallas ADC scan — the TPU IVF-PQ fast path.
+
+    Replaces the XLA ``take_along_axis`` ADC lookup (TPU-pathological: 15
+    QPS measured at 1M×768 m=96) with the decode-staging grouped kernel
+    (see ``_grouped_pq_kernel``). Reads ``m`` bytes/vector instead of the
+    int8 arena's ``D`` — the ~8× bandwidth lever (D=768, m=96) that makes
+    corpora beyond int8's HBM reach servable from one chip. Distances are
+    bit-exact ADC distances (quantized representation, fp32 queries);
+    cosine callers convert the L2-space result themselves, as the XLA path
+    does (``models/ivf_pq._ivf_pq_search_device``)."""
+    batch, nprobe = probe_ids.shape
+    nlist, m_sub, cap = codes_t.shape
+    mq, ks, dsub = codebooks.shape
+    assert mq == m_sub
+    dim = m_sub * dsub
+    global_cap = global_capacity if global_capacity is not None else cap
+    kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
+    n_pairs = batch * nprobe
+    if m_budget is None:
+        m_budget = max(8, min(32, -(-n_pairs // nlist) * 2))
+    m = m_budget
+    n_rows = n_pairs // m + nlist + 1
+
+    q = queries.astype(jnp.float32)
+    pack = _pack_pairs_into_rows(probe_ids, nlist, m, n_rows)
+    (_, _, _, _, row_list, qrow_table) = pack
+    q_rows = q[jnp.maximum(qrow_table, 0)]              # [n_rows_pad, M, D]
+    # codebooks → [dim, ks] with rows j·dsub:(j+1)·dsub = cb_j.T
+    cbt = codebooks.transpose(0, 2, 1).reshape(dim, ks).astype(jnp.float32)
+
+    def _blk(i, rl, cnt):
+        return jnp.minimum(jnp.maximum(rl[i], 0), cnt.shape[0] - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # row→list, counts
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, m_sub, cap), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
+            ),
+            pl.BlockSpec(
+                (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+            ),
+            pl.BlockSpec((dim, ks), lambda i, rl, cnt: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dim, cap), jnp.float32),   # decoded block (T)
+            pltpu.SMEM((1,), jnp.int32),           # last decoded list id
+        ],
+    )
+    run = pl.pallas_call(
+        functools.partial(_grouped_pq_kernel, metric=metric, k=k,
+                          dsub=dsub, ks=ks),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, m, k), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=_VMEM_PARAMS,
+    )
+    out_d, out_s = run(
+        row_list, kernel_counts, q_rows, codes_t,
+        _pad_rows8(code_sq), cbt,
+        centroids.astype(jnp.float32)[:, None, :],
+    )
+    return _grouped_epilogue(
+        out_d, out_s, pack, batch, nprobe, k, nlist, global_cap,
+        slot_stride, slot_offset, approx,
     )

@@ -105,18 +105,30 @@ def pq_distance_tables(
 
 def pq_adc_lookup(
     tables: jax.Array,     # [B, m, ks] fp32
-    codes: jax.Array,      # [B, L, m] uint8
+    codes: jax.Array,      # [B, m, L] uint8 (code-major / transposed layout)
 ) -> jax.Array:
     """ADC scan (K4, ``engine/kernels.cuh:226-312``): distance of each coded
-    vector = Σ_j table[b, j, code[b, l, j]]. Returns ``[B, L]`` fp32.
+    vector = Σ_j table[b, j, code[b, j, l]]. Returns ``[B, L]`` fp32.
 
-    The per-code table gather is the VPU-side op; the tables themselves are
-    tiny (m·ks·4 bytes ≈ 100 KB) and live in VMEM."""
-    b, m, ks = tables.shape
-    tables_flat = tables.reshape(b, m * ks)
-    offs = (jnp.arange(m, dtype=jnp.int32) * ks)[None, None, :]
-    idx = codes.astype(jnp.int32) + offs                 # [B, L, m]
+    Codes arrive subspace-major (the device storage layout — it makes the
+    Pallas kernel's per-subspace rows contiguous); the lookup is then a
+    straight ``take_along_axis`` over the table's codeword axis. This XLA
+    path is the CPU/portable ADC; on TPU the gather is pathological and the
+    grouped Pallas kernel (``ops/pallas_scan.scan_probed_codes_pallas_
+    grouped``) replaces it."""
     gathered = jnp.take_along_axis(
-        tables_flat[:, None, :], idx, axis=-1
-    )                                                    # [B, L, m]
-    return jnp.sum(gathered, axis=-1)
+        tables, codes.astype(jnp.int32), axis=-1
+    )                                                    # [B, m, L]
+    return jnp.sum(gathered, axis=1)
+
+
+def pq_decode(
+    codes: jax.Array,      # [n, m] uint8
+    codebooks: jax.Array,  # [m, ks, dsub] fp32
+) -> jax.Array:
+    """Reconstruct residuals from codes: ``[n, m·dsub]`` fp32 (the decode
+    the reference never needed on-GPU; used for stored-point norms and
+    snapshot-free rebuilds)."""
+    m = codebooks.shape[0]
+    picked = codebooks[jnp.arange(m)[None, :], codes.astype(jnp.int32)]
+    return picked.reshape(codes.shape[0], -1)

@@ -1,0 +1,190 @@
+"""Dev-only TPU sweep: build the BASELINE 10M x 768 int8 index once, then
+measure QPS/recall across scan impls, batch sizes, and grouped m_budget.
+
+Usage (one TPU process at a time — see CLAUDE.md):
+    python scripts/dev_sweep.py --n 10000000 \
+        --config pallas_sorted:512 --config pallas_grouped:512:16 ...
+
+Prints one JSON line per config to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import clustered_corpus, make_oracle_updater, _stage  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--nlist", type=int, default=4096)
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--dtype", default="int8")
+    p.add_argument("--n-batches", type=int, default=20)
+    p.add_argument("--max-batch", type=int, default=1024)
+    p.add_argument(
+        "--config", action="append", default=[],
+        help="impl:batch[:m_budget], e.g. pallas_grouped:512:16",
+    )
+    args = p.parse_args()
+    if not args.config:
+        args.config = [
+            "pallas_sorted:512",
+            "pallas_grouped:512:8",
+            "pallas_grouped:512:16",
+            "pallas_grouped:1024:16",
+            "pallas_grouped:1024:32",
+        ]
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu import (
+        IVFFlatConfig,
+        IVFFlatIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        _ivf_search_device,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+        Metric,
+        pairwise_distance,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import (
+        topk_smallest,
+    )
+
+    key = jax.random.PRNGKey(42)
+    cfg = IVFFlatConfig(
+        dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
+        train_sample_per_list=64, max_capacity_factor=4.0,
+    )
+    idx = IVFFlatIndex(cfg)
+    nq = args.max_batch
+
+    chunk_n = 500_000
+    mean = args.n // args.nlist
+    capacity = -(-int(mean * 1.35) // 128) * 128
+    starts = list(range(0, args.n, chunk_n))
+    kx = key
+    chunk_keys = []
+    for _ in starts:
+        kx, sub = jax.random.split(kx)
+        chunk_keys.append(sub)
+
+    # Oracle in 512-query slices: the [nq, 500K] distance intermediate at
+    # nq=2048 is 4 GB — alongside the 10 GB arena that OOMs the chip.
+    oracle_update = make_oracle_updater(args.k)
+    q_slice = 512
+    gt_d = [
+        jnp.full((q_slice, args.k), jnp.inf, jnp.float32)
+        for _ in range(nq // q_slice)
+    ]
+    gt_i = [
+        jnp.full((q_slice, args.k), -1, jnp.int64)
+        for _ in range(nq // q_slice)
+    ]
+    chunk_queries = None
+    kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
+    t0 = time.time()
+    for ci, start in enumerate(starts):
+        m = min(chunk_n, args.n - start)
+        _stage(f"chunk {ci}/{len(starts)}")
+        xc, _ = clustered_corpus(
+            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25
+        )
+        xc.block_until_ready()
+        if ci == 0:
+            idx.train_from_device(xc)
+            jax.block_until_ready(idx.centroids)
+            qi0 = jax.random.randint(kq1, (nq,), 0, m)
+            chunk_queries = xc[qi0].astype(jnp.float32) + \
+                0.1 * jax.random.normal(kq2, (nq, args.dim), jnp.float32)
+        idx.append_balanced(
+            xc, ids=np.arange(start, start + m, dtype=np.uint64),
+            capacity=capacity,
+        )
+        jax.block_until_ready(idx.arena.arena)
+        for qi in range(nq // q_slice):
+            s = slice(qi * q_slice, (qi + 1) * q_slice)
+            gt_d[qi], gt_i[qi] = oracle_update(
+                gt_d[qi], gt_i[qi], chunk_queries[s], xc, jnp.int64(start)
+            )
+            gt_d[qi].block_until_ready()
+        del xc
+    truth = np.concatenate([np.asarray(g) for g in gt_i])
+    _stage(f"build done in {time.time()-t0:.0f}s cap={idx.arena.capacity} "
+           f"arena_gb={idx.arena.nbytes_device()/(1<<30):.2f}")
+
+    arena = idx.arena
+    sargs = (idx.centroids, arena.arena, arena.arena_sq, arena.counts)
+
+    for spec in args.config:
+        parts = spec.split(":")
+        impl, batch = parts[0], int(parts[1])
+        m_budget = int(parts[2]) if len(parts) > 2 else None
+        q = chunk_queries[:batch]
+
+        if impl == "pallas_grouped" and m_budget is not None:
+            def dev_search(qq, _m=m_budget):
+                qf = qq.astype(jnp.float32)
+                coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
+                _, probe = topk_smallest(coarse, args.nprobe)
+                return pallas_scan.scan_probed_lists_pallas_grouped(
+                    qf, arena.arena, arena.arena_sq, arena.counts,
+                    probe.astype(jnp.int32), args.k, Metric.L2,
+                    m_budget=_m, arena_scale=arena.arena_scale,
+                    arena_anchors=arena.anchors,
+                )
+        else:
+            def dev_search(qq, _impl=impl):
+                d, pos, _ = _ivf_search_device(
+                    qq, *sargs, args.nprobe, args.k, Metric.L2, _impl,
+                    False, 0, None, arena.arena_scale, arena.anchors,
+                )
+                return d, pos
+
+        _stage(f"{spec}: compile")
+        tc = time.time()
+        d, pos = dev_search(q)
+        jax.block_until_ready((d, pos))
+        compile_s = time.time() - tc
+
+        got = idx.arena.positions_to_ids(np.asarray(pos)).astype(np.int64)
+        recall = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / args.k
+            for a, b in zip(got, truth[:batch])
+        ])
+
+        _stage(f"{spec}: throughput")
+        t1 = time.time()
+        results = [dev_search(q) for _ in range(args.n_batches)]
+        jax.block_until_ready(results)
+        dt = time.time() - t1
+        qps = args.n_batches * batch / dt
+        lats = []
+        for _ in range(5):
+            t2 = time.time()
+            jax.block_until_ready(dev_search(q))
+            lats.append((time.time() - t2) * 1000)
+        print(json.dumps({
+            "config": spec, "qps": round(qps, 1),
+            "recall": round(float(recall), 4),
+            "batch_ms_p50": round(float(np.median(lats)), 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,9 @@ def test_pq_ops_roundtrip(rng):
     q = rng.standard_normal((5, 16)).astype(np.float32)
     tables = pq_distance_tables(jnp.asarray(q), cb)
     assert tables.shape == (5, 4, 256)
-    adc = np.asarray(pq_adc_lookup(tables, jnp.asarray(codes)[None].repeat(5, 0)))
+    # lookup takes subspace-major codes: [B, m, L]
+    codes_t = jnp.asarray(codes).T[None].repeat(5, 0)
+    adc = np.asarray(pq_adc_lookup(tables, codes_t))
     true = ((q[:, None] - x[None, :100]) ** 2).sum(-1)
     # ADC error bounded by quantization error; correlation must be strong.
     corr = np.corrcoef(adc.ravel(), true.ravel())[0, 1]
@@ -141,3 +143,45 @@ def test_ivf_pq_int8_raw_rerank(rng, oracle):
     l = int(np.argmax(counts))
     uid = int(idx.ids[l, 0])
     np.testing.assert_allclose(arena[l, 0], x[uid], rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("metric", ["L2", "InnerProduct"])
+def test_pallas_pq_scan_matches_xla(rng, metric):
+    """The grouped Pallas ADC kernel (decode-staging) must produce the same
+    candidates and distances as the XLA table-lookup ADC."""
+    import jax.numpy as jnp
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+
+    n, dim, nlist, m = 4000, 32, 8, 4
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((16, dim)).astype(np.float32)
+
+    def build(impl):
+        idx = IVFPQIndex(IVFPQConfig(
+            dimension=dim, nlist=nlist, m=m, metric=metric,
+            scan_impl=impl,
+        ))
+        idx.train(x)
+        idx.add(x)
+        return idx
+
+    idx_x = build("xla")
+    d1, i1 = idx_x.search(q, SearchParams(nprobe=nlist, k=8))
+    idx_x.config.scan_impl = "pallas"   # same arenas, kernel path
+    d2, i2 = idx_x.search(q, SearchParams(nprobe=nlist, k=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=2e-4, atol=2e-4)
+
+    # with exact rerank on top (both impls feed the same rerank)
+    d3, i3 = idx_x.search(
+        q, SearchParams(nprobe=nlist, k=8, use_exact_rerank=True)
+    )
+    idx_x.config.scan_impl = "xla"
+    d4, i4 = idx_x.search(
+        q, SearchParams(nprobe=nlist, k=8, use_exact_rerank=True)
+    )
+    np.testing.assert_array_equal(i3, i4)
+    np.testing.assert_allclose(d3, d4, rtol=2e-4, atol=2e-4)
