@@ -116,15 +116,18 @@ def main():
     p.add_argument("--nlist", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--n-batches", type=int, default=40)
+    p.add_argument("--m-budget", type=int, default=0,
+                   help="pallas_grouped query rows per grid step "
+                        "(0 = auto from batch/nlist)")
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (CI / CPU)")
     p.add_argument("--dtype", default="int8",
                    choices=["bfloat16", "int8", "float32"],
                    help="arena storage dtype (int8 halves scan bandwidth "
                         "and fits 10M x 768 on one v5e chip)")
-    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_sorted"),
+    p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_grouped"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
                         "kernel, the TPU fast path; ragged stalls this "
@@ -160,6 +163,10 @@ def main():
         _ivf_search_device,
     )
     from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import Metric
+
+    if jax.default_backend() != "tpu" and args.scan.startswith("pallas"):
+        # Mosaic kernels need a TPU; --quick CI runs fall back to XLA.
+        args.scan = "gather"
 
     key = jax.random.PRNGKey(42)
     t0 = time.time()
@@ -303,7 +310,7 @@ def main():
         d, pos, _probes = _ivf_search_device(
             q, *search_args, min(args.nprobe, args.nlist), args.k,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
-            idx.arena.anchors,
+            idx.arena.anchors, args.m_budget or None,
         )
         return d, pos
 

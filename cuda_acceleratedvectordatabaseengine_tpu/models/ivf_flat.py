@@ -62,12 +62,16 @@ class IVFFlatConfig:
     max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean
                                      # list size); overflow spills to the
                                      # next-nearest list
-    scan_impl: str = "auto"          # "auto" → "pallas_sorted" on TPU
-                                     # (DMA-pipelined kernel with probe
-                                     # dedup: ~46× the gather scan),
-                                     # "gather" elsewhere. Explicit:
+    scan_impl: str = "auto"          # "auto" → "pallas_grouped" on TPU
+                                     # (list-centric kernel, M query rows
+                                     # per grid step: ~75× the gather
+                                     # scan at 10M), "gather" elsewhere.
+                                     # Explicit: "pallas_grouped" |
                                      # "pallas_sorted" | "pallas" |
                                      # "ragged" | "gather"
+    m_budget: int | None = None      # pallas_grouped: query rows per grid
+                                     # step (None = auto from batch/nlist;
+                                     # 32-64 is right for serving batches)
     approx_topk: bool = False        # lax.approx_min_k for the final
                                      # selection (faster at large
                                      # nprobe·cap, ~1% recall cost)
@@ -240,12 +244,13 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False,
     jax.jit,
     static_argnames=(
         "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
+        "m_budget",
     ),
 )
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
-    arena_scale=None, arena_anchors=None,
+    arena_scale=None, arena_anchors=None, m_budget=None,
 ):
     """The whole search for a query batch as one traced program.
 
@@ -273,7 +278,7 @@ def _ivf_search_device(
             d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
-                arena_anchors=arena_anchors,
+                arena_anchors=arena_anchors, m_budget=m_budget,
             )
         elif arena_scale is not None or scan_impl == "pallas_sorted":
             d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
@@ -582,7 +587,7 @@ class IVFFlatIndex:
         scan_impl = self.config.scan_impl
         if scan_impl == "auto":
             scan_impl = (
-                "pallas_sorted" if jax.default_backend() == "tpu"
+                "pallas_grouped" if jax.default_backend() == "tpu"
                 else "gather"
             )
 
@@ -601,6 +606,7 @@ class IVFFlatIndex:
             arena.arena_lo,
             arena.arena_scale,
             arena.anchors,
+            self.config.m_budget,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -156,7 +156,7 @@ class ShardedIVFFlatIndex:
         self.metric = base.metric
         if scan_impl == "auto":
             scan_impl = (
-                "pallas_sorted" if jax.default_backend() == "tpu"
+                "pallas_grouped" if jax.default_backend() == "tpu"
                 else "gather"
             )
         self.scan_impl = scan_impl

@@ -194,11 +194,18 @@ class VdbEngine:
         )
         # Warm the search executables BEFORE the swap goes live: the first
         # compile of a new shape can take tens of seconds on TPU and would
-        # otherwise blow the request deadline right after activation.
+        # otherwise blow the request deadline right after activation. Every
+        # bucket the coalescer can emit gets warmed — an intermediate-size
+        # batch must never hit a cold compile mid-SLA.
+        from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import (
+            BUCKETS,
+        )
+
+        sizes = [b for b in BUCKETS if b <= self.config.max_batch_size]
+        if self.config.max_batch_size not in sizes:
+            sizes.append(self.config.max_batch_size)
         try:
-            index.warmup_lists(
-                batch_sizes=(1, self.config.max_batch_size)
-            )
+            index.warmup_lists(batch_sizes=tuple(sizes))
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         with self.lock:

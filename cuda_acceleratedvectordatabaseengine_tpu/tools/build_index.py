@@ -2,8 +2,8 @@
 
 Implements the reference's ghost ``vdb_build_index`` binary (I12): reads an
 Arrow IPC vectors file (or generates synthetic data), trains the coarse
-quantizer (+ PQ codebooks), packs the index, and writes a snapshot — либо
-standalone, либо as a registered epoch ready for ``ActivateEpoch``.
+quantizer (+ PQ codebooks), packs the index, and writes a snapshot — either
+standalone or as a registered epoch ready for ``ActivateEpoch``.
 
 Usage:
     vdb-build-index --source vectors.arrow --output /data/snap \\

