@@ -116,7 +116,7 @@ def main():
     p.add_argument("--nlist", type=int, default=4096)
     p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--n-batches", type=int, default=40)
     p.add_argument("--m-budget", type=int, default=0,
                    help="pallas_grouped query rows per grid step "
@@ -245,9 +245,18 @@ def main():
             kq2, (args.batch, args.dim), jnp.float32
         )
 
+        # Oracle in 512-query slices: the [batch, chunk] fp32 distance
+        # intermediate at batch=8192 would be 16 GB — OOM next to the arena.
         oracle_update = make_oracle_updater(args.k)
-        gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
-        gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+        q_slice = min(512, args.batch)
+        n_slices = -(-args.batch // q_slice)
+        gt_d = [jnp.full((q_slice, args.k), jnp.inf, jnp.float32)
+                for _ in range(n_slices)]
+        gt_i = [jnp.full((q_slice, args.k), -1, jnp.int64)
+                for _ in range(n_slices)]
+        q_pad = jnp.pad(
+            chunk_queries, ((0, n_slices * q_slice - args.batch), (0, 0))
+        )
         for ci, start in enumerate(starts):
             m = min(chunk_n, args.n - start)
             _stage(f"chunk {ci}: generate {m}")
@@ -274,11 +283,16 @@ def main():
             jax.block_until_ready(idx.arena.arena)
             t_build += time.time() - tb
             # exact ground truth, updated on device (no corpus download)
-            gt_d, gt_i = oracle_update(
-                gt_d, gt_i, chunk_queries, xc, jnp.int64(start)
-            )
+            for qi in range(n_slices):
+                s = slice(qi * q_slice, (qi + 1) * q_slice)
+                gt_d[qi], gt_i[qi] = oracle_update(
+                    gt_d[qi], gt_i[qi], q_pad[s], xc, jnp.int64(start)
+                )
+                gt_d[qi].block_until_ready()
             del xc
-        chunked_truth = np.asarray(gt_i)
+        chunked_truth = np.concatenate(
+            [np.asarray(g) for g in gt_i]
+        )[: args.batch]
         x_host = None
         x = None
     cnts = np.asarray(idx.arena.counts)
@@ -323,18 +337,28 @@ def main():
         true_pos = chunked_truth
     else:
         upd = make_oracle_updater(args.k)
-        gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
-        gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+        q_slice = min(512, args.batch)
+        n_slices = -(-args.batch // q_slice)
+        q_pad = jnp.pad(
+            queries, ((0, n_slices * q_slice - args.batch), (0, 0))
+        )
+        gt_i = []
         step_n = 500_000
-        for start in range(0, args.n, step_n):
-            gt_d, gt_i = upd(
-                gt_d, gt_i, queries,
-                jax.lax.dynamic_slice_in_dim(
-                    x, start, min(step_n, args.n - start)
-                ) if args.n - start >= step_n else x[start:],
-                jnp.int64(start),
-            )
-        true_pos = np.asarray(gt_i)
+        for qi in range(n_slices):
+            s = slice(qi * q_slice, (qi + 1) * q_slice)
+            sd = jnp.full((q_slice, args.k), jnp.inf, jnp.float32)
+            si = jnp.full((q_slice, args.k), -1, jnp.int64)
+            for start in range(0, args.n, step_n):
+                sd, si = upd(
+                    sd, si, q_pad[s],
+                    jax.lax.dynamic_slice_in_dim(
+                        x, start, min(step_n, args.n - start)
+                    ) if args.n - start >= step_n else x[start:],
+                    jnp.int64(start),
+                )
+            sd.block_until_ready()
+            gt_i.append(np.asarray(si))
+        true_pos = np.concatenate(gt_i)[: args.batch]
     cap = idx.arena.capacity
     got = np.asarray(pos)
     # arena position → original row id via the host id table

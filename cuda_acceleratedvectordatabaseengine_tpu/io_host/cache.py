@@ -41,9 +41,15 @@ class HbmListCache:
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
         self.policy = policy
-        self.cache_arena = jnp.zeros((n_slots, capacity, dim), self.dtype)
-        self.cache_sq = jnp.zeros((n_slots, capacity), jnp.float32)
-        self.cache_counts = jnp.zeros((n_slots,), jnp.int32)
+        # One extra SENTINEL row (index n_slots, count 0, never assigned):
+        # fixed-shape scans pad ragged probe sets with it, so every probe
+        # wave compiles to the same executable (static shapes, SURVEY §7
+        # hard part #1) and padded probes contribute only masked +inf rows.
+        self.cache_arena = jnp.zeros(
+            (n_slots + 1, capacity, dim), self.dtype
+        )
+        self.cache_sq = jnp.zeros((n_slots + 1, capacity), jnp.float32)
+        self.cache_counts = jnp.zeros((n_slots + 1,), jnp.int32)
         self._lock = threading.Lock()
         self._list_to_slot: dict[int, int] = {}
         self._slot_to_list: dict[int, int] = {}

@@ -110,9 +110,18 @@ def _coarse_probe(queries, centroids, nprobe, metric):
     return q, probe.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "scan_impl", "interpret")
+)
 def _cache_scan(q, cache_arena, cache_sq, cache_counts, slot_probe, k,
-                metric):
+                metric, scan_impl="gather", interpret=False):
+    if scan_impl == "pallas_sorted":
+        from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+
+        return pallas_scan.scan_probed_lists_pallas_sorted(
+            q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric,
+            interpret=interpret,
+        )
     return scan_probed_lists(
         q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric
     )
@@ -133,6 +142,7 @@ class StreamingIVFFlatIndex:
         cache_slots: int | None = None,
         max_device_bytes: int | None = None,
         policy: str = "lru",
+        scan_impl: str = "auto",
     ):
         if not base.trained:
             raise RuntimeError("base index must be trained")
@@ -162,6 +172,16 @@ class StreamingIVFFlatIndex:
         cache_slots = min(cache_slots, nlist)
         self.cache = HbmListCache(
             cache_slots, cap, base.config.dimension, dtype, policy
+        )
+        if scan_impl == "auto":
+            scan_impl = (
+                "pallas_sorted" if jax.default_backend() == "tpu"
+                else "gather"
+            )
+        self.scan_impl = scan_impl
+        self.interpret = (
+            scan_impl.startswith("pallas")
+            and jax.default_backend() != "tpu"
         )
 
     # ------------------------------------------------------------------ #
@@ -196,25 +216,31 @@ class StreamingIVFFlatIndex:
         waves = self._plan_waves(probe_h)
         k = params.k
         all_d, all_l, all_o = [], [], []
+        sentinel = self.cache.n_slots      # empty slot, count 0
         for cols in waves:
             wave_probe = probe_h[:, cols]
             mapping = self.cache.ensure_resident(
                 wave_probe.reshape(-1), self.store.fetch
             )
-            lut = np.full(self.config.nlist, -1, np.int32)
+            lut = np.full(self.config.nlist, sentinel, np.int32)
             for l, s in mapping.items():
                 lut[l] = s
-            slot_probe = lut[wave_probe]
+            # Fixed-width probes: pad every wave to nprobe columns with the
+            # sentinel slot so each wave reuses one compiled executable.
+            slot_probe = np.full(
+                (probe_h.shape[0], nprobe), sentinel, np.int32
+            )
+            slot_probe[:, : len(cols)] = lut[wave_probe]
             d, pos = _cache_scan(
                 q, self.cache.cache_arena, self.cache.cache_sq,
                 self.cache.cache_counts, jnp.asarray(slot_probe), k,
-                self.metric,
+                self.metric, self.scan_impl, self.interpret,
             )
             d = np.asarray(d)[:b]
             pos = np.asarray(pos)[:b]
             # slot-space → (list, offset) NOW, before the next wave remaps
             cap = self.cache.capacity
-            rev = np.full(self.cache.n_slots, -1, np.int64)
+            rev = np.full(self.cache.n_slots + 1, -1, np.int64)
             for l, s in mapping.items():
                 rev[s] = l
             valid = pos >= 0

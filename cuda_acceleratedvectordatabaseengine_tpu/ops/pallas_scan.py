@@ -494,7 +494,10 @@ def scan_probed_lists_pallas_grouped(
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
-        m_budget = max(8, min(32, -(-n_pairs // nlist) * 2))
+        # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
+        # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
+        # 64@b8192 (nprobe=32, nlist=4096).
+        m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
     # Static row bound: full rows + one partial row per list (+ sentinel).
     n_rows = n_pairs // m + nlist + 1
@@ -737,7 +740,10 @@ def scan_probed_codes_pallas_grouped(
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
-        m_budget = max(8, min(32, -(-n_pairs // nlist) * 2))
+        # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
+        # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
+        # 64@b8192 (nprobe=32, nlist=4096).
+        m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
     n_rows = n_pairs // m + nlist + 1
 

@@ -44,7 +44,7 @@ def test_cache_hit_miss_and_eviction(rng):
     # hit
     cache.ensure_resident(np.array([1]), lambda l: data[l])
     assert cache.hits == 1
-    #触 eviction: 0 is now LRU? order of last_access: 0,2 old; 1 fresh
+    # eviction: order of last_access: 0,2 old; 1 fresh
     time.sleep(0.01)
     cache.ensure_resident(np.array([5]), lambda l: data[l])
     assert 5 in cache.resident_lists()
@@ -92,6 +92,35 @@ def test_streaming_hit_rate_improves(rng):
     streaming.search(q, SearchParams(nprobe=8, k=5))  # same lists → hits
     assert streaming.cache.misses == misses_after_first
     assert streaming.cache.hits > 0
+
+
+def test_streaming_pallas_scan_parity(rng):
+    """The TPU cache-scan path (Pallas sorted kernel over the slot arena,
+    sentinel-padded fixed-width waves) must match the resident index."""
+    idx, _ = _build(rng)
+    streaming = StreamingIVFFlatIndex(
+        idx, cache_slots=8, scan_impl="pallas_sorted"
+    )
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    p = SearchParams(nprobe=6, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_pallas_multi_wave(rng):
+    """Pallas cache scan across multiple waves (cache smaller than the
+    probe working set) still merges to the resident answer."""
+    idx, _ = _build(rng, nlist=16)
+    streaming = StreamingIVFFlatIndex(
+        idx, cache_slots=5, scan_impl="pallas_sorted"
+    )
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    p = SearchParams(nprobe=12, k=5)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
 
 
 def test_streaming_prefetch(rng):
