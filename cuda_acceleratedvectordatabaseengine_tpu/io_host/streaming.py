@@ -146,9 +146,6 @@ class StreamingIVFFlatIndex:
     ):
         if not base.trained:
             raise RuntimeError("base index must be trained")
-        self.config = base.config
-        self.metric = base.metric
-        self.centroids = base.centroids
         host = base.arena.to_host()
         nlist = base.config.nlist
         cap = base.arena.capacity
@@ -159,19 +156,58 @@ class StreamingIVFFlatIndex:
             store.vectors[l] = host["arena"][l, :c].astype(np.float32)
             store.sq[l] = (store.vectors[l] ** 2).sum(-1)
             store.ids[l] = host["ids"][l, :c]
+        self._init_from_store(
+            store, base.centroids, base.config, cache_slots,
+            max_device_bytes, policy, scan_impl, capacity=cap,
+        )
+
+    @classmethod
+    def from_store(
+        cls,
+        store: HostListStore,
+        centroids,
+        config,
+        cache_slots: int | None = None,
+        max_device_bytes: int | None = None,
+        policy: str = "lru",
+        scan_impl: str = "auto",
+        capacity: int | None = None,
+    ) -> "StreamingIVFFlatIndex":
+        """Build directly from a host-RAM store — the true >HBM entry
+        point: a corpus that never fit on device has no resident base
+        index to snapshot (the reference's ``max_gpu_memory`` scenario,
+        ``engine/ivf_flat_index.h:21``)."""
+        self = cls.__new__(cls)
+        self._init_from_store(
+            store, centroids, config, cache_slots, max_device_bytes,
+            policy, scan_impl, capacity,
+        )
+        return self
+
+    def _init_from_store(
+        self, store, centroids, config, cache_slots, max_device_bytes,
+        policy, scan_impl, capacity=None,
+    ) -> None:
+        self.config = config
+        self.metric = config.metric
+        self.centroids = centroids
         self.store = store
-        dtype = jnp.dtype(base.config.dtype)
+        nlist = config.nlist
+        cap = capacity if capacity is not None else max(
+            -(-store.max_count() // 128) * 128, 128
+        )
+        dtype = jnp.dtype(config.dtype)
         if dtype == jnp.int8:
             # The cache stages dequantized host values; re-quantizing per
             # slot would need per-slot scales. bf16 keeps the bandwidth win.
             dtype = jnp.dtype(jnp.bfloat16)
         if cache_slots is None:
-            per_slot = cap * base.config.dimension * dtype.itemsize
+            per_slot = cap * config.dimension * dtype.itemsize
             budget = max_device_bytes or (per_slot * max(nlist // 4, 1))
             cache_slots = max(int(budget // max(per_slot, 1)), 1)
         cache_slots = min(cache_slots, nlist)
         self.cache = HbmListCache(
-            cache_slots, cap, base.config.dimension, dtype, policy
+            cache_slots, cap, config.dimension, dtype, policy
         )
         if scan_impl == "auto":
             scan_impl = (

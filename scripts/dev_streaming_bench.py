@@ -1,0 +1,231 @@
+"""Dev-only TPU measurement of the >HBM streaming tier (VERDICT #7).
+
+Workload: 20M x 768 bf16 (28.6 GB raw — exceeds the 16 GB HBM of one v5e
+chip), nlist=8192, HBM cache bounded to 25% of lists. The corpus lives in
+host RAM (HostListStore, fp32); the chip holds only centroids + the list
+cache. Phases:
+
+  1. chunked build: generate each 500K chunk ON device, train (chunk 0),
+     assign on device, update the exact oracle for the query set, download
+     the chunk once (bf16 bits) and pack into the host store.
+  2. warm: probe the query workload, prefetch its working set (measures the
+     cold upload path: bytes + seconds through the relay's ~0.04 GB/s H2D).
+  3. serve: batched searches on the warmed cache (QPS, recall@10, hit rate)
+     plus a short eviction-pressure sample from cold clusters.
+
+The query workload is cluster-skewed (drawn from `--hot-clusters` natural
+clusters) — the regime a list cache exists for; uniform queries over a
+corpus 2x the cache simply measure upload bandwidth.
+
+Prints one JSON line with all figures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _stage, clustered_corpus, make_oracle_updater  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=20_000_000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--nlist", type=int, default=8192)
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--n-batches", type=int, default=20)
+    p.add_argument("--hot-clusters", type=int, default=400)
+    p.add_argument("--cache-frac", type=float, default=0.25)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
+        HostListStore,
+        StreamingIVFFlatIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        IVFFlatConfig,
+        SearchParams,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+        Metric,
+        pairwise_distance,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
+
+    key = jax.random.PRNGKey(42)
+    chunk_n = 500_000
+    starts = list(range(0, args.n, chunk_n))
+    kx = key
+    chunk_keys = []
+    for _ in starts:
+        kx, sub = jax.random.split(kx)
+        chunk_keys.append(sub)
+
+    # Host store pieces: per list, a list of per-chunk row blocks.
+    pieces_v = [[] for _ in range(args.nlist)]
+    pieces_i = [[] for _ in range(args.nlist)]
+
+    centroids = None
+    queries = None
+    oracle = make_oracle_updater(args.k)
+    gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
+    gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+    rng = np.random.default_rng(7)
+
+    t0 = time.time()
+    t_d2h = 0.0
+    for ci, start in enumerate(starts):
+        m = min(chunk_n, args.n - start)
+        _stage(f"chunk {ci}/{len(starts)}: generate")
+        xc, _ = clustered_corpus(
+            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25
+        )
+        xc.block_until_ready()
+        if ci == 0:
+            _stage("train coarse quantizer (chunk 0)")
+            k1, _ = jax.random.split(jax.random.PRNGKey(0))
+            centroids, _ = kmeans_fit(
+                k1, xc.astype(jnp.float32), args.nlist, iters=10
+            )
+            centroids.block_until_ready()
+            # Hot-cluster query workload: rows whose natural cluster id is
+            # < hot_clusters (round-robin membership → (start+i) % nlist).
+            hot_rows = np.flatnonzero(
+                (start + np.arange(m)) % args.nlist < args.hot_clusters
+            )
+            qi = rng.choice(hot_rows, args.batch)
+            queries = xc[jnp.asarray(qi)].astype(jnp.float32) + \
+                0.1 * jax.random.normal(
+                    jax.random.PRNGKey(9), (args.batch, args.dim),
+                    jnp.float32,
+                )
+        _stage(f"chunk {ci}: assign + oracle")
+        assigns = np.asarray(kmeans_assign(xc, centroids, Metric.L2))
+        gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
+        gt_d.block_until_ready()
+        td = time.time()
+        # One D2H of the stored (bf16) representation per chunk.
+        xh = np.asarray(xc).astype(np.float32)
+        t_d2h += time.time() - td
+        del xc
+        order = np.argsort(assigns, kind="stable")
+        sl = assigns[order]
+        bounds = np.searchsorted(sl, np.arange(args.nlist + 1))
+        ids_chunk = np.arange(start, start + m, dtype=np.uint64)
+        for l in range(args.nlist):
+            rows = order[bounds[l]:bounds[l + 1]]
+            if rows.size:
+                pieces_v[l].append(xh[rows])
+                pieces_i[l].append(ids_chunk[rows])
+        del xh
+    truth = np.asarray(gt_i)
+    _stage(f"build pass done in {time.time()-t0:.0f}s (d2h {t_d2h:.0f}s)")
+
+    _stage("packing host store")
+    store = HostListStore(args.nlist, args.dim)
+    for l in range(args.nlist):
+        if pieces_v[l]:
+            v = np.concatenate(pieces_v[l])
+            store.vectors[l] = v
+            store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
+                np.float32
+            )
+            store.ids[l] = np.concatenate(pieces_i[l])
+        pieces_v[l] = pieces_i[l] = None
+    host_gb = store.nbytes() / (1 << 30)
+    corpus_gb = args.n * args.dim * 2 / (1 << 30)
+    _stage(f"host store {host_gb:.1f} GB (bf16 corpus {corpus_gb:.1f} GB)")
+
+    cfg = IVFFlatConfig(
+        dimension=args.dim, nlist=args.nlist, dtype="bfloat16",
+    )
+    cache_slots = max(int(args.nlist * args.cache_frac), 1)
+    tier = StreamingIVFFlatIndex.from_store(
+        store, centroids, cfg, cache_slots=cache_slots,
+    )
+    device_gb = tier.cache.memory_bytes() / (1 << 30)
+    _stage(f"cache: {cache_slots} slots, {device_gb:.1f} GB device")
+
+    # Warm: upload the workload's working set (the measured cold path).
+    _stage("warm prefetch (cold upload path)")
+    coarse = pairwise_distance(queries, centroids, Metric.L2)
+    _, probe = topk_smallest(coarse, args.nprobe)
+    wanted, freq = np.unique(np.asarray(probe), return_counts=True)
+    if wanted.size > cache_slots:
+        wanted = wanted[np.argsort(-freq)][:cache_slots]
+    tw = time.time()
+    tier.prefetch_lists(wanted)
+    jax.block_until_ready(tier.cache.cache_arena)
+    warm_s = time.time() - tw
+    warm_mb = wanted.size * tier.cache.capacity * args.dim * 2 / (1 << 20)
+
+    # Serve from the warmed cache.
+    params = SearchParams(nprobe=args.nprobe, k=args.k)
+    q_host = np.asarray(queries)
+    _stage("warm compile + recall")
+    d, ids = tier.search(q_host, params)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / args.k
+        for a, b in zip(ids.astype(np.int64), truth)
+    ])
+    tier.cache.hits = tier.cache.misses = 0
+    _stage("throughput")
+    t1 = time.time()
+    for _ in range(args.n_batches):
+        tier.search(q_host, params)
+    dt = time.time() - t1
+    qps = args.n_batches * args.batch / dt
+    hit_rate = tier.cache.get_hit_rate()
+
+    # Eviction-pressure sample: cold clusters force miss waves.
+    _stage("eviction pressure sample")
+    cold = rng.integers(args.nlist // 2, args.nlist, args.batch)
+    cold_q = centroids[jnp.asarray(cold)] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(11), (args.batch, args.dim), jnp.float32
+    )
+    m0 = tier.cache.misses
+    t2 = time.time()
+    tier.search(np.asarray(cold_q), params)
+    cold_s = time.time() - t2
+    cold_misses = tier.cache.misses - m0
+    cold_mb = cold_misses * tier.cache.capacity * args.dim * 2 / (1 << 20)
+
+    print(json.dumps({
+        "metric": "streaming_tier_20m_bf16",
+        "n": args.n, "dim": args.dim, "nlist": args.nlist,
+        "nprobe": args.nprobe, "batch": args.batch,
+        "corpus_gb_bf16": round(corpus_gb, 1),
+        "host_store_gb": round(host_gb, 1),
+        "device_cache_gb": round(device_gb, 2),
+        "cache_slots": cache_slots,
+        "qps_warm": round(qps, 1),
+        "recall_at_10": round(float(recall), 4),
+        "hit_rate_warm": round(hit_rate, 4),
+        "warm_upload_mb": round(warm_mb, 1),
+        "warm_upload_s": round(warm_s, 1),
+        "cold_batch_s": round(cold_s, 1),
+        "cold_miss_lists": int(cold_misses),
+        "cold_upload_mb": round(cold_mb, 1),
+        "relay_h2d_gbps_note": round(warm_mb / 1024 / max(warm_s, 1e-9), 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

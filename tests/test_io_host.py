@@ -123,6 +123,33 @@ def test_streaming_pallas_multi_wave(rng):
     np.testing.assert_array_equal(ids, i_ref)
 
 
+def test_streaming_from_store(rng):
+    """from_store (the true >HBM entry point) matches a resident index
+    built from the same data — no base index ever exists on device."""
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
+        HostListStore,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+        kmeans_assign,
+    )
+    import jax.numpy as jnp
+
+    idx, x = _build(rng)  # oracle only
+    assigns = np.asarray(
+        kmeans_assign(jnp.asarray(x), idx.centroids, idx.metric)
+    )
+    ids = np.arange(x.shape[0], dtype=np.uint64)
+    store = HostListStore.from_assignments(x, ids, assigns, 16)
+    streaming = StreamingIVFFlatIndex.from_store(
+        store, idx.centroids, idx.config, cache_slots=8,
+    )
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    p = SearchParams(nprobe=4, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids_out = streaming.search(q, p)
+    np.testing.assert_array_equal(ids_out, i_ref)
+
+
 def test_streaming_prefetch(rng):
     idx, _ = _build(rng)
     streaming = StreamingIVFFlatIndex(idx, cache_slots=8)
