@@ -35,13 +35,21 @@ def _stage(msg: str) -> None:
           flush=True)
 
 
-def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000):
-    """On-device mixture-of-gaussians corpus + cluster assignment."""
+def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000,
+                     centers=None, base=0):
+    """On-device mixture-of-gaussians corpus + cluster assignment.
+
+    Chunked builds MUST pass shared ``centers`` (and the chunk's global row
+    offset as ``base``) so every chunk draws from the SAME mixture —
+    per-chunk centers would give the corpus nlist·n_chunks latent clusters,
+    and a quantizer trained on one chunk probes foreign chunks at chance
+    (observed: recall 0.064 at 10M/20 chunks before this contract)."""
     import jax
     import jax.numpy as jnp
 
     kc, kx = jax.random.split(key)
-    centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
+    if centers is None:
+        centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
 
     @jax.jit
     def gen(k, start, idx):
@@ -49,7 +57,7 @@ def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000):
         # n/n_clusters points, so a coarse quantizer that locks onto the
         # cluster structure yields balanced inverted lists — mimicking a
         # deduplicated real-world embedding corpus rather than a Zipf mess.
-        ci = (start + idx) % n_clusters
+        ci = (base + start + idx) % n_clusters
         pts = centers[ci] + noise * jax.random.normal(
             k, (idx.shape[0], dim), jnp.float32
         )
@@ -127,6 +135,8 @@ def main():
                    choices=["bfloat16", "int8", "float32"],
                    help="arena storage dtype (int8 halves scan bandwidth "
                         "and fits 10M x 768 on one v5e chip)")
+    p.add_argument("--force-chunked", action="store_true",
+                   help="exercise the chunked-build path regardless of size")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_grouped"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
@@ -176,7 +186,7 @@ def main():
     )
     idx = IVFFlatIndex(cfg)
     itemsize = 2  # bf16 corpus chunks
-    chunked = args.n * args.dim * itemsize > 4 << 30
+    chunked = args.force_chunked or args.n * args.dim * itemsize > 4 << 30
     x_host = None
     if not chunked:
         # One (even-sized) natural cluster per list with moderate spread:
@@ -216,6 +226,10 @@ def main():
         for _ in starts:
             kx, sub = jax.random.split(kx)
             chunk_keys.append(sub)
+        # ONE global mixture shared by every chunk (see clustered_corpus).
+        centers_g = jax.random.normal(
+            jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
+        )
 
         # Query plan: args.batch corpus rows sampled uniformly over [0, n).
         kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
@@ -234,7 +248,7 @@ def main():
             tg = time.time()
             xc, _ = clustered_corpus(
                 chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
-                noise=0.25,
+                noise=0.25, centers=centers_g, base=start,
             )
             q_base[sel] = np.asarray(
                 xc[jnp.asarray(qi_global[sel] - start)].astype(jnp.float32)
@@ -263,7 +277,7 @@ def main():
             tg = time.time()
             xc, _ = clustered_corpus(
                 chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
-                noise=0.25,
+                noise=0.25, centers=centers_g, base=start,
             )
             xc.block_until_ready()
             t_gen += time.time() - tg
@@ -403,6 +417,25 @@ def main():
         "build_s": round(t_build, 1),
         "device": str(jax.devices()[0]),
     }
+    # Per-request wire latency (VERDICT #5): measured separately against
+    # the live gRPC server by scripts/run-wire-bench.sh (ONE TPU process at
+    # a time forbids running the server inside this bench). Embed the most
+    # recent artifact so the headline JSON carries the request-level view.
+    wire_files = sorted(
+        f for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if f.startswith("WIRE_r") and f.endswith(".json")
+    )
+    if wire_files:
+        try:
+            with open(wire_files[-1]) as f:
+                wire = json.load(f)
+            detail["wire"] = {
+                "source": wire_files[-1],
+                "p99_request_ms_best": wire.get("p99_ms_best"),
+                "qps_best": wire.get("qps_best"),
+            }
+        except Exception:  # noqa: BLE001 — artifact is optional
+            pass
     _stage("done")
     print(json.dumps({
         "metric": "ivfflat_search_qps@recall0.95",

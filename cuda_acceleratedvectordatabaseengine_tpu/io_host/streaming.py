@@ -253,6 +253,26 @@ class StreamingIVFFlatIndex:
         k = params.k
         all_d, all_l, all_o = [], [], []
         sentinel = self.cache.n_slots      # empty slot, count 0
+        cap = self.cache.capacity
+
+        def convert(d_dev, pos_dev, rev):
+            d = np.asarray(d_dev)[:b]
+            pos = np.asarray(pos_dev)[:b]
+            valid = pos >= 0
+            lists = np.where(valid, rev[np.maximum(pos, 0) // cap], -1)
+            offs = np.where(valid, np.maximum(pos, 0) % cap, 0)
+            all_d.append(d)
+            all_l.append(lists)
+            all_o.append(offs)
+
+        # Software-pipelined waves (the reference's DoubleBuffer intent,
+        # ``transfer_manager.cpp:273-311``): wave i's scan is DISPATCHED
+        # asynchronously, then wave i+1's miss upload proceeds while it
+        # computes. Cache updates are functional (`.at[].set` yields a new
+        # arena; the in-flight scan keeps the old buffer alive), so the
+        # upload can't clobber data a dispatched scan still needs. Depth 2
+        # bounds live arena versions (ping-pong).
+        pending: list[tuple] = []
         for cols in waves:
             wave_probe = probe_h[:, cols]
             mapping = self.cache.ensure_resident(
@@ -267,24 +287,20 @@ class StreamingIVFFlatIndex:
                 (probe_h.shape[0], nprobe), sentinel, np.int32
             )
             slot_probe[:, : len(cols)] = lut[wave_probe]
-            d, pos = _cache_scan(
+            d_dev, pos_dev = _cache_scan(
                 q, self.cache.cache_arena, self.cache.cache_sq,
                 self.cache.cache_counts, jnp.asarray(slot_probe), k,
                 self.metric, self.scan_impl, self.interpret,
             )
-            d = np.asarray(d)[:b]
-            pos = np.asarray(pos)[:b]
-            # slot-space → (list, offset) NOW, before the next wave remaps
-            cap = self.cache.capacity
+            # slot→list mapping captured NOW, before the next wave remaps
             rev = np.full(self.cache.n_slots + 1, -1, np.int64)
             for l, s in mapping.items():
                 rev[s] = l
-            valid = pos >= 0
-            lists = np.where(valid, rev[np.maximum(pos, 0) // cap], -1)
-            offs = np.where(valid, np.maximum(pos, 0) % cap, 0)
-            all_d.append(d)
-            all_l.append(lists)
-            all_o.append(offs)
+            pending.append((d_dev, pos_dev, rev))
+            if len(pending) > 2:
+                convert(*pending.pop(0))
+        for w in pending:
+            convert(*w)
 
         d = np.concatenate(all_d, axis=1)
         lists = np.concatenate(all_l, axis=1)

@@ -22,9 +22,13 @@ TPU tiling notes (Mosaic requires the last two block dims to be 8/128
 multiples or full-size):
   - queries ride as ONE full-array VMEM block (B·D·4 bytes ≪ VMEM);
   - per-list rows (norms, scales) ride as (8, cap) blocks indexed l//8;
-  - blocks are staged to fp32 VMEM scratch once per DISTINCT list (the
-    sorted grid revisits lists), because Mosaic's mixed bf16→fp32 dot
-    lowering trips a verifier bug and int8→int32 dots aren't lowered.
+  - blocks are staged to VMEM scratch once per DISTINCT list (the sorted
+    grid revisits lists). Mosaic's mixed bf16→fp32 dot lowering trips a
+    verifier bug and int8→int32 dots aren't lowered, so both operands get
+    one dtype: fp32 for fp32/bf16 arenas (exact parity with the XLA
+    scans), bf16 for int8 arenas (int8 is exact in bf16 and bf16·bf16
+    products accumulate exactly in fp32 — full single-pass MXU rate, the
+    only deviation being the query's own bf16 rounding, ~2e-4 relative).
 
 The final top-k runs outside (XLA), as in the ragged path.
 """
@@ -114,7 +118,8 @@ def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
     out_ref[0, p, :] = jnp.where(valid, d, jnp.inf)[0]
 
 
-def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool):
+def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool,
+                   stage_bf16: bool = False):
     """Probe-dedup sorted scan step: one (query, probe) pair per grid step,
     arena block staged to fp32 scratch once per DISTINCT list. The dot is
     the only O(cap·D) op per step; norms arrive exact as a blocked input
@@ -142,11 +147,14 @@ def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool):
     # the cast sweep was the dominant per-step cost.
     @pl.when((i == 0) | (last_ref[0] != list_id))
     def _():
-        cast_ref[...] = block_ref[0].astype(jnp.float32)
+        cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
         last_ref[0] = list_id
 
+    # int8 arenas stage to bf16 for single-pass MXU dots (exact int
+    # products in fp32 accumulation; see _grouped_kernel).
+    q_op = q_row.astype(jnp.bfloat16) if stage_bf16 else q_row
     dots = jax.lax.dot_general(
-        cast_ref[...], q_row,
+        cast_ref[...], q_op,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(1, cap)
@@ -254,6 +262,7 @@ def scan_probed_lists_pallas_sorted(
             arena_anchors.astype(jnp.float32)[:, None, :]
         )
 
+    stage_bf16 = arena.dtype == jnp.int8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # rows, lists, counts, qsq
         grid=(n_rows,),
@@ -262,13 +271,17 @@ def scan_probed_lists_pallas_sorted(
             (8, cap), lambda i, r, l, c, qs: (i // 8, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+            pltpu.VMEM(                 # cast cache (see _sorted_kernel)
+                (cap, dim),
+                jnp.bfloat16 if stage_bf16 else jnp.float32,
+            ),
             pltpu.SMEM((1,), jnp.int32),           # last cast list id
         ],
     )
     run = pl.pallas_call(
         functools.partial(_sorted_kernel, metric=metric,
-                          has_scale=has_scale, has_anchor=has_anchor),
+                          has_scale=has_scale, has_anchor=has_anchor,
+                          stage_bf16=stage_bf16),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -396,7 +409,7 @@ def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
 
 
 def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
-                    has_anchor: bool):
+                    has_anchor: bool, stage_bf16: bool = False):
     # Mosaic note: every intermediate is born 2-D (keepdims reductions) —
     # 1-D→2-D vector reshapes don't lower.
     (row_list_ref, counts_ref, qrows_ref, block_ref, blocksq_ref) = refs[:5]
@@ -417,19 +430,26 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
     m = qrows_ref.shape[1]
     safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
 
-    # fp32 cast of the raw block staged once per DISTINCT list in
-    # persistent scratch (rows of the same list are consecutive).
+    # Staged cast of the raw block once per DISTINCT list in persistent
+    # scratch (rows of the same list are consecutive). int8 arenas stage to
+    # bf16: every int8 value is exact in bf16 and bf16·bf16 products
+    # accumulate exactly in fp32, so the dot runs at full single-pass MXU
+    # rate (an fp32 matmul decomposes into multiple bf16 passes) with only
+    # the query's bf16 rounding (~2e-4 relative, 40x below int8
+    # quantization noise) as error; a per-query-constant norm mismatch
+    # cancels in ranking.
     @pl.when((i == 0) | (last_ref[0] != list_id))
     def _():
-        cast_ref[...] = block_ref[0].astype(jnp.float32)
+        cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
         last_ref[0] = list_id
 
     # This row's M query vectors arrive pre-gathered by XLA ([n_rows, M, D]
     # blocks): a fixed ~M·D·4 bytes/step of HBM instead of the one-hot
     # gather matmul whose cost scaled with batch × steps.
     q_sub = qrows_ref[0]                                # [M, D] fp32
+    q_op = q_sub.astype(jnp.bfloat16) if stage_bf16 else q_sub
     dots = jax.lax.dot_general(                         # [M, cap] MXU
-        q_sub, cast_ref[...],
+        q_op, cast_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -539,6 +559,7 @@ def scan_probed_lists_pallas_grouped(
             arena_anchors.astype(jnp.float32)[:, None, :]
         )
 
+    stage_bf16 = arena.dtype == jnp.int8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # row→list, counts
         grid=(n_rows,),
@@ -548,13 +569,17 @@ def scan_probed_lists_pallas_grouped(
             pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((cap, dim), jnp.float32),   # cast cache
+            pltpu.VMEM(                 # cast cache (see _grouped_kernel)
+                (cap, dim),
+                jnp.bfloat16 if stage_bf16 else jnp.float32,
+            ),
             pltpu.SMEM((1,), jnp.int32),           # last cast list id
         ],
     )
     run = pl.pallas_call(
         functools.partial(_grouped_kernel, metric=metric, k=k,
-                          has_scale=has_scale, has_anchor=has_anchor),
+                          has_scale=has_scale, has_anchor=has_anchor,
+                          stage_bf16=stage_bf16),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),

@@ -77,6 +77,10 @@ def main():
     for _ in starts:
         kx, sub = jax.random.split(kx)
         chunk_keys.append(sub)
+    # ONE global mixture shared by every chunk (see bench.clustered_corpus).
+    centers_g = jax.random.normal(
+        jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
+    )
 
     # Host store pieces: per list, a list of per-chunk row blocks.
     pieces_v = [[] for _ in range(args.nlist)]
@@ -95,7 +99,8 @@ def main():
         m = min(chunk_n, args.n - start)
         _stage(f"chunk {ci}/{len(starts)}: generate")
         xc, _ = clustered_corpus(
-            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25
+            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25,
+            centers=centers_g, base=start,
         )
         xc.block_until_ready()
         if ci == 0:

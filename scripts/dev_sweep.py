@@ -82,6 +82,10 @@ def main():
     for _ in starts:
         kx, sub = jax.random.split(kx)
         chunk_keys.append(sub)
+    # ONE global mixture shared by every chunk (see bench.clustered_corpus).
+    centers_g = jax.random.normal(
+        jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
+    )
 
     # Oracle in 512-query slices: the [nq, 500K] distance intermediate at
     # nq=2048 is 4 GB — alongside the 10 GB arena that OOMs the chip.
@@ -102,7 +106,8 @@ def main():
         m = min(chunk_n, args.n - start)
         _stage(f"chunk {ci}/{len(starts)}")
         xc, _ = clustered_corpus(
-            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25
+            chunk_keys[ci], m, args.dim, n_clusters=args.nlist, noise=0.25,
+            centers=centers_g, base=start,
         )
         xc.block_until_ready()
         if ci == 0:

@@ -133,14 +133,26 @@ def _quantize_per_row(arena_f, anchors=None):
 
 
 def _numpy_int8_reference(q, arena_i8, scale, arena_sq, probe, cap, k,
-                          anchors=None):
-    """Quantized-math L2 reference: d = ‖q‖² − 2(q·a + s⊙(q·code)) + ‖x̂‖²."""
+                          anchors=None, bf16_query_dot=False):
+    """Quantized-math L2 reference: d = ‖q‖² − 2(q·a + s⊙(q·code)) + ‖x̂‖².
+
+    ``bf16_query_dot`` models the TPU kernels' int8 fast path exactly: the
+    scale-folded dot uses the bf16-rounded query (int8 values are exact in
+    bf16 and the products accumulate exactly in fp32), while ‖q‖² and the
+    anchor dot stay fp32 — a per-query-constant offset that cancels in
+    ranking."""
+    import ml_dtypes
+
+    q_dot = (
+        q.astype(ml_dtypes.bfloat16).astype(np.float32)
+        if bf16_query_dot else q
+    )
     B = q.shape[0]
     out_d, out_p = [], []
     for b in range(B):
         cand_d, cand_p = [], []
         for l in probe[b]:
-            dots = arena_i8[l].astype(np.float32) @ q[b]
+            dots = arena_i8[l].astype(np.float32) @ q_dot[b]
             qx = scale[l] * dots
             if anchors is not None:
                 qx = qx + anchors[l] @ q[b]
@@ -205,12 +217,22 @@ def test_int8_per_row_scale_paths(rng, impl, use_anchors):
         d, pos = scan_probed_lists(*args, **kw)
     d, pos = np.asarray(d), np.asarray(pos)
 
+    # Pallas int8 kernels dot with the bf16-rounded query (exact int8
+    # products at single-pass MXU rate); XLA paths use the fp32 query.
     ref_d, ref_p = _numpy_int8_reference(
-        q, arena_i8, scale, arena_sq, probe, cap, k, anchors
+        q, arena_i8, scale, arena_sq, probe, cap, k, anchors,
+        bf16_query_dot=impl in ("sorted", "grouped"),
     )
     for b in range(B):
         np.testing.assert_allclose(d[b], ref_d[b], rtol=1e-4, atol=1e-4)
         assert set(pos[b].tolist()) == set(ref_p[b].tolist())
+    if impl in ("sorted", "grouped"):
+        # sanity: the bf16-query deviation from exact fp32 math is far
+        # below int8 quantization noise (ranking-scale irrelevance)
+        ex_d, _ = _numpy_int8_reference(
+            q, arena_i8, scale, arena_sq, probe, cap, k, anchors
+        )
+        np.testing.assert_allclose(d, ex_d, rtol=3e-3, atol=3e-3)
 
 
 def test_residual_quantization_is_finer(rng):
