@@ -25,10 +25,13 @@ multiples or full-size):
   - blocks are staged to VMEM scratch once per DISTINCT list (the sorted
     grid revisits lists). Mosaic's mixed bf16→fp32 dot lowering trips a
     verifier bug and int8→int32 dots aren't lowered, so both operands get
-    one dtype: fp32 for fp32/bf16 arenas (exact parity with the XLA
-    scans), bf16 for int8 arenas (int8 is exact in bf16 and bf16·bf16
-    products accumulate exactly in fp32 — full single-pass MXU rate, the
-    only deviation being the query's own bf16 rounding, ~2e-4 relative).
+    one dtype — fp32 by default (exact parity with the XLA scans). int8
+    arenas can opt into ``stage_bf16``: int8 is exact in bf16 and
+    bf16·bf16 products accumulate exactly in fp32, halving staging VMEM
+    and running single-pass MXU dots, at the cost of the query's own bf16
+    rounding. Measured at 10M×768 int8 b8192 the kernel is NOT MXU-bound
+    (no QPS gain) and the rounding costs ~1% recall in dense clusters, so
+    fp32 stays the default.
 
 The final top-k runs outside (XLA), as in the ragged path.
 """
@@ -185,7 +188,7 @@ def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "slot_stride",
-                     "global_capacity"),
+                     "global_capacity", "stage_bf16"),
 )
 def scan_probed_lists_pallas_sorted(
     queries: jax.Array,
@@ -202,6 +205,7 @@ def scan_probed_lists_pallas_sorted(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
+    stage_bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Probe-deduplicated Pallas scan.
 
@@ -262,7 +266,11 @@ def scan_probed_lists_pallas_sorted(
             arena_anchors.astype(jnp.float32)[:, None, :]
         )
 
-    stage_bf16 = arena.dtype == jnp.int8
+    # stage_bf16 halves staging VMEM and runs single-pass MXU dots (int8
+    # is exact in bf16) at the cost of bf16-rounding the query — measured
+    # at 10M x 768 int8: no QPS gain (the kernel is not MXU-bound) and ~1%
+    # recall, so fp32 staging is the default.
+    stage_bf16 = stage_bf16 and arena.dtype == jnp.int8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # rows, lists, counts, qsq
         grid=(n_rows,),
@@ -478,6 +486,7 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
+                     "stage_bf16",
                      "slot_stride", "global_capacity"),
 )
 def scan_probed_lists_pallas_grouped(
@@ -496,6 +505,7 @@ def scan_probed_lists_pallas_grouped(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
+    stage_bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas scan — the fastest single-chip path.
 
@@ -559,7 +569,8 @@ def scan_probed_lists_pallas_grouped(
             arena_anchors.astype(jnp.float32)[:, None, :]
         )
 
-    stage_bf16 = arena.dtype == jnp.int8
+    # fp32 staging default — see scan_probed_lists_pallas_sorted.
+    stage_bf16 = stage_bf16 and arena.dtype == jnp.int8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # row→list, counts
         grid=(n_rows,),

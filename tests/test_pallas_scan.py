@@ -217,22 +217,37 @@ def test_int8_per_row_scale_paths(rng, impl, use_anchors):
         d, pos = scan_probed_lists(*args, **kw)
     d, pos = np.asarray(d), np.asarray(pos)
 
-    # Pallas int8 kernels dot with the bf16-rounded query (exact int8
-    # products at single-pass MXU rate); XLA paths use the fp32 query.
     ref_d, ref_p = _numpy_int8_reference(
-        q, arena_i8, scale, arena_sq, probe, cap, k, anchors,
-        bf16_query_dot=impl in ("sorted", "grouped"),
+        q, arena_i8, scale, arena_sq, probe, cap, k, anchors
     )
     for b in range(B):
         np.testing.assert_allclose(d[b], ref_d[b], rtol=1e-4, atol=1e-4)
         assert set(pos[b].tolist()) == set(ref_p[b].tolist())
+
     if impl in ("sorted", "grouped"):
-        # sanity: the bf16-query deviation from exact fp32 math is far
-        # below int8 quantization noise (ranking-scale irrelevance)
-        ex_d, _ = _numpy_int8_reference(
-            q, arena_i8, scale, arena_sq, probe, cap, k, anchors
+        # Opt-in bf16 staging: dots use the bf16-rounded query (int8 is
+        # exact in bf16, products accumulate exactly in fp32) — matches
+        # the bf16-query reference and stays within int8-noise scale of
+        # exact fp32 math.
+        if impl == "sorted":
+            d2, pos2 = scan_probed_lists_pallas_sorted(
+                *args, interpret=True, stage_bf16=True, **kw
+            )
+        else:
+            d2, pos2 = scan_probed_lists_pallas_grouped(
+                *args, interpret=True, stage_bf16=True, m_budget=8, **kw
+            )
+        d2 = np.asarray(d2)
+        bq_d, bq_p = _numpy_int8_reference(
+            q, arena_i8, scale, arena_sq, probe, cap, k, anchors,
+            bf16_query_dot=True,
         )
-        np.testing.assert_allclose(d, ex_d, rtol=3e-3, atol=3e-3)
+        for b in range(B):
+            np.testing.assert_allclose(d2[b], bq_d[b], rtol=1e-4, atol=1e-4)
+            assert set(np.asarray(pos2)[b].tolist()) == set(
+                bq_p[b].tolist()
+            )
+        np.testing.assert_allclose(d2, ref_d, rtol=3e-3, atol=3e-3)
 
 
 def test_residual_quantization_is_finer(rng):

@@ -193,20 +193,15 @@ def test_sharded_pallas_int8(rng, impl):
     q = rng.standard_normal((5, 32)).astype(np.float32)
     params = SearchParams(nprobe=8, k=10)
     # Striping invariance: the SAME kernel on 4 shards must match 1 shard
-    # exactly. (The int8 Pallas kernels dot with the bf16-rounded query —
-    # see ops/pallas_scan — so the XLA gather path is only a loose
-    # reference near int8 ties.)
+    # exactly…
     single = ShardedIVFFlatIndex(idx, make_mesh(1), scan_impl=impl)
     d_ref, ids_ref = single.search(q, params)
     sharded = ShardedIVFFlatIndex(idx, make_mesh(4), scan_impl=impl)
     d, ids = sharded.search(q, params)
     np.testing.assert_array_equal(ids, ids_ref)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
-    # loose sanity vs exact fp32 math: deviation ≪ int8 quantization noise
+    # …and with default fp32 staging the quantized math is exact, so the
+    # XLA gather path agrees exactly too.
     d_x, ids_x = idx.search(q, params)
-    np.testing.assert_allclose(d, d_x, rtol=3e-3, atol=3e-3)
-    overlap = np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / 10
-        for a, b in zip(ids, ids_x)
-    ])
-    assert overlap >= 0.9, overlap
+    np.testing.assert_array_equal(ids, ids_x)
+    np.testing.assert_allclose(d, d_x, rtol=1e-5, atol=1e-5)
