@@ -11,9 +11,11 @@ bf16 arena fit in one v5e's 16 GB HBM; the 10M point runs sharded on v5e-8).
 
 Data model: mixture of gaussians (SIFT-style clustered corpus; isotropic
 gaussian data has no coarse-quantizer structure and no ANN system can probe
-meaningfully on it — see .claude/skills/verify/SKILL.md). Everything is
-generated, built, and queried on device: the networked-TPU harness has
-~0.04 GB/s H2D, so corpus upload would dominate and measure nothing.
+meaningfully on it — see .claude/skills/verify/SKILL.md), with
+``clusters_per_list`` (default 4) natural modes per inverted list so lists
+are multi-modal as in real corpora. Everything is generated, built, and
+queried on device: the networked-TPU harness has ~0.04 GB/s H2D, so corpus
+upload would dominate and measure nothing.
 """
 
 from __future__ import annotations
@@ -137,6 +139,19 @@ def main():
                         "and fits 10M x 768 on one v5e chip)")
     p.add_argument("--force-chunked", action="store_true",
                    help="exercise the chunked-build path regardless of size")
+    p.add_argument("--clusters-per-list", type=int, default=1,
+                   help="mixture modes per inverted list (default 1: one "
+                        "gaussian ball per list — the stable, "
+                        "probe-friendly benchmark geometry). >1 builds a "
+                        "HIERARCHY (sub-modes offset 0.4/coord around "
+                        "each center); measured at 1.2M/1024: flat iid "
+                        "extra modes break probing outright (recall 0.55 "
+                        "— near-equidistant to every centroid in 768-D) "
+                        "and even hierarchical sub-modes cost ~7% probe "
+                        "recall (0.926 bf16) because 10-iter k-means "
+                        "anchors families unevenly. Single-ball recall is "
+                        "quantization-bound instead (int8 0.960 / bf16 "
+                        "0.969 at 1.2M)")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_grouped"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
@@ -178,6 +193,23 @@ def main():
         # Mosaic kernels need a TPU; --quick CI runs fall back to XLA.
         args.scan = "gather"
 
+    cpl = max(args.clusters_per_list, 1)
+    n_modes = args.nlist * cpl
+
+    def make_centers():
+        """Hierarchical mixture centers [n_modes, dim]: sub-mode j orbits
+        super-cluster j // cpl. Geometry (768-D): intra-sub spread² ≈ 96,
+        sub separation² ≈ 245, super separation² ≈ 1536 — k-means (nlist
+        centroids) locks onto the supers (clean probing) while each list
+        holds cpl resolved sub-modes (realistic local density)."""
+        ks, ko = jax.random.split(jax.random.PRNGKey(1234))
+        sup = jax.random.normal(ks, (args.nlist, args.dim), jnp.float32)
+        if cpl == 1:
+            return sup
+        return sup[jnp.arange(n_modes) // cpl] + 0.4 * jax.random.normal(
+            ko, (n_modes, args.dim), jnp.float32
+        )
+
     key = jax.random.PRNGKey(42)
     t0 = time.time()
     cfg = IVFFlatConfig(
@@ -194,7 +226,8 @@ def main():
         # balanced (capacity ≈ mean → minimal padding → minimal bandwidth).
         _stage("generating corpus")
         x, centers = clustered_corpus(
-            key, args.n, args.dim, n_clusters=args.nlist, noise=0.25
+            key, args.n, args.dim, n_clusters=n_modes, noise=0.25,
+            centers=make_centers(),
         )
         x.block_until_ready()
         del centers
@@ -227,9 +260,7 @@ def main():
             kx, sub = jax.random.split(kx)
             chunk_keys.append(sub)
         # ONE global mixture shared by every chunk (see clustered_corpus).
-        centers_g = jax.random.normal(
-            jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
-        )
+        centers_g = make_centers()
 
         # Query plan: args.batch corpus rows sampled uniformly over [0, n).
         kq1, kq2 = jax.random.split(jax.random.PRNGKey(7))
@@ -247,7 +278,7 @@ def main():
                 continue
             tg = time.time()
             xc, _ = clustered_corpus(
-                chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
+                chunk_keys[ci], m, args.dim, n_clusters=n_modes,
                 noise=0.25, centers=centers_g, base=start,
             )
             q_base[sel] = np.asarray(
@@ -276,7 +307,7 @@ def main():
             _stage(f"chunk {ci}: generate {m}")
             tg = time.time()
             xc, _ = clustered_corpus(
-                chunk_keys[ci], m, args.dim, n_clusters=args.nlist,
+                chunk_keys[ci], m, args.dim, n_clusters=n_modes,
                 noise=0.25, centers=centers_g, base=start,
             )
             xc.block_until_ready()

@@ -335,6 +335,38 @@ class IVFPQIndex:
         )
         self.trained = True
 
+    def train_from_device(self, x_dev: jax.Array) -> None:
+        """Device-resident training (parity with
+        ``IVFFlatIndex.train_from_device``): no host round trip — the path
+        for corpora generated or already living on device (the networked
+        TPU harness uploads at ~0.04 GB/s, so host staging dominates
+        otherwise)."""
+        cfg = self.config
+        n = x_dev.shape[0]
+        if n < cfg.nlist:
+            raise ValueError(f"need ≥ nlist={cfg.nlist} training vectors")
+        x_dev = x_dev.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            x_dev = l2_normalize(x_dev)
+        rng = np.random.default_rng(cfg.seed)
+        cap = cfg.train_sample_per_list * cfg.nlist
+        sample_d = x_dev if n <= cap else x_dev[
+            jnp.asarray(np.sort(rng.choice(n, cap, replace=False)))
+        ]
+        key = jax.random.PRNGKey(cfg.seed)
+        k1, k2 = jax.random.split(key)
+        self.centroids, assign = kmeans_fit(
+            k1, sample_d, cfg.nlist, iters=cfg.train_iters
+        )
+        nsamp = int(sample_d.shape[0])
+        nsub = min(nsamp, cfg.pq_train_sample)
+        sub_idx = jnp.asarray(np.sort(rng.choice(nsamp, nsub, replace=False)))
+        residuals = sample_d[sub_idx] - self.centroids[assign[sub_idx]]
+        self.codebooks = train_product_quantizer(
+            k2, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
+        )
+        self.trained = True
+
     def add(self, vectors: np.ndarray, ids: np.ndarray | None = None) -> None:
         """Assign → residual-encode (``encode_vectors``, declared at
         ``ivf_flat_index.h:164-167``) → scatter codes (+ raw) into arenas."""
@@ -358,6 +390,37 @@ class IVFPQIndex:
         assignments = np.asarray(
             kmeans_assign(vec_d, self.centroids, assign_metric)
         )
+        self._ingest(vec_d, ids, assignments)
+
+    def add_from_device(
+        self, x_dev: jax.Array, ids: np.ndarray | None = None
+    ) -> None:
+        """Device-resident ingest (parity with
+        ``IVFFlatIndex.build_from_device``): assign, residual-encode and
+        scatter without staging the vectors through host RAM."""
+        if not self.trained:
+            raise RuntimeError("index must be trained before add()")
+        n = x_dev.shape[0]
+        if n == 0:
+            return
+        if ids is None:
+            ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
+        x_dev = x_dev.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            x_dev = l2_normalize(x_dev)
+        assign_metric = (
+            Metric.INNER_PRODUCT
+            if self.metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        assignments = np.asarray(
+            kmeans_assign(x_dev, self.centroids, assign_metric)
+        )
+        self._ingest(x_dev, ids, assignments)
+
+    def _ingest(self, vec_d, ids, assignments: np.ndarray) -> None:
+        """Shared tail of add/add_from_device: encode + scatter."""
+        cfg = self.config
         codes = pq_encode(
             vec_d - self.centroids[jnp.asarray(assignments)], self.codebooks
         )
@@ -384,7 +447,7 @@ class IVFPQIndex:
             jnp.sum(deq * deq, axis=-1)
         )
         if self.raw is not None:
-            self.raw = self.raw.append(vectors, np.asarray(ids), assignments)
+            self.raw = self.raw.append(vec_d, np.asarray(ids), assignments)
         else:
             self._counts = self._counts + jnp.asarray(
                 per_list.astype(np.int32)

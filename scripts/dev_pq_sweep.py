@@ -52,13 +52,15 @@ def main():
     )
 
     rng = np.random.default_rng(42)
-    centers = rng.standard_normal((args.nlist, args.dim)).astype(np.float32)
+    # Device-generated single-ball mixture (one mode per list), matching
+    # the headline bench geometry. Everything stays on device: the relay's
+    # ~0.04 GB/s H2D made host-generated builds both slow and prone to
+    # staging-buffer HBM exhaustion (three OOM'd runs before this).
+    from bench import clustered_corpus
 
-    def host_chunk(start: int, mrows: int) -> np.ndarray:
-        ci = (start + np.arange(mrows)) % args.nlist
-        return centers[ci] + 0.25 * rng.standard_normal(
-            (mrows, args.dim)
-        ).astype(np.float32)
+    centers_g = jax.random.normal(
+        jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
+    )
 
     cfg = IVFPQConfig(
         dimension=args.dim, nlist=args.nlist, m=args.m,
@@ -66,34 +68,47 @@ def main():
     )
     idx = IVFPQIndex(cfg)
 
-    chunk_n = 250_000
+    chunk_n = 500_000
     nq = args.max_batch
     oracle = make_oracle_updater(args.k)
     gt_d = jnp.full((nq, args.k), jnp.inf, jnp.float32)
     gt_i = jnp.full((nq, args.k), -1, jnp.int64)
     queries = None
+    kx = jax.random.PRNGKey(42)
+    chunk_keys = []
+    for _ in range(0, args.n, chunk_n):
+        kx, sub = jax.random.split(kx)
+        chunk_keys.append(sub)
     t0 = time.time()
     for ci, start in enumerate(range(0, args.n, chunk_n)):
         mrows = min(chunk_n, args.n - start)
-        _stage(f"chunk {ci}: host-gen {mrows}")
-        xc = host_chunk(start, mrows)
+        _stage(f"chunk {ci}: device-gen {mrows}")
+        xc, _ = clustered_corpus(
+            chunk_keys[ci], mrows, args.dim, n_clusters=args.nlist,
+            noise=0.25, centers=centers_g, base=start,
+        )
+        xc = xc.astype(jnp.float32)
+        xc.block_until_ready()
         if ci == 0:
             _stage("train (coarse + PQ codebooks)")
-            idx.train(xc)
+            idx.train_from_device(xc)
             jax.block_until_ready(idx.codebooks)
-            qi = rng.integers(0, mrows, nq)
-            queries = jnp.asarray(
-                xc[qi] + 0.1 * rng.standard_normal(
-                    (nq, args.dim)
-                ).astype(np.float32)
+            # Pre-grow both arenas to final capacity: per-chunk growth
+            # reallocates multi-GB device buffers every chunk.
+            final_cap = -(-int(args.n / args.nlist * 1.5) // 128) * 128
+            idx._grow(final_cap)
+            jax.block_until_ready(idx.code_arena_t)
+            qi = jnp.asarray(rng.integers(0, mrows, nq))
+            queries = xc[qi] + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(9), (nq, args.dim), jnp.float32
             )
         _stage(f"chunk {ci}: add")
-        idx.add(xc, ids=np.arange(start, start + mrows, dtype=np.uint64))
+        idx.add_from_device(
+            xc, ids=np.arange(start, start + mrows, dtype=np.uint64)
+        )
         jax.block_until_ready(idx.code_arena_t)
         _stage(f"chunk {ci}: oracle")
-        gt_d, gt_i = oracle(
-            gt_d, gt_i, queries, jnp.asarray(xc), jnp.int64(start)
-        )
+        gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
         gt_d.block_until_ready()
         del xc
     truth = np.asarray(gt_i)
@@ -118,10 +133,12 @@ def main():
         rerank_k = int(parts[1]) if len(parts) > 1 else 0
         q = queries[:batch]
 
+        interp = jax.default_backend() != "tpu"
+
         def dev_search(qq, _r=rerank_k):
             return _ivf_pq_search_device(
                 qq, nprobe=args.nprobe, k=args.k, metric=idx.metric,
-                rerank_k=_r, scan_impl="pallas", interpret=False, **sargs,
+                rerank_k=_r, scan_impl="pallas", interpret=interp, **sargs,
             )
 
         _stage(f"{spec}: compile")
