@@ -366,16 +366,16 @@ def main():
     )
 
     def device_search(q):
-        d, pos, _probes = _ivf_search_device(
+        d, pos, probes = _ivf_search_device(
             q, *search_args, min(args.nprobe, args.nlist), args.k,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
             idx.arena.anchors, args.m_budget or None,
         )
-        return d, pos
+        return d, pos, probes
 
     # Warm (compile) + recall measurement.
     _stage("warm compile + first search")
-    d, pos = device_search(queries)
+    d, pos, probes = device_search(queries)
     jax.block_until_ready((d, pos))
     _stage("exact oracle")
     if chunked:
@@ -414,6 +414,25 @@ def main():
         for a, b in zip(got_ids, truth)
     ])
 
+    # Probe coverage: the fraction of TRUE top-k whose list was probed —
+    # splits recall loss into its probe-miss component (coverage < 1) and
+    # its quantized-ranking component (coverage − recall).
+    ids_tab = idx.arena.ids.reshape(-1)
+    order_ids = np.argsort(ids_tab)
+    sorted_ids = ids_tab[order_ids]
+    locs = np.clip(
+        np.searchsorted(sorted_ids, truth.astype(np.uint64)),
+        0, sorted_ids.size - 1,
+    )
+    matched = sorted_ids[locs] == truth.astype(np.uint64)
+    true_list = order_ids[locs] // cap
+    probes_h = np.asarray(probes)[: truth.shape[0]]
+    coverage = np.mean([
+        float(np.mean(np.isin(true_list[b][matched[b]], probes_h[b])))
+        if matched[b].any() else 0.0
+        for b in range(truth.shape[0])
+    ])
+
     # Throughput: pipelined async dispatch, block once at the end.
     t0 = time.time()
     _stage("throughput loop")
@@ -432,6 +451,7 @@ def main():
 
     detail = {
         "recall_at_10": round(float(recall), 4),
+        "probe_coverage": round(float(coverage), 4),
         "p50_batch_ms": round(float(np.percentile(lats, 50)), 2),
         "p99_batch_ms": round(float(np.percentile(lats, 99)), 2),
         "batch": args.batch,

@@ -260,21 +260,23 @@ class PackedListArena:
         """Dequantized fp32 view of the stored vectors (snapshots persist
         values, not codes — per-row scales re-derive exactly on load because
         every row's max residual element saturates ±127 by construction).
-        Padded slots stay exactly zero (anchor term masked by count)."""
-        arena_f = self.arena.astype(jnp.float32)
+        Padded slots stay exactly zero (anchor term masked by count).
+
+        Dequantization happens HOST-side: a device-side fp32 expansion of a
+        10M-scale int8 arena is a 4x-sized HBM transient (observed OOM on
+        the relay runtime), and downloading the codes moves 4x fewer bytes.
+        """
+        arena_np = np.asarray(self.arena).astype(np.float32)
+        counts = np.asarray(self.counts)
         if self.dtype == jnp.int8 and self.arena_scale is not None:
-            arena_f = arena_f * self.arena_scale[:, :, None]
+            arena_np *= np.asarray(self.arena_scale)[:, :, None]
             if self.anchors is not None:
-                live = (
-                    jnp.arange(self.capacity)[None, :]
-                    < self.counts[:, None]
-                )
-                arena_f = jnp.where(
-                    live[:, :, None], arena_f + self.anchors[:, None, :], 0.0
-                )
+                anchors = np.asarray(self.anchors)
+                for l in range(arena_np.shape[0]):   # in place, no 3-D temp
+                    arena_np[l, : int(counts[l])] += anchors[l]
         return {
-            "arena": np.asarray(arena_f),
-            "counts": np.asarray(self.counts),
+            "arena": arena_np,
+            "counts": counts,
             "ids": self.ids,
         }
 

@@ -174,10 +174,12 @@ def kmeans_fit(
     row_ids = jnp.arange(xp.shape[0]).reshape(-1, cs)
     valid = (row_ids < n_orig).astype(jnp.float32)
 
-    def lloyd(centroids, _):
+    n_cand = 16  # reseed candidates per chunk (distortion + stratified)
+
+    def lloyd(centroids, it):
         def chunk_body(carry, inputs):
-            sums, counts = carry
-            xc, w = inputs
+            sums, counts, d_tot = carry
+            xc, w, rows = inputs
             xcf = xc.astype(jnp.float32)
             d = pairwise_distance(xcf, centroids, Metric.L2)
             a = jnp.argmin(d, axis=-1)
@@ -190,36 +192,95 @@ def kmeans_fit(
                 preferred_element_type=jnp.float32,
             )
             counts = counts + jnp.sum(onehot, axis=0)
-            return (sums, counts), a.astype(jnp.int32)
+            # Reseed candidates from this chunk:
+            #  - highest-distortion rows (points no centroid serves —
+            #    orphaned modes), and
+            #  - a stratified row sample with its assignment (split
+            #    donors for overfull clusters).
+            d_min = jnp.where(w > 0, jnp.min(d, axis=-1), -jnp.inf)
+            d_tot = d_tot + jnp.sum(jnp.maximum(d_min, 0.0) * w)
+            top_v, top_i = jax.lax.top_k(d_min, n_cand)
+            stride = max(d_min.shape[0] // n_cand, 1)
+            samp = jnp.arange(n_cand, dtype=jnp.int32) * stride
+            return (sums, counts, d_tot), (
+                a.astype(jnp.int32), top_v, rows[top_i],
+                rows[samp], a[samp].astype(jnp.int32),
+            )
 
-        (sums, counts), assigns = jax.lax.scan(
-            chunk_body,
-            (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.float32)),
-            (chunks, valid),
+        (sums, counts, d_tot), (assigns, cand_v, cand_r, samp_r, samp_a) = (
+            jax.lax.scan(
+                chunk_body,
+                (jnp.zeros((k, dim), jnp.float32),
+                 jnp.zeros((k,), jnp.float32), jnp.float32(0.0)),
+                (chunks, valid, row_ids),
+            )
         )
         new_centroids = jnp.where(
             (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None],
             centroids,
         )
-        # Rebalance: starved clusters (< 10% of mean) re-seed just off the
-        # fattest cluster's centroid, splitting it on the next iteration.
-        # Plain keep-old (the reference behavior) leaves duplicate seeds
-        # stuck forever and produces the heavy list-size tail that inflates
-        # the padded arena.
+        # Rebalance (plain keep-old — the reference behavior,
+        # ``ivf_flat_index.cpp:117-141`` — leaves bad seeds stuck forever).
+        # Freed SOURCES:
+        #   starved:   counts < 10% of mean — serves nobody.
+        #   redundant: twin centroids parked inside ONE natural mode
+        #              (NN-distance ≪ median centroid spacing). Twins never
+        #              starve (each holds half the mode), so count-based
+        #              reseeding alone leaves a mode-less centroid deficit
+        #              elsewhere.
+        # Reseed TARGETS, ranked in one pool:
+        #   - top-distortion points (orphaned modes, distortion ≫ mode
+        #     radius) — score = distortion / median;
+        #   - stratified sample points inside OVERFULL clusters (> 1.5x
+        #     mean count): a shared list (two modes, one centroid) spills
+        #     past the arena capacity clamp at build time, scattering rows
+        #     to far 2nd-choice lists that nprobe-bounded probes miss
+        #     (measured: probe coverage 0.94-0.96 at 1.2M/1024 before
+        #     this). Placing the freed centroid AT a member point splits
+        #     the shared cluster cleanly on the next iteration.
+        # Skipped on the last two iterations so fresh seeds settle.
+        cc = pairwise_distance(new_centroids, new_centroids, Metric.L2)
+        cc = cc + jnp.where(jnp.eye(k, dtype=bool), jnp.inf, 0.0)
+        nn_d = jnp.min(cc, axis=-1)
+        partner = jnp.argmin(cc, axis=-1).astype(jnp.int32)
+        med_nn = jnp.median(nn_d)
+        redundant = (
+            (nn_d < 0.35 * med_nn)
+            & (jnp.arange(k, dtype=jnp.int32) > partner)
+        )
         mean_count = jnp.mean(counts)
         starved = counts < 0.1 * mean_count
-        donor = jnp.argmax(counts)
-        jitter = 1e-3 * new_centroids[donor] * (
-            jax.lax.broadcasted_iota(jnp.float32, (k, dim), 0) % 7 - 3.0
-        ) / 3.0
+        reseed = (starved | redundant) & (it < iters - 2)
+
+        flat_v = cand_v.reshape(-1)
+        flat_r = cand_r.reshape(-1)
+        # Normalize distortion by the GLOBAL mean assignment distortion:
+        # orphan-mode points score ≈ (inter-mode / intra-mode)² ≫ 10, far
+        # above overfull-split donors (≈ 5-8) and ordinary tail points
+        # (≈ 2-4). Normalizing by the candidate pool's own median instead
+        # inverts the priority — the pool is all-orphan when orphans
+        # exist, scoring them ~1.
+        mean_d = d_tot / jnp.float32(n_orig) + 1e-12
+        score_dist = flat_v / mean_d
+        samp_r = samp_r.reshape(-1)
+        samp_c = counts[samp_a.reshape(-1)]
+        score_samp = jnp.where(
+            samp_c > 1.5 * mean_count, 4.0 + samp_c / mean_count, -jnp.inf
+        )
+        pool_r = jnp.concatenate([flat_r, samp_r])
+        pool_s = jnp.concatenate([score_dist, score_samp])
+        s_cand = min(pool_s.shape[0], 128)
+        _, best = jax.lax.top_k(pool_s, s_cand)
+        cand_rows = pool_r[best]                        # [s_cand]
+        slot = (jnp.cumsum(reseed.astype(jnp.int32)) - 1) % s_cand
         new_centroids = jnp.where(
-            starved[:, None], new_centroids[donor][None, :] + jitter,
+            reseed[:, None], xp[cand_rows[slot]].astype(jnp.float32),
             new_centroids,
         )
         return new_centroids, assigns
 
     centroids, assigns = jax.lax.scan(
-        lambda c, _: lloyd(c, _), centroids, None, length=iters
+        lloyd, centroids, jnp.arange(iters)
     )
     # assigns from the final iteration: [iters, nchunks, C] → last iter.
     final_assigns = assigns[-1].reshape(-1)[:n_orig]

@@ -103,10 +103,17 @@ def main():
                 jax.random.PRNGKey(9), (nq, args.dim), jnp.float32
             )
         _stage(f"chunk {ci}: add")
-        idx.add_from_device(
-            xc, ids=np.arange(start, start + mrows, dtype=np.uint64)
-        )
-        jax.block_until_ready(idx.code_arena_t)
+        # 125K sub-slices with barriers: the relay frees device buffers
+        # lazily, and a full-chunk ingest's transients stack on top of the
+        # still-allocated training/generation buffers (observed OOMs).
+        sub = 125_000
+        for s0 in range(0, mrows, sub):
+            s1 = min(s0 + sub, mrows)
+            idx.add_from_device(
+                xc[s0:s1],
+                ids=np.arange(start + s0, start + s1, dtype=np.uint64),
+            )
+            jax.block_until_ready(idx.code_arena_t)
         _stage(f"chunk {ci}: oracle")
         gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
         gt_d.block_until_ready()
