@@ -17,12 +17,25 @@ skipped loads (``:398-402``). Eviction here is real: LRU or LFU victims.
 
 from __future__ import annotations
 
+import functools
 import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_upload(arena, sq, counts, slots, stack, sq_new, cnts):
+    """Donating in-place slot update: without donation the functional
+    ``.at[].set`` keeps old+new cache arenas live simultaneously — 2x a
+    multi-GB cache is an HBM OOM on its own."""
+    return (
+        arena.at[slots].set(stack),
+        sq.at[slots].set(sq_new),
+        counts.at[slots].set(cnts),
+    )
 
 
 class HbmListCache:
@@ -141,33 +154,49 @@ class HbmListCache:
         if slots_for_missing:
             from cuda_acceleratedvectordatabaseengine_tpu import native
 
-            n_miss = len(slots_for_missing)
-            arrays, cnts_list = [], []
-            for l in slots_for_missing:
-                v, _s, c = host_fetch(l)
-                arrays.append(np.asarray(v[:c], np.float32))
-                cnts_list.append(c)
-            # Parallel C++ staging assembly (pad) — the host-side hot path
-            # of a cache miss; falls back to NumPy without the native lib.
-            stack, _sq_f32 = native.gather_lists(
-                arrays, self.capacity, self.dim
-            )
-            cnts = np.asarray(cnts_list, np.int32)
-            slot_arr = jnp.asarray(
-                np.fromiter(slots_for_missing.values(), np.int32, n_miss)
-            )
-            stack_d = jnp.asarray(stack).astype(self.dtype)
-            self.cache_arena = self.cache_arena.at[slot_arr].set(stack_d)
-            # Norms of the STORED (dtype-cast) representation, not the fp32
-            # staging values: scan distances must be distances to the stored
-            # point (see models/arena.py) — fp32 norms against cast dots
-            # would bias L2 near ties.
-            self.cache_sq = self.cache_sq.at[slot_arr].set(
-                jnp.sum(jnp.square(stack_d.astype(jnp.float32)), -1)
-            )
-            self.cache_counts = self.cache_counts.at[slot_arr].set(
-                jnp.asarray(cnts)
-            )
+            miss_l = list(slots_for_missing)
+            miss_s = list(slots_for_missing.values())
+            # Bounded upload batches: one giant fp32 staging stack (e.g. a
+            # 2048-slot warm prefetch = 20+ GB fp32) neither fits host
+            # staging comfortably nor the relay's H2D; the dtype cast
+            # happens HOST-side so the wire carries the stored bytes.
+            step = max(1, (256 << 20) // max(
+                self.capacity * self.dim * self.dtype.itemsize, 1
+            ))
+            for b0 in range(0, len(miss_l), step):
+                batch_l = miss_l[b0:b0 + step]
+                batch_s = miss_s[b0:b0 + step]
+                arrays, cnts_list = [], []
+                for l in batch_l:
+                    v, _s, c = host_fetch(l)
+                    arrays.append(np.asarray(v[:c], np.float32))
+                    cnts_list.append(c)
+                # Parallel C++ staging assembly (pad) — the host-side hot
+                # path of a cache miss; NumPy fallback without the lib.
+                stack, _sq_f32 = native.gather_lists(
+                    arrays, self.capacity, self.dim
+                )
+                # Norms of the STORED (dtype-cast) representation, not the
+                # fp32 staging values: scan distances must be distances to
+                # the stored point (see models/arena.py) — fp32 norms
+                # against cast dots would bias L2 near ties.
+                stack_cast = stack.astype(self.dtype)
+                sq_new = np.asarray(
+                    stack_cast, dtype=np.float32
+                ) if self.dtype != jnp.float32 else stack
+                sq_new = np.einsum(
+                    "scd,scd->sc", sq_new, sq_new, dtype=np.float32
+                )
+                (self.cache_arena, self.cache_sq, self.cache_counts) = (
+                    _scatter_upload(
+                        self.cache_arena, self.cache_sq, self.cache_counts,
+                        jnp.asarray(np.asarray(batch_s, np.int32)),
+                        jnp.asarray(stack_cast),
+                        jnp.asarray(sq_new),
+                        jnp.asarray(np.asarray(cnts_list, np.int32)),
+                    )
+                )
+            jax.block_until_ready(self.cache_counts)
         return mapping
 
     def memory_bytes(self) -> int:

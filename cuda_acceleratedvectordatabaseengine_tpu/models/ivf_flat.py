@@ -56,13 +56,15 @@ class IVFFlatConfig:
     nlist: int = 1024
     metric: Metric = Metric.L2
     dtype: str = "bfloat16"          # corpus storage dtype on device
-    train_iters: int = 25            # Lloyd iterations (reference fixes 10,
+    train_iters: int = 40            # Lloyd iterations (reference fixes 10,
                                      # ivf_flat_index.cpp:109; our twin/
-                                     # orphan reseeding needs ~15+ to
-                                     # converge mode->list 1:1 — measured
-                                     # probe coverage 0.976->1.0 and
-                                     # displaced 2.3%->0.2% at 10->20
-                                     # iters on 500K/512-mode data)
+                                     # orphan reseeding keeps converging
+                                     # mode->list 1:1 well past that —
+                                     # 768-D/1024-mode measured probe
+                                     # coverage 0.962/0.987/0.998 and
+                                     # displaced rows 4.0%/2.0%/0.3% at
+                                     # 10/25/40 iters; training is ~1% of
+                                     # a 10M build)
     train_sample_per_list: int = 128 # train on min(n, nlist * this) samples
     seed: int = 42                   # reference seeds k-means with 42
     max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean

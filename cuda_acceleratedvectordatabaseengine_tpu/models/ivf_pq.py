@@ -68,7 +68,7 @@ class IVFPQConfig:
     metric: Metric = Metric.L2
     keep_raw: bool = True       # retain raw vectors (bf16) for exact rerank
     raw_dtype: str = "bfloat16"
-    train_iters: int = 25   # see IVFFlatConfig.train_iters
+    train_iters: int = 40   # see IVFFlatConfig.train_iters
     train_sample_per_list: int = 128
     pq_train_sample: int = 65536
     seed: int = 42

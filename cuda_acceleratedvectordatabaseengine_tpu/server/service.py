@@ -581,10 +581,14 @@ class AdminServiceImpl:
             total = indexed = stats["total_vectors"]
             mem_gb = stats["total_bytes"] / (1 << 30)
         pending = sum(len(v) for v in st.pending_vectors)
+        pct = eng.metrics.get_percentiles(request.index)
         return vdb_pb2.StatsResponse(
             total_vectors=total + pending,
             indexed_vectors=indexed,
             current_epoch=st.epoch,
             gpu_memory_used=mem_gb,
             nvme_usage=0.0,
+            latency_p50_ms=pct["p50"],
+            latency_p95_ms=pct["p95"],
+            latency_p99_ms=pct["p99"],
         )

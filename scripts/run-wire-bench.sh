@@ -28,8 +28,12 @@ cleanup() {
 trap cleanup EXIT
 
 echo "[wire] phase 1: prepare (data=${DATA})"
-python scripts/wire_bench.py prepare --data-path "${DATA}" --n "${N}" \
-  || exit 1
+if [[ -f "${DATA}/epochs/epochs.json" ]]; then
+  echo "[wire] reusing existing epoch snapshot in ${DATA}"
+else
+  python scripts/wire_bench.py prepare --data-path "${DATA}" --n "${N}" \
+    || exit 1
+fi
 
 echo "[wire] phase 2: server boot"
 python -m cuda_acceleratedvectordatabaseengine_tpu.server.main \
