@@ -9,11 +9,10 @@ Workload: BASELINE target parameters (nlist=4096, nprobe=32, k=10, 768D)
 scaled to the single available chip (N defaults to 1M so f32 ground-truth +
 bf16 arena fit in one v5e's 16 GB HBM; the 10M point runs sharded on v5e-8).
 
-Data model: mixture of gaussians (SIFT-style clustered corpus; isotropic
-gaussian data has no coarse-quantizer structure and no ANN system can probe
-meaningfully on it — see .claude/skills/verify/SKILL.md), with
-``clusters_per_list`` (default 4) natural modes per inverted list so lists
-are multi-modal as in real corpora. Everything is generated, built, and
+Data model: mixture of gaussians, one mode per list (SIFT-style clustered
+corpus; isotropic gaussian data has no coarse-quantizer structure and no
+ANN system can probe meaningfully on it — see the ``--clusters-per-list``
+help for the measured geometry study). Everything is generated, built, and
 queried on device: the networked-TPU harness has ~0.04 GB/s H2D, so corpus
 upload would dominate and measure nothing.
 """
@@ -214,7 +213,7 @@ def main():
     t0 = time.time()
     cfg = IVFFlatConfig(
         dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
-        train_sample_per_list=64, max_capacity_factor=4.0,
+        train_sample_per_list=128, max_capacity_factor=4.0,
     )
     idx = IVFFlatIndex(cfg)
     itemsize = 2  # bf16 corpus chunks

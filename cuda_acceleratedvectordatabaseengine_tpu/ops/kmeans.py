@@ -174,9 +174,12 @@ def kmeans_fit(
     row_ids = jnp.arange(xp.shape[0]).reshape(-1, cs)
     valid = (row_ids < n_orig).astype(jnp.float32)
 
-    n_cand = 16  # reseed candidates per chunk (distortion + stratified)
+    n_cand = 32  # reseed candidates per chunk (distortion + stratified)
+    key, loop_key = jax.random.split(key)
+    loop_keys = jax.random.split(loop_key, iters)
 
-    def lloyd(centroids, it):
+    def lloyd(centroids, it_and_key):
+        it, it_key = it_and_key
         def chunk_body(carry, inputs):
             sums, counts, d_tot = carry
             xc, w, rows = inputs
@@ -269,8 +272,19 @@ def kmeans_fit(
         )
         pool_r = jnp.concatenate([flat_r, samp_r])
         pool_s = jnp.concatenate([score_dist, score_samp])
-        s_cand = min(pool_s.shape[0], 128)
-        _, best = jax.lax.top_k(pool_s, s_cand)
+        # Gumbel-perturbed selection (P ∝ score) instead of plain top-k:
+        # an orphaned mode contributes MANY top-distortion rows, and
+        # deterministic top-k plants several reseeds in one mode — instant
+        # new twins. Weighted sampling spreads picks across modes
+        # (measured at 4096 lists: top-k selection plateaued at ~175
+        # shared lists no matter the iteration count).
+        gumbel = jax.random.gumbel(it_key, pool_s.shape)
+        noisy = jnp.where(
+            pool_s > 0, jnp.log(jnp.maximum(pool_s, 1e-30)) + gumbel,
+            -jnp.inf,
+        )
+        s_cand = min(pool_s.shape[0], 512)
+        _, best = jax.lax.top_k(noisy, s_cand)
         cand_rows = pool_r[best]                        # [s_cand]
         slot = (jnp.cumsum(reseed.astype(jnp.int32)) - 1) % s_cand
         new_centroids = jnp.where(
@@ -280,7 +294,7 @@ def kmeans_fit(
         return new_centroids, assigns
 
     centroids, assigns = jax.lax.scan(
-        lloyd, centroids, jnp.arange(iters)
+        lloyd, centroids, (jnp.arange(iters), loop_keys)
     )
     # assigns from the final iteration: [iters, nchunks, C] → last iter.
     final_assigns = assigns[-1].reshape(-1)[:n_orig]

@@ -438,49 +438,57 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
     m = qrows_ref.shape[1]
     safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
 
-    # Staged cast of the raw block once per DISTINCT list in persistent
-    # scratch (rows of the same list are consecutive). int8 arenas stage to
-    # bf16: every int8 value is exact in bf16 and bf16·bf16 products
-    # accumulate exactly in fp32, so the dot runs at full single-pass MXU
-    # rate (an fp32 matmul decomposes into multiple bf16 passes) with only
-    # the query's bf16 rounding (~2e-4 relative, 40x below int8
-    # quantization noise) as error; a per-query-constant norm mismatch
-    # cancels in ranking.
-    @pl.when((i == 0) | (last_ref[0] != list_id))
-    def _():
-        cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
-        last_ref[0] = list_id
+    # The grid's static row bound is pairs//M + nlist + 1 (one possible
+    # partial row per list); unused rows carry the sentinel list id. When
+    # probes spread evenly (serving batches), sentinel rows can be up to
+    # HALF the grid — guard the whole body so they cost only the ~µs step
+    # bookkeeping instead of a full staging cast + MXU dot. Their out
+    # blocks stay unwritten; the epilogue only gathers real pair rows.
+    @pl.when(list_id < nlist)
+    def _body():
+        # Staged cast of the raw block once per DISTINCT list in
+        # persistent scratch (rows of the same list are consecutive). int8
+        # arenas may stage to bf16: every int8 value is exact in bf16 and
+        # bf16·bf16 products accumulate exactly in fp32, so the dot runs
+        # at single-pass MXU rate with only the query's bf16 rounding
+        # (~2e-4 relative) as error; a per-query-constant norm mismatch
+        # cancels in ranking.
+        @pl.when((i == 0) | (last_ref[0] != list_id))
+        def _():
+            cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
+            last_ref[0] = list_id
 
-    # This row's M query vectors arrive pre-gathered by XLA ([n_rows, M, D]
-    # blocks): a fixed ~M·D·4 bytes/step of HBM instead of the one-hot
-    # gather matmul whose cost scaled with batch × steps.
-    q_sub = qrows_ref[0]                                # [M, D] fp32
-    q_op = q_sub.astype(jnp.bfloat16) if stage_bf16 else q_sub
-    dots = jax.lax.dot_general(                         # [M, cap] MXU
-        q_op, cast_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qx = dots
-    if has_scale:
-        qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]    # (1, cap) per-row
-    if has_anchor:
-        qa = jax.lax.dot_general(                       # [M, 1] q·anchor
-            q_sub, anchor_ref[0],
+        # This row's M query vectors arrive pre-gathered by XLA
+        # ([n_rows, M, D] blocks): a fixed ~M·D·4 bytes/step of HBM
+        # instead of the one-hot gather matmul whose cost scaled with
+        # batch × steps.
+        q_sub = qrows_ref[0]                            # [M, D] fp32
+        q_op = q_sub.astype(jnp.bfloat16) if stage_bf16 else q_sub
+        dots = jax.lax.dot_general(                     # [M, cap] MXU
+            q_op, cast_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        qx = qx + qa
-    if metric == Metric.L2:
-        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)    # [M, 1]
-        d = jnp.maximum(
-            q_sq - 2.0 * qx + blocksq_ref[pl.ds(safe_l % 8, 1), :], 0.0
-        )
-    elif metric == Metric.INNER_PRODUCT:
-        d = -qx
-    else:
-        d = 1.0 - qx
-    _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+        qx = dots
+        if has_scale:
+            qx = qx * scale_ref[pl.ds(safe_l % 8, 1), :]  # (1, cap)/row
+        if has_anchor:
+            qa = jax.lax.dot_general(                   # [M, 1] q·anchor
+                q_sub, anchor_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            qx = qx + qa
+        if metric == Metric.L2:
+            q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)  # [M, 1]
+            d = jnp.maximum(
+                q_sq - 2.0 * qx + blocksq_ref[pl.ds(safe_l % 8, 1), :], 0.0
+            )
+        elif metric == Metric.INNER_PRODUCT:
+            d = -qx
+        else:
+            d = 1.0 - qx
+        _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
 
 
 @functools.partial(
@@ -695,44 +703,48 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
     cap = codes_ref.shape[2]
     safe_l = jnp.minimum(jnp.maximum(list_id, 0), nlist - 1)
 
-    @pl.when((i == 0) | (last_ref[0] != list_id))
-    def _():
-        codes = codes_ref[0].astype(jnp.int32)          # [m, cap]
-        for j in range(m_sub):                          # static unroll
-            cj = codes[j:j + 1, :]                      # [1, cap]
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (ks, cap), 0) == cj
-            ).astype(jnp.float32)                       # [ks, cap]
-            dec = jax.lax.dot_general(                  # [dsub, cap] MXU
-                cbt_ref[j * dsub:(j + 1) * dsub, :], onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            decode_ref[j * dsub:(j + 1) * dsub, :] = dec
-        last_ref[0] = list_id
+    # Sentinel rows (static bound padding — see _grouped_kernel) skip the
+    # decode staging AND the dots entirely.
+    @pl.when(list_id < nlist)
+    def _body():
+        @pl.when((i == 0) | (last_ref[0] != list_id))
+        def _():
+            codes = codes_ref[0].astype(jnp.int32)      # [m, cap]
+            for j in range(m_sub):                      # static unroll
+                cj = codes[j:j + 1, :]                  # [1, cap]
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ks, cap), 0) == cj
+                ).astype(jnp.float32)                   # [ks, cap]
+                dec = jax.lax.dot_general(              # [dsub, cap] MXU
+                    cbt_ref[j * dsub:(j + 1) * dsub, :], onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                decode_ref[j * dsub:(j + 1) * dsub, :] = dec
+            last_ref[0] = list_id
 
-    q_sub = qrows_ref[0]                                # [M, D] fp32
-    dots = jax.lax.dot_general(                         # [M, cap] MXU
-        q_sub, decode_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qa = jax.lax.dot_general(                           # [M, 1] q·centroid
-        q_sub, anchor_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qx = dots + qa                                      # q·(c_l + r̂)
-    if metric == Metric.L2:
-        q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)
-        d = jnp.maximum(
-            q_sq - 2.0 * qx + codesq_ref[pl.ds(safe_l % 8, 1), :], 0.0
+        q_sub = qrows_ref[0]                            # [M, D] fp32
+        dots = jax.lax.dot_general(                     # [M, cap] MXU
+            q_sub, decode_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    elif metric == Metric.INNER_PRODUCT:
-        d = -qx
-    else:
-        d = 1.0 - qx
-    _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+        qa = jax.lax.dot_general(                       # [M, 1] q·centroid
+            q_sub, anchor_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qx = dots + qa                                  # q·(c_l + r̂)
+        if metric == Metric.L2:
+            q_sq = jnp.sum(q_sub * q_sub, axis=-1, keepdims=True)
+            d = jnp.maximum(
+                q_sq - 2.0 * qx + codesq_ref[pl.ds(safe_l % 8, 1), :], 0.0
+            )
+        elif metric == Metric.INNER_PRODUCT:
+            d = -qx
+        else:
+            d = 1.0 - qx
+        _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
 
 
 @functools.partial(

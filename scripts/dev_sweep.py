@@ -68,7 +68,7 @@ def main():
     key = jax.random.PRNGKey(42)
     cfg = IVFFlatConfig(
         dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
-        train_sample_per_list=64, max_capacity_factor=4.0,
+        train_sample_per_list=128, max_capacity_factor=4.0,
     )
     idx = IVFFlatIndex(cfg)
     nq = args.max_batch
