@@ -45,7 +45,10 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--n-batches", type=int, default=20)
     p.add_argument("--hot-clusters", type=int, default=400)
-    p.add_argument("--cache-frac", type=float, default=0.25)
+    p.add_argument("--cache-frac", type=float, default=0.125)
+    p.add_argument("--store-dir", default="/tmp/streamstore",
+                   help="persist/reuse the packed host store (the 20M "
+                        "build costs ~40 min through the relay)")
     args = p.parse_args()
 
     import jax
@@ -82,20 +85,41 @@ def main():
         jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
     )
 
-    # Host store pieces: per list, a list of per-chunk row blocks.
-    pieces_v = [[] for _ in range(args.nlist)]
-    pieces_i = [[] for _ in range(args.nlist)]
+    # Host store build: generate + assign on device, download each chunk
+    # ONCE as int8 residual codes vs the KNOWN mode centers (the relay
+    # measured 0.007 GB/s D2H for fp32-converted arrays — int8 is 4x the
+    # wire efficiency and the dequantized fp32 store keeps arena-grade
+    # accuracy: residual per-row scales, ~0.2% noise). The packed store is
+    # persisted to --store-dir and reused on rerun.
+    import os as _os
 
-    centroids = None
-    queries = None
+    sd = args.store_dir
     oracle = make_oracle_updater(args.k)
-    gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
-    gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
     rng = np.random.default_rng(7)
+    have_store = _os.path.isfile(_os.path.join(sd, "meta.npz"))
+    have_truth = _os.path.isfile(_os.path.join(sd, "truth.npz"))
+
+    @jax.jit
+    def quantize_chunk(xc, mode_ids):
+        res = xc.astype(jnp.float32) - centers_g[mode_ids]
+        scale = jnp.maximum(jnp.max(jnp.abs(res), axis=-1), 1e-12) / 127.0
+        codes = jnp.clip(
+            jnp.round(res / scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return codes, scale
 
     t0 = time.time()
     t_d2h = 0.0
+    pieces_v = [[] for _ in range(args.nlist)]
+    pieces_i = [[] for _ in range(args.nlist)]
+    centroids = None
+    queries = None
+    gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
+    gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
+    centers_h = np.asarray(centers_g)
     for ci, start in enumerate(starts):
+        if have_store and have_truth and ci > 0:
+            continue            # centroids/queries come from chunk 0 only
         m = min(chunk_n, args.n - start)
         _stage(f"chunk {ci}/{len(starts)}: generate")
         xc, _ = clustered_corpus(
@@ -107,7 +131,7 @@ def main():
             _stage("train coarse quantizer (chunk 0)")
             k1, _ = jax.random.split(jax.random.PRNGKey(0))
             centroids, _ = kmeans_fit(
-                k1, xc.astype(jnp.float32), args.nlist, iters=10
+                k1, xc.astype(jnp.float32), args.nlist, iters=40
             )
             centroids.block_until_ready()
             # Hot-cluster query workload: rows whose natural cluster id is
@@ -125,11 +149,22 @@ def main():
         assigns = np.asarray(kmeans_assign(xc, centroids, Metric.L2))
         gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
         gt_d.block_until_ready()
+        if have_store:
+            del xc
+            continue
+        mode_ids = jnp.asarray(
+            ((start + np.arange(m)) % args.nlist).astype(np.int32)
+        )
+        codes_d, scale_d = quantize_chunk(xc, mode_ids)
         td = time.time()
-        # One D2H of the stored (bf16) representation per chunk.
-        xh = np.asarray(xc).astype(np.float32)
+        codes = np.asarray(codes_d)
+        scale = np.asarray(scale_d)
         t_d2h += time.time() - td
-        del xc
+        del xc, codes_d, scale_d
+        xh = codes.astype(np.float32)
+        xh *= scale[:, None]
+        xh += centers_h[(start + np.arange(m)) % args.nlist]
+        del codes
         order = np.argsort(assigns, kind="stable")
         sl = assigns[order]
         bounds = np.searchsorted(sl, np.arange(args.nlist + 1))
@@ -140,20 +175,51 @@ def main():
                 pieces_v[l].append(xh[rows])
                 pieces_i[l].append(ids_chunk[rows])
         del xh
-    truth = np.asarray(gt_i)
+    if have_store and have_truth:
+        tz = np.load(_os.path.join(sd, "truth.npz"))
+        truth = tz["truth"]
+        queries = jnp.asarray(tz["queries"])
+    else:
+        truth = np.asarray(gt_i)
     _stage(f"build pass done in {time.time()-t0:.0f}s (d2h {t_d2h:.0f}s)")
 
-    _stage("packing host store")
     store = HostListStore(args.nlist, args.dim)
-    for l in range(args.nlist):
-        if pieces_v[l]:
-            v = np.concatenate(pieces_v[l])
-            store.vectors[l] = v
-            store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
-                np.float32
-            )
-            store.ids[l] = np.concatenate(pieces_i[l])
-        pieces_v[l] = pieces_i[l] = None
+    if have_store:
+        _stage(f"loading persisted store from {sd}")
+        meta = np.load(_os.path.join(sd, "meta.npz"))
+        offs, cnts, sqs = meta["offsets"], meta["counts"], meta["sq"]
+        ids_all = meta["ids"]
+        vecs = np.load(_os.path.join(sd, "vecs.npy"), mmap_mode="r")
+        o = 0
+        for l in range(args.nlist):
+            c = int(cnts[l])
+            store.vectors[l] = vecs[offs[l]:offs[l] + c]
+            store.sq[l] = sqs[o:o + c]
+            store.ids[l] = ids_all[o:o + c]
+            o += c
+    else:
+        _stage("packing host store")
+        for l in range(args.nlist):
+            if pieces_v[l]:
+                v = np.concatenate(pieces_v[l])
+                store.vectors[l] = v
+                store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
+                    np.float32
+                )
+                store.ids[l] = np.concatenate(pieces_i[l])
+            pieces_v[l] = pieces_i[l] = None
+        _stage(f"persisting store to {sd}")
+        _os.makedirs(sd, exist_ok=True)
+        cnts = np.asarray([v.shape[0] for v in store.vectors], np.int64)
+        offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        np.save(_os.path.join(sd, "vecs.npy"),
+                np.concatenate(store.vectors))
+        np.savez(_os.path.join(sd, "meta.npz"),
+                 offsets=offs, counts=cnts,
+                 sq=np.concatenate(store.sq),
+                 ids=np.concatenate(store.ids))
+        np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
+                 queries=np.asarray(queries))
     host_gb = store.nbytes() / (1 << 30)
     corpus_gb = args.n * args.dim * 2 / (1 << 30)
     _stage(f"host store {host_gb:.1f} GB (bf16 corpus {corpus_gb:.1f} GB)")
