@@ -36,6 +36,26 @@ def _stage(msg: str) -> None:
           flush=True)
 
 
+def _corpus_gen(k, base, centers, noise, idx):
+    """Round-robin cluster membership: every natural cluster has exactly
+    n/n_clusters points, so a coarse quantizer that locks onto the cluster
+    structure yields balanced inverted lists — mimicking a deduplicated
+    real-world embedding corpus rather than a Zipf mess."""
+    import jax
+    import jax.numpy as jnp
+
+    ci = (base + idx) % centers.shape[0]
+    pts = centers[ci] + noise * jax.random.normal(
+        k, (idx.shape[0], centers.shape[1]), jnp.float32
+    )
+    # bf16 corpus: halves HBM footprint; the index stores bf16 anyway,
+    # and the oracle ranks the same bf16-rounded corpus exactly.
+    return pts.astype(jnp.bfloat16)
+
+
+_corpus_gen_jit = None
+
+
 def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000,
                      centers=None, base=0):
     """On-device mixture-of-gaussians corpus + cluster assignment.
@@ -44,33 +64,31 @@ def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000,
     offset as ``base``) so every chunk draws from the SAME mixture —
     per-chunk centers would give the corpus nlist·n_chunks latent clusters,
     and a quantizer trained on one chunk probes foreign chunks at chance
-    (observed: recall 0.064 at 10M/20 chunks before this contract)."""
+    (observed: recall 0.064 at 10M/20 chunks before this contract).
+
+    The generator is jitted ONCE at module scope with centers/base as
+    traced arguments: a per-call closure would inline the multi-MB centers
+    array as an HLO constant and recompile for every chunk — ~10 min of
+    remote-compiler round trips over a 40-chunk build (measured)."""
     import jax
     import jax.numpy as jnp
+
+    global _corpus_gen_jit
+    if _corpus_gen_jit is None:
+        _corpus_gen_jit = jax.jit(_corpus_gen, static_argnames=("noise",))
 
     kc, kx = jax.random.split(key)
     if centers is None:
         centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
-
-    @jax.jit
-    def gen(k, start, idx):
-        # Round-robin cluster membership: every natural cluster has exactly
-        # n/n_clusters points, so a coarse quantizer that locks onto the
-        # cluster structure yields balanced inverted lists — mimicking a
-        # deduplicated real-world embedding corpus rather than a Zipf mess.
-        ci = (base + start + idx) % n_clusters
-        pts = centers[ci] + noise * jax.random.normal(
-            k, (idx.shape[0], dim), jnp.float32
-        )
-        # bf16 corpus: halves HBM footprint; the index stores bf16 anyway,
-        # and the oracle ranks the same bf16-rounded corpus exactly.
-        return pts.astype(jnp.bfloat16)
+    centers = jnp.asarray(centers)
 
     chunks = []
     for start in range(0, n, chunk):
         m = min(chunk, n - start)
         kx, sub = jax.random.split(kx)
-        chunks.append(gen(sub, start, jnp.arange(m)))
+        chunks.append(_corpus_gen_jit(
+            sub, jnp.int32(base + start), centers, noise, jnp.arange(m)
+        ))
     return jnp.concatenate(chunks, axis=0), centers
 
 

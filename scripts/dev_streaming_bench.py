@@ -209,17 +209,31 @@ def main():
                 store.ids[l] = np.concatenate(pieces_i[l])
             pieces_v[l] = pieces_i[l] = None
         _stage(f"persisting store to {sd}")
-        _os.makedirs(sd, exist_ok=True)
-        cnts = np.asarray([v.shape[0] for v in store.vectors], np.int64)
-        offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        np.save(_os.path.join(sd, "vecs.npy"),
-                np.concatenate(store.vectors))
-        np.savez(_os.path.join(sd, "meta.npz"),
-                 offsets=offs, counts=cnts,
-                 sq=np.concatenate(store.sq),
-                 ids=np.concatenate(store.ids))
-        np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
-                 queries=np.asarray(queries))
+        # Stream through a memmap: np.concatenate would double the 57 GB
+        # store in RAM (measured host OOM kill at 130 GB RSS).
+        try:
+            _os.makedirs(sd, exist_ok=True)
+            cnts = np.asarray([v.shape[0] for v in store.vectors], np.int64)
+            offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            mm = np.lib.format.open_memmap(
+                _os.path.join(sd, "vecs.npy"), mode="w+",
+                dtype=np.float32, shape=(int(cnts.sum()), args.dim),
+            )
+            o = 0
+            for l in range(args.nlist):
+                c = int(cnts[l])
+                mm[o:o + c] = store.vectors[l]
+                o += c
+            mm.flush()
+            del mm
+            np.savez(_os.path.join(sd, "meta.npz"),
+                     offsets=offs, counts=cnts,
+                     sq=np.concatenate(store.sq),
+                     ids=np.concatenate(store.ids))
+            np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
+                     queries=np.asarray(queries))
+        except Exception as e:  # noqa: BLE001 — persistence is best-effort
+            _stage(f"persist failed ({e}); continuing without")
     host_gb = store.nbytes() / (1 << 30)
     corpus_gb = args.n * args.dim * 2 / (1 << 30)
     _stage(f"host store {host_gb:.1f} GB (bf16 corpus {corpus_gb:.1f} GB)")
