@@ -268,10 +268,14 @@ class StreamingIVFFlatIndex:
         # Software-pipelined waves (the reference's DoubleBuffer intent,
         # ``transfer_manager.cpp:273-311``): wave i's scan is DISPATCHED
         # asynchronously, then wave i+1's miss upload proceeds while it
-        # computes. Cache updates are functional (`.at[].set` yields a new
-        # arena; the in-flight scan keeps the old buffer alive), so the
-        # upload can't clobber data a dispatched scan still needs. Depth 2
-        # bounds live arena versions (ping-pong).
+        # computes. Overlap safety invariant: HbmListCache.ensure_resident
+        # uploads through a DONATING jitted scatter (io_host/cache.py), so
+        # the arena is updated in place — correctness rests on XLA's
+        # in-dispatch-order execution on a single TPU stream sequencing the
+        # donated scatter AFTER the already-dispatched scan, not on
+        # functional copy semantics. If an out-of-order backend is ever
+        # targeted, drop donation for the cache arenas. Depth 2 bounds the
+        # host-side result backlog.
         pending: list[tuple] = []
         for cols in waves:
             wave_probe = probe_h[:, cols]

@@ -174,7 +174,10 @@ def kmeans_fit(
     row_ids = jnp.arange(xp.shape[0]).reshape(-1, cs)
     valid = (row_ids < n_orig).astype(jnp.float32)
 
-    n_cand = 32  # reseed candidates per chunk (distortion + stratified)
+    # Reseed candidates per chunk (distortion + stratified). Clamped to the
+    # chunk size: tiny training sets (n < 32) make cs == n and
+    # jax.lax.top_k(d_min, 32) would reject k > axis length.
+    n_cand = min(32, cs)
     key, loop_key = jax.random.split(key)
     loop_keys = jax.random.split(loop_key, iters)
 

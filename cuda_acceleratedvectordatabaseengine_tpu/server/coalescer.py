@@ -74,12 +74,16 @@ class RequestCoalescer:
         self, payload, priority: Priority = Priority.NORMAL
     ) -> concurrent.futures.Future:
         fut: concurrent.futures.Future = concurrent.futures.Future()
+        # Enqueue under the same lock stop() takes: checking _stop and
+        # releasing before the put() would let a concurrent stop() slip its
+        # sentinel in first — the worker could drain it, see an empty queue,
+        # and exit before this payload lands (future unresolved forever).
         with self._lock:
             if self._stop:
                 raise RuntimeError("coalescer stopped")
-        self._queue.put(
-            _Pending(payload, fut, time.monotonic()), priority
-        )
+            self._queue.put(
+                _Pending(payload, fut, time.monotonic()), priority
+            )
         return fut
 
     def stats(self) -> dict:
@@ -94,8 +98,10 @@ class RequestCoalescer:
     def stop(self) -> None:
         with self._lock:
             self._stop = True
-        # sentinel wakes the drain; URGENT so it can't starve behind backlog
-        self._queue.put(None, Priority.URGENT)
+            # sentinel wakes the drain; URGENT so it can't starve behind a
+            # backlog. Enqueued under the lock so it strictly follows every
+            # accepted submit() (see submit's ordering comment).
+            self._queue.put(None, Priority.URGENT)
         self._worker.join(timeout=5)
 
     # ------------------------------------------------------------------ #

@@ -109,6 +109,20 @@ def test_kmeans_fit_reduces_inertia(rng):
     assert inertia / len(x) < 0.2 * 8  # ≪ blob spread
 
 
+def test_kmeans_fit_tiny_trainset(rng):
+    # Regression (round-2 advisor): when n < 32, the per-chunk reseed
+    # top_k asked for more candidates than the chunk had rows.
+    import jax
+
+    x = rng.standard_normal((7, 8)).astype(np.float32)
+    centroids, assigns = kmeans_fit(jax.random.PRNGKey(0), jnp.asarray(x),
+                                    3, iters=4)
+    assert centroids.shape == (3, 8)
+    assert np.asarray(assigns).shape == (7,)
+    assert np.all(np.asarray(assigns) >= 0)
+    assert np.all(np.asarray(assigns) < 3)
+
+
 def test_scan_flat_exact(rng, oracle):
     x = rng.standard_normal((300, 16)).astype(np.float32)
     q = rng.standard_normal((4, 16)).astype(np.float32)
