@@ -83,6 +83,10 @@ class IVFFlatConfig:
     approx_topk: bool = False        # lax.approx_min_k for the final
                                      # selection (faster at large
                                      # nprobe·cap, ~1% recall cost)
+    stage_bf16: bool = False         # int8 arenas: stage list blocks to
+                                     # bf16 for single-pass MXU dots (exact
+                                     # int products; queries bf16-rounded —
+                                     # ~1% recall in dense clusters)
     store_residuals: bool = False    # keep a bf16 lo-plane (x − bf16(x))
                                      # enabling fp32-exact rerank from a
                                      # bf16 hot scan (SearchParams.
@@ -252,13 +256,13 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False,
     jax.jit,
     static_argnames=(
         "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
-        "m_budget",
+        "m_budget", "stage_bf16",
     ),
 )
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
-    arena_scale=None, arena_anchors=None, m_budget=None,
+    arena_scale=None, arena_anchors=None, m_budget=None, stage_bf16=False,
 ):
     """The whole search for a query batch as one traced program.
 
@@ -287,12 +291,13 @@ def _ivf_search_device(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
                 arena_anchors=arena_anchors, m_budget=m_budget,
+                stage_bf16=stage_bf16,
             )
         elif arena_scale is not None or scan_impl == "pallas_sorted":
             d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
-                arena_anchors=arena_anchors,
+                arena_anchors=arena_anchors, stage_bf16=stage_bf16,
             )
         else:
             d, pos = pallas_scan.scan_probed_lists_pallas(
@@ -615,6 +620,7 @@ class IVFFlatIndex:
             arena.arena_scale,
             arena.anchors,
             self.config.m_budget,
+            self.config.stage_bf16,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

@@ -537,8 +537,12 @@ def scan_probed_lists_pallas_grouped(
         # 64@b8192 (nprobe=32, nlist=4096).
         m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
-    # Static row bound: full rows + one partial row per list (+ sentinel).
-    n_rows = n_pairs // m + nlist + 1
+    # Static row bound: full rows + one partial row per list (+ the
+    # invalid-probe group). Also bounded by n_pairs — every used row holds
+    # at least one pair — which is the binding bound at small batches
+    # (b·nprobe < nlist): without it a b=64 grid would be ~2/3 sentinel
+    # steps of pure bookkeeping (the round-2 small-batch grid tax).
+    n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)
     has_scale = arena_scale is not None
     has_anchor = arena_anchors is not None
 
@@ -553,8 +557,14 @@ def scan_probed_lists_pallas_grouped(
     # epilogue's `real` mask drops them).
     q_rows = q[jnp.maximum(qrow_table, 0)]              # [n_rows_pad, M, D]
 
+    def _qblk(i, rl, cnt):
+        # Sentinel tail rows all read block 0: a repeated block index makes
+        # the pipeline emitter elide the [1, m, D] DMA, so unused rows cost
+        # only step bookkeeping, not HBM traffic.
+        return jnp.where(rl[i] < cnt.shape[0], i, 0)
+
     in_specs = [
-        pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (i, 0, 0)),
+        pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (_qblk(i, rl, cnt), 0, 0)),
         pl.BlockSpec(
             (1, cap, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
         ),
@@ -793,7 +803,8 @@ def scan_probed_codes_pallas_grouped(
         # 64@b8192 (nprobe=32, nlist=4096).
         m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
-    n_rows = n_pairs // m + nlist + 1
+    # Static row bound — see scan_probed_lists_pallas_grouped.
+    n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)
 
     q = queries.astype(jnp.float32)
     pack = _pack_pairs_into_rows(probe_ids, nlist, m, n_rows)
@@ -805,11 +816,17 @@ def scan_probed_codes_pallas_grouped(
     def _blk(i, rl, cnt):
         return jnp.minimum(jnp.maximum(rl[i], 0), cnt.shape[0] - 1)
 
+    def _qblk(i, rl, cnt):
+        # Sentinel rows read block 0 → repeated index → DMA elided.
+        return jnp.where(rl[i] < cnt.shape[0], i, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # row→list, counts
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, m, dim), lambda i, rl, cnt: (_qblk(i, rl, cnt), 0, 0)
+            ),
             pl.BlockSpec(
                 (1, m_sub, cap), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
             ),

@@ -15,6 +15,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.parallel.mesh import (
 )
 from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
     ShardedIVFFlatIndex,
+    ShardedIVFPQIndex,
     sharded_kmeans_lloyd_step,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "make_mesh",
     "SHARD_AXIS",
     "ShardedIVFFlatIndex",
+    "ShardedIVFPQIndex",
     "sharded_kmeans_lloyd_step",
 ]

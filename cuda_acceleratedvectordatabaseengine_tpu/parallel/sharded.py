@@ -232,6 +232,220 @@ class ShardedIVFFlatIndex:
         return d, ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
+                     "global_cap", "rerank_k", "has_raw", "has_scale",
+                     "has_anchor", "interpret"),
+)
+def _sharded_pq_search(
+    queries, centroids, codebooks, codes_t_s, code_sq_s, counts,
+    raw_s, raw_sq_s, raw_scale_s, raw_anchors,
+    mesh, nprobe, k, metric, n_shards, global_cap, rerank_k,
+    has_raw=False, has_scale=False, has_anchor=False, interpret=False,
+):
+    """SPMD IVF-PQ search: per-chip grouped ADC over the slot-striped code
+    arena, optional per-chip exact rerank against the striped raw arena,
+    ICI all_gather + replicated top-k merge.
+
+    Covers the reference's declared GPU-resident PQ surface
+    (``engine/ivf_flat_index.h:140-170``: device codebooks, distance tables,
+    ``rerank_k``) at multi-chip scale. Rerank note: each chip reranks its
+    own local top-``rerank_k`` ADC candidates, so the merged pool is the
+    union of per-chip reranks — a superset of the single-chip pool (the
+    standard distributed-top-k refinement; recall ≥ single-chip)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+
+    def local_fn(q, c, cb, codes_l, code_sq_l, cnt, raw_l, raw_sq_l,
+                 raw_scale_l, anchors):
+        s = jax.lax.axis_index(SHARD_AXIS)
+        qf = q.astype(jnp.float32)
+        if metric == Metric.COSINE:
+            qf = l2_normalize(qf)
+        coarse_metric = (
+            Metric.INNER_PRODUCT if metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        coarse = pairwise_distance(qf, c, coarse_metric)
+        _, probe = topk_smallest(coarse, nprobe)
+        keep = max(k, rerank_k)
+        kernel_metric = coarse_metric
+        d, pos = pallas_scan.scan_probed_codes_pallas_grouped(
+            qf, codes_l, code_sq_l, cnt, c, cb,
+            probe.astype(jnp.int32), keep, kernel_metric,
+            interpret=interpret, slot_stride=n_shards, slot_offset=s,
+            global_capacity=global_cap,
+        )
+        if rerank_k > 0 and has_raw:
+            # Positions are GLOBAL (logical slot space) but every local
+            # candidate's slot ≡ s (mod N): map back to the local stripe
+            # and gather from the chip-resident raw arena.
+            nlist = cnt.shape[0]
+            cap_l = raw_l.shape[1]
+            dim = raw_l.shape[2]
+            safe_p = jnp.maximum(pos, 0)
+            lists = safe_p // global_cap
+            slot_l = (safe_p % global_cap - s) // n_shards
+            flat_idx = lists * cap_l + jnp.clip(slot_l, 0, cap_l - 1)
+            cand = raw_l.reshape(nlist * cap_l, dim)[flat_idx].astype(
+                jnp.float32
+            )
+            if has_scale:
+                cand = cand * raw_scale_l.reshape(-1)[flat_idx][:, :, None]
+            if has_anchor:
+                cand = cand + anchors[lists]
+            dots = jnp.einsum(
+                "bd,bkd->bk", qf, cand, preferred_element_type=jnp.float32,
+            )
+            if metric == Metric.INNER_PRODUCT:
+                exact = -dots
+            elif metric == Metric.COSINE:
+                c_sq = jnp.sum(cand * cand, axis=-1)
+                exact = 1.0 - dots * jax.lax.rsqrt(jnp.maximum(c_sq, 1e-12))
+            else:
+                q_sq = jnp.sum(qf * qf, axis=-1)
+                c_sq = jnp.sum(cand * cand, axis=-1)
+                exact = jnp.maximum(
+                    q_sq[:, None] - 2.0 * dots + c_sq, 0.0
+                )
+            d = jnp.where(pos >= 0, exact, jnp.inf)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS, axis=-1, tiled=True)
+        p_all = jax.lax.all_gather(pos, SHARD_AXIS, axis=-1, tiled=True)
+        out_d, out_p = topk_smallest(d_all, k, idx=p_all)
+        if metric == Metric.COSINE and rerank_k == 0:
+            # ADC ran in L2 space over unit vectors: ||q−x||² = 2(1−cos).
+            out_d = jnp.where(jnp.isfinite(out_d), out_d * 0.5, out_d)
+        return out_d, out_p
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(None, None, SHARD_AXIS), P(None, SHARD_AXIS),
+            P(), P(None, SHARD_AXIS, None), P(None, SHARD_AXIS),
+            P(None, SHARD_AXIS), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,    # see _sharded_search
+    )
+    return fn(queries, centroids, codebooks, codes_t_s, code_sq_s, counts,
+              raw_s, raw_sq_s, raw_scale_s, raw_anchors)
+
+
+class ShardedIVFPQIndex:
+    """Multi-chip serving view over a trained :class:`IVFPQIndex`.
+
+    Same striping design as :class:`ShardedIVFFlatIndex`: the code arena's
+    slot axis is round-robin striped across the mesh (each chip ADC-scans
+    exactly 1/N of every probed list); codebooks, centroids and counts
+    replicate; the merge is one ICI all_gather + replicated top-k. With
+    ``keep_raw`` the raw arena stripes the same way, enabling per-chip
+    exact rerank (``SearchParams.use_exact_rerank``)."""
+
+    def __init__(self, base, mesh, scan_impl: str = "auto"):
+        if not base.trained:
+            raise RuntimeError("base index must be trained")
+        self.base = base
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+        self.metric = base.metric
+        # Only the grouped Pallas ADC kernel is striping-aware; off-TPU it
+        # runs in interpret mode (CPU-mesh tests).
+        self.interpret = jax.default_backend() != "tpu"
+        self._published = False
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)stripe the base arenas across the mesh — the multi-chip
+        epoch-activation analog (``server/query_service.cpp:254-257``)."""
+        base = self.base
+        n = self.n_shards
+        cap = base.capacity
+        if cap % n:
+            base._grow(cap + (n - cap % n))
+            cap = base.capacity
+        perm = jnp.asarray(_striping_perm(cap, n))
+        shard_codes = NamedSharding(self.mesh, P(None, None, SHARD_AXIS))
+        shard2 = NamedSharding(self.mesh, P(None, SHARD_AXIS))
+        shard3 = NamedSharding(self.mesh, P(None, SHARD_AXIS, None))
+        repl = NamedSharding(self.mesh, P())
+        self.codes_t_s = jax.device_put(base.code_arena_t[:, :, perm],
+                                        shard_codes)
+        self.code_sq_s = jax.device_put(base.code_sq[:, perm], shard2)
+        self.counts = jax.device_put(base.counts, repl)
+        self.centroids = jax.device_put(base.centroids, repl)
+        self.codebooks = jax.device_put(base.codebooks, repl)
+        raw = base.raw
+        self.has_raw = raw is not None
+        if self.has_raw:
+            if raw.capacity < cap:
+                base.raw = raw = raw.grow(cap)
+            self.raw_s = jax.device_put(raw.arena[:, perm, :], shard3)
+            self.raw_sq_s = jax.device_put(raw.arena_sq[:, perm], shard2)
+            self.has_scale = raw.arena_scale is not None
+            self.raw_scale_s = jax.device_put(
+                raw.arena_scale[:, perm] if self.has_scale
+                else jnp.zeros((raw.nlist, n), jnp.float32), shard2,
+            )
+            self.has_anchor = raw.anchors is not None
+            self.raw_anchors = jax.device_put(
+                raw.anchors if self.has_anchor
+                else jnp.zeros((raw.nlist, raw.dim), jnp.float32), repl,
+            )
+        else:
+            nlist = base.config.nlist
+            dim = base.config.dimension
+            self.has_scale = self.has_anchor = False
+            self.raw_s = jax.device_put(
+                jnp.zeros((nlist, n, dim), jnp.bfloat16), shard3
+            )
+            self.raw_sq_s = jax.device_put(
+                jnp.zeros((nlist, n), jnp.float32), shard2
+            )
+            self.raw_scale_s = jax.device_put(
+                jnp.zeros((nlist, n), jnp.float32), shard2
+            )
+            self.raw_anchors = jax.device_put(
+                jnp.zeros((nlist, dim), jnp.float32), repl
+            )
+        self.global_cap = cap
+        self._published = True
+
+    def search(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        params = params or SearchParams()
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        bs = bucket_size(b)
+        if bs > b:
+            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        nprobe = min(params.nprobe, self.base.config.nlist)
+        rerank_k = 0
+        if params.use_exact_rerank and self.has_raw:
+            rerank_k = min(max(4 * params.k, params.k), 256)
+        d, pos = _sharded_pq_search(
+            jax.device_put(
+                jnp.asarray(queries), NamedSharding(self.mesh, P())
+            ),
+            self.centroids, self.codebooks, self.codes_t_s, self.code_sq_s,
+            self.counts, self.raw_s, self.raw_sq_s, self.raw_scale_s,
+            self.raw_anchors, self.mesh, nprobe, params.k, self.metric,
+            self.n_shards, self.global_cap, rerank_k, self.has_raw,
+            self.has_scale, self.has_anchor, self.interpret,
+        )
+        d = np.asarray(d)[:b].copy()
+        pos = np.asarray(pos)[:b]
+        flat_ids = self.base.ids.reshape(-1)
+        safe = np.clip(pos, 0, flat_ids.size - 1)
+        ids = flat_ids[safe]
+        ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        d[pos < 0] = FLT_MAX
+        return d, ids
+
+
 def sharded_kmeans_lloyd_step(mesh, x_sharded, centroids, k: int):
     """One data-parallel Lloyd iteration: local assign + partial centroid
     sums, ``psum`` allreduce, replicated update. ``x_sharded`` is

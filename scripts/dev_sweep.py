@@ -34,7 +34,9 @@ def main():
     p.add_argument("--max-batch", type=int, default=1024)
     p.add_argument(
         "--config", action="append", default=[],
-        help="impl:batch[:m_budget], e.g. pallas_grouped:512:16",
+        help="impl:batch[:m_budget[:flags]], e.g. pallas_grouped:512:16 or "
+             "pallas_grouped:512:16:bf16,k1 (flags: bf16 = stage_bf16, "
+             "kN = override k for timing isolation)",
     )
     args = p.parse_args()
     if not args.config:
@@ -138,25 +140,32 @@ def main():
     for spec in args.config:
         parts = spec.split(":")
         impl, batch = parts[0], int(parts[1])
-        m_budget = int(parts[2]) if len(parts) > 2 else None
+        m_budget = int(parts[2]) if len(parts) > 2 and parts[2] else None
+        flags = set(parts[3].split(",")) if len(parts) > 3 else set()
+        stage_bf16 = "bf16" in flags
+        k_run = args.k
+        for f in flags:
+            if f.startswith("k") and f[1:].isdigit():
+                k_run = int(f[1:])
         q = chunk_queries[:batch]
 
-        if impl == "pallas_grouped" and m_budget is not None:
-            def dev_search(qq, _m=m_budget):
+        if impl == "pallas_grouped" and (m_budget is not None or flags):
+            def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run):
                 qf = qq.astype(jnp.float32)
                 coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
                 _, probe = topk_smallest(coarse, args.nprobe)
                 return pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena.arena, arena.arena_sq, arena.counts,
-                    probe.astype(jnp.int32), args.k, Metric.L2,
+                    probe.astype(jnp.int32), _k, Metric.L2,
                     m_budget=_m, arena_scale=arena.arena_scale,
-                    arena_anchors=arena.anchors,
+                    arena_anchors=arena.anchors, stage_bf16=_bf,
                 )
         else:
-            def dev_search(qq, _impl=impl):
+            def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run):
                 d, pos, _ = _ivf_search_device(
-                    qq, *sargs, args.nprobe, args.k, Metric.L2, _impl,
+                    qq, *sargs, args.nprobe, _k, Metric.L2, _impl,
                     False, 0, None, arena.arena_scale, arena.anchors,
+                    None, _bf,
                 )
                 return d, pos
 

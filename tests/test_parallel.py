@@ -161,6 +161,91 @@ def test_streaming_int8_base(rng):
     assert same > 0.9
 
 
+def _build_pq(rng, n=4000, dim=32, nlist=16, m=8, keep_raw=True,
+              metric="L2"):
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = IVFPQConfig(dimension=dim, nlist=nlist, m=m, keep_raw=keep_raw,
+                      metric=metric, train_iters=8, pq_train_sample=2048)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    return idx, x
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_pq_adc_equals_single_chip(rng, n_shards):
+    """Sharded ADC (rerank off) must be bit-exact vs the single-chip
+    grouped Pallas ADC kernel — same candidates, same quantized
+    distances."""
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+        ShardedIVFPQIndex,
+    )
+
+    idx, x = _build_pq(rng)
+    q = rng.standard_normal((7, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10, use_exact_rerank=False)
+    # Single-chip oracle: the same kernel on a 1-device mesh (the XLA
+    # scan path orders ADC ties differently; exactness is vs the kernel).
+    single = ShardedIVFPQIndex(idx, make_mesh(1))
+    d_ref, ids_ref = single.search(q, params)
+    sharded = ShardedIVFPQIndex(idx, make_mesh(n_shards))
+    d, ids = sharded.search(q, params)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+    # …and the candidate sets agree with the single-chip XLA ADC scan.
+    d_x, ids_x = idx.search(q, params)
+    same = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, ids_x)
+    ])
+    assert same > 0.9  # ADC ties may order differently across impls
+
+
+def test_sharded_pq_rerank_recall_at_least_single_chip(rng):
+    """Per-chip exact rerank merges a SUPERSET of the single-chip rerank
+    pool — recall vs exact ground truth must not regress."""
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+        ShardedIVFPQIndex,
+    )
+
+    idx, x = _build_pq(rng)
+    q = x[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)
+    params = SearchParams(nprobe=16, k=10, use_exact_rerank=True)
+    d_ref, ids_ref = idx.search(q, params)
+    sharded = ShardedIVFPQIndex(idx, make_mesh(4))
+    d, ids = sharded.search(q, params)
+    # exact ground truth
+    dd = ((q[:, None] - x[None]) ** 2).sum(-1)
+    truth = np.argsort(dd, axis=1)[:, :10]
+
+    def recall(got):
+        return np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(got.astype(np.int64), truth)
+        ])
+
+    assert recall(ids) >= recall(ids_ref) - 1e-9
+    assert recall(ids) > 0.9
+
+
+def test_sharded_pq_codes_actually_distributed(rng):
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+        ShardedIVFPQIndex,
+    )
+
+    idx, _ = _build_pq(rng)
+    sharded = ShardedIVFPQIndex(idx, make_mesh(8))
+    shards = sharded.codes_t_s.addressable_shards
+    assert len(shards) == 8
+    for s in shards:
+        assert s.data.size == sharded.codes_t_s.size // 8
+
+
 @pytest.mark.parametrize("impl", ["pallas", "pallas_sorted",
                                   "pallas_grouped"])
 @pytest.mark.parametrize("n_shards", [2, 8])
