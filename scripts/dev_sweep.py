@@ -182,20 +182,26 @@ def main():
         ])
 
         _stage(f"{spec}: throughput")
+        # Auto-scale batch count so small batches measure enough queries.
+        n_b = max(args.n_batches, min(-(-40960 // batch), 640))
         t1 = time.time()
-        results = [dev_search(q) for _ in range(args.n_batches)]
+        results = [dev_search(q) for _ in range(n_b)]
         jax.block_until_ready(results)
         dt = time.time() - t1
-        qps = args.n_batches * batch / dt
+        qps = n_b * batch / dt
         lats = []
-        for _ in range(5):
+        for _ in range(20):
             t2 = time.time()
             jax.block_until_ready(dev_search(q))
             lats.append((time.time() - t2) * 1000)
+        lats = np.sort(np.array(lats))
         print(json.dumps({
             "config": spec, "qps": round(qps, 1),
             "recall": round(float(recall), 4),
             "batch_ms_p50": round(float(np.median(lats)), 1),
+            "batch_ms_p99": round(float(lats[-1]), 1),
+            "pipelined_ms_per_batch": round(dt / n_b * 1000, 1),
+            "n_batches": n_b,
             "compile_s": round(compile_s, 1),
         }), flush=True)
 
