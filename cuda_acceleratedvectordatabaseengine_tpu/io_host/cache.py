@@ -38,6 +38,20 @@ def _scatter_upload(arena, sq, counts, slots, stack, sq_new, cnts):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _scatter_upload_q(arena, sq, counts, scale, anchors, slots, stack,
+                      sq_new, cnts, scale_new, anchors_new):
+    """Quantized-cache variant: also scatters the per-row dequant scales and
+    per-list anchors the int8 scan kernels consume."""
+    return (
+        arena.at[slots].set(stack),
+        sq.at[slots].set(sq_new),
+        counts.at[slots].set(cnts),
+        scale.at[slots].set(scale_new),
+        anchors.at[slots].set(anchors_new),
+    )
+
+
 class HbmListCache:
     def __init__(
         self,
@@ -63,6 +77,17 @@ class HbmListCache:
         )
         self.cache_sq = jnp.zeros((n_slots + 1, capacity), jnp.float32)
         self.cache_counts = jnp.zeros((n_slots + 1,), jnp.int32)
+        # int8 caches carry the quantization planes (per-row scales +
+        # per-list anchors) alongside the codes, mirroring PackedListArena.
+        self.quantized = self.dtype == jnp.int8
+        self.cache_scale = (
+            jnp.zeros((n_slots + 1, capacity), jnp.float32)
+            if self.quantized else None
+        )
+        self.cache_anchors = (
+            jnp.zeros((n_slots + 1, dim), jnp.float32)
+            if self.quantized else None
+        )
         self._lock = threading.Lock()
         self._list_to_slot: dict[int, int] = {}
         self._slot_to_list: dict[int, int] = {}
@@ -166,9 +191,13 @@ class HbmListCache:
             for b0 in range(0, len(miss_l), step):
                 batch_l = miss_l[b0:b0 + step]
                 batch_s = miss_s[b0:b0 + step]
+                if self.quantized:
+                    self._upload_quantized(batch_l, batch_s, host_fetch)
+                    continue
                 arrays, cnts_list = [], []
                 for l in batch_l:
-                    v, _s, c = host_fetch(l)
+                    fetched = host_fetch(l)
+                    v, _s, c = fetched[:3]
                     arrays.append(np.asarray(v[:c], np.float32))
                     cnts_list.append(c)
                 # Parallel C++ staging assembly (pad) — the host-side hot
@@ -199,8 +228,38 @@ class HbmListCache:
             jax.block_until_ready(self.cache_counts)
         return mapping
 
+    def _upload_quantized(self, batch_l, batch_s, host_fetch) -> None:
+        """int8 miss upload: codes + per-row scales + stored-representation
+        norms come straight from the host store (1 byte/dim on the wire —
+        the tier where H2D bandwidth is scarcest), anchors per list."""
+        n = len(batch_l)
+        codes = np.zeros((n, self.capacity, self.dim), np.int8)
+        sq_new = np.zeros((n, self.capacity), np.float32)
+        scale_new = np.zeros((n, self.capacity), np.float32)
+        anchors_new = np.zeros((n, self.dim), np.float32)
+        cnts = np.zeros((n,), np.int32)
+        for i, l in enumerate(batch_l):
+            v, s, c, sc, an = host_fetch(l)
+            codes[i, :c] = v[:c]
+            sq_new[i, :c] = s[:c]
+            scale_new[i, :c] = sc[:c]
+            anchors_new[i] = an
+            cnts[i] = c
+        (self.cache_arena, self.cache_sq, self.cache_counts,
+         self.cache_scale, self.cache_anchors) = _scatter_upload_q(
+            self.cache_arena, self.cache_sq, self.cache_counts,
+            self.cache_scale, self.cache_anchors,
+            jnp.asarray(np.asarray(batch_s, np.int32)),
+            jnp.asarray(codes), jnp.asarray(sq_new),
+            jnp.asarray(cnts), jnp.asarray(scale_new),
+            jnp.asarray(anchors_new),
+        )
+
     def memory_bytes(self) -> int:
-        return (
+        n = (
             self.cache_arena.size * self.cache_arena.dtype.itemsize
             + self.cache_sq.size * 4 + self.cache_counts.size * 4
         )
+        if self.quantized:
+            n += self.cache_scale.size * 4 + self.cache_anchors.size * 4
+        return n

@@ -45,15 +45,29 @@ from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import bucket_size
 class HostListStore:
     """Packed inverted lists in host RAM: the host side of the tier.
 
-    Holds fp32 vectors, fp32 squared norms, uint64 ids per list. Built from
-    an in-memory index snapshot or any (vectors, ids, assignments) triple.
+    Two storage modes:
+
+    - ``dtype="float32"``: fp32 vectors + fp32 squared norms per list.
+    - ``dtype="int8"``: int8 residual codes + PER-ROW dequant scales +
+      per-list fp32 anchors (the arena quantization contract,
+      ``models/arena.PackedListArena``). 4× less host RAM than fp32 and —
+      decisive through the relay's ~0.04 GB/s H2D — 4× fewer upload bytes
+      per cache miss. ``sq`` always holds norms of the STORED
+      representation so scan distances are distances to the stored point.
+
+    Built from an in-memory index snapshot or any (vectors, ids,
+    assignments) triple.
     """
 
-    def __init__(self, nlist: int, dim: int):
+    def __init__(self, nlist: int, dim: int, dtype: str = "float32"):
+        if dtype not in ("float32", "int8"):
+            raise ValueError(f"unsupported store dtype {dtype!r}")
         self.nlist = nlist
         self.dim = dim
+        self.dtype = dtype
+        vdt = np.int8 if dtype == "int8" else np.float32
         self.vectors: list[np.ndarray] = [
-            np.zeros((0, dim), np.float32) for _ in range(nlist)
+            np.zeros((0, dim), vdt) for _ in range(nlist)
         ]
         self.sq: list[np.ndarray] = [
             np.zeros((0,), np.float32) for _ in range(nlist)
@@ -61,6 +75,16 @@ class HostListStore:
         self.ids: list[np.ndarray] = [
             np.zeros((0,), np.uint64) for _ in range(nlist)
         ]
+        self.scale: list[np.ndarray] | None = (
+            [np.zeros((0,), np.float32) for _ in range(nlist)]
+            if dtype == "int8" else None
+        )
+        # [nlist, dim] fp32 residual anchors (int8 mode; zeros = no anchor).
+        self.anchors: np.ndarray | None = (
+            np.zeros((nlist, dim), np.float32) if dtype == "int8" else None
+        )
+        self._ids_cat: np.ndarray | None = None
+        self._ids_start: np.ndarray | None = None
 
     @classmethod
     def from_assignments(cls, vectors, ids, assignments, nlist):
@@ -78,6 +102,34 @@ class HostListStore:
             store.ids[l] = ids[rows].astype(np.uint64)
         return store
 
+    @classmethod
+    def from_arena(cls, arena) -> "HostListStore":
+        """Snapshot a resident :class:`PackedListArena` WITHOUT a dequantize
+        round trip: int8 arenas keep their codes/scales/anchors verbatim
+        (bit-identical stored representation, 4× less host RAM), float
+        arenas download as fp32."""
+        nlist, cap = arena.nlist, arena.capacity
+        counts = np.asarray(arena.counts)
+        if arena.dtype == jnp.int8 and arena.arena_scale is not None:
+            store = cls(nlist, arena.dim, dtype="int8")
+            codes = np.asarray(arena.arena)
+            scales = np.asarray(arena.arena_scale)
+            if arena.anchors is not None:
+                store.anchors = np.asarray(arena.anchors, dtype=np.float32)
+        else:
+            store = cls(nlist, arena.dim, dtype="float32")
+            codes = np.asarray(arena.arena).astype(np.float32)
+            scales = None
+        sq = np.asarray(arena.arena_sq)
+        for l in range(nlist):
+            c = int(counts[l])
+            store.vectors[l] = codes[l, :c]
+            store.sq[l] = sq[l, :c]
+            store.ids[l] = arena.ids[l, :c]
+            if scales is not None:
+                store.scale[l] = scales[l, :c]
+        return store
+
     def count(self, list_id: int) -> int:
         return self.vectors[list_id].shape[0]
 
@@ -88,16 +140,48 @@ class HostListStore:
         return sum(v.shape[0] for v in self.vectors)
 
     def fetch(self, list_id: int):
-        """host_fetch for HbmListCache."""
-        return (
+        """host_fetch for HbmListCache: ``(values, sq, count)`` for fp32
+        stores, ``(codes, sq, count, scale, anchor)`` for int8 stores."""
+        base = (
             self.vectors[list_id], self.sq[list_id], self.count(list_id),
         )
+        if self.dtype == "int8":
+            return base + (self.scale[list_id], self.anchors[list_id])
+        return base
+
+    def lookup_ids(self, lists: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """Vectorized (list, offset) → user id for result merge; ``-1``
+        lists map to INVALID_ID. Builds a concatenated id table lazily and
+        caches it (rebuild with ``invalidate_ids`` after mutation)."""
+        if self._ids_cat is None:
+            counts = np.asarray([i.shape[0] for i in self.ids], np.int64)
+            self._ids_start = np.concatenate(
+                [[0], np.cumsum(counts)]
+            ).astype(np.int64)
+            self._ids_cat = (
+                np.concatenate(self.ids)
+                if counts.sum() else np.zeros((0,), np.uint64)
+            )
+        out = np.full(lists.shape, INVALID_ID, np.uint64)
+        valid = lists >= 0
+        if valid.any():
+            flat = (
+                self._ids_start[lists[valid]] + offs[valid].astype(np.int64)
+            )
+            out[valid] = self._ids_cat[flat]
+        return out
+
+    def invalidate_ids(self) -> None:
+        self._ids_cat = self._ids_start = None
 
     def nbytes(self) -> int:
-        return sum(
+        n = sum(
             v.nbytes + s.nbytes + i.nbytes
             for v, s, i in zip(self.vectors, self.sq, self.ids)
         )
+        if self.scale is not None:
+            n += sum(s.nbytes for s in self.scale) + self.anchors.nbytes
+        return n
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
@@ -114,16 +198,24 @@ def _coarse_probe(queries, centroids, nprobe, metric):
     jax.jit, static_argnames=("k", "metric", "scan_impl", "interpret")
 )
 def _cache_scan(q, cache_arena, cache_sq, cache_counts, slot_probe, k,
-                metric, scan_impl="gather", interpret=False):
-    if scan_impl == "pallas_sorted":
+                metric, scan_impl="gather", interpret=False,
+                cache_scale=None, cache_anchors=None):
+    if scan_impl in ("pallas_sorted", "pallas_grouped"):
         from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-        return pallas_scan.scan_probed_lists_pallas_sorted(
+        fn = (
+            pallas_scan.scan_probed_lists_pallas_grouped
+            if scan_impl == "pallas_grouped"
+            else pallas_scan.scan_probed_lists_pallas_sorted
+        )
+        return fn(
             q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric,
-            interpret=interpret,
+            interpret=interpret, arena_scale=cache_scale,
+            arena_anchors=cache_anchors,
         )
     return scan_probed_lists(
-        q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric
+        q, cache_arena, cache_sq, cache_counts, slot_probe, k, metric,
+        arena_scale=cache_scale, arena_anchors=cache_anchors,
     )
 
 
@@ -146,19 +238,11 @@ class StreamingIVFFlatIndex:
     ):
         if not base.trained:
             raise RuntimeError("base index must be trained")
-        host = base.arena.to_host()
-        nlist = base.config.nlist
-        cap = base.arena.capacity
-        counts = host["counts"]
-        store = HostListStore(nlist, base.config.dimension)
-        for l in range(nlist):
-            c = int(counts[l])
-            store.vectors[l] = host["arena"][l, :c].astype(np.float32)
-            store.sq[l] = (store.vectors[l] ** 2).sum(-1)
-            store.ids[l] = host["ids"][l, :c]
+        store = HostListStore.from_arena(base.arena)
         self._init_from_store(
             store, base.centroids, base.config, cache_slots,
-            max_device_bytes, policy, scan_impl, capacity=cap,
+            max_device_bytes, policy, scan_impl,
+            capacity=base.arena.capacity,
         )
 
     @classmethod
@@ -196,11 +280,19 @@ class StreamingIVFFlatIndex:
         cap = capacity if capacity is not None else max(
             -(-store.max_count() // 128) * 128, 128
         )
-        dtype = jnp.dtype(config.dtype)
-        if dtype == jnp.int8:
-            # The cache stages dequantized host values; re-quantizing per
-            # slot would need per-slot scales. bf16 keeps the bandwidth win.
-            dtype = jnp.dtype(jnp.bfloat16)
+        if store.dtype == "int8":
+            # The store carries codes + per-row scales + anchors, so the
+            # cache keeps them quantized end-to-end: 1 byte/dim on the wire
+            # per miss and in HBM, with exact stored-representation math
+            # (per-row scale rows + anchor dots in the scan kernels).
+            dtype = jnp.dtype(jnp.int8)
+        else:
+            dtype = jnp.dtype(config.dtype)
+            if dtype == jnp.int8:
+                # fp32 store + int8 config: re-quantizing per slot at upload
+                # would need fresh per-row scales per miss; bf16 staging
+                # keeps a bandwidth win without that cost.
+                dtype = jnp.dtype(jnp.bfloat16)
         if cache_slots is None:
             per_slot = cap * config.dimension * dtype.itemsize
             budget = max_device_bytes or (per_slot * max(nlist // 4, 1))
@@ -211,7 +303,7 @@ class StreamingIVFFlatIndex:
         )
         if scan_impl == "auto":
             scan_impl = (
-                "pallas_sorted" if jax.default_backend() == "tpu"
+                "pallas_grouped" if jax.default_backend() == "tpu"
                 else "gather"
             )
         self.scan_impl = scan_impl
@@ -252,7 +344,6 @@ class StreamingIVFFlatIndex:
         waves = self._plan_waves(probe_h)
         k = params.k
         all_d, all_l, all_o = [], [], []
-        sentinel = self.cache.n_slots      # empty slot, count 0
         cap = self.cache.capacity
 
         def convert(d_dev, pos_dev, rev):
@@ -282,19 +373,22 @@ class StreamingIVFFlatIndex:
             mapping = self.cache.ensure_resident(
                 wave_probe.reshape(-1), self.store.fetch
             )
-            lut = np.full(self.config.nlist, sentinel, np.int32)
+            lut = np.full(self.config.nlist, -1, np.int32)
             for l, s in mapping.items():
                 lut[l] = s
-            # Fixed-width probes: pad every wave to nprobe columns with the
-            # sentinel slot so each wave reuses one compiled executable.
+            # Fixed-width probes: pad every wave to nprobe columns with -1
+            # (invalid probe — all scan impls skip it natively; the grouped
+            # kernel never even DMAs its rows) so each wave reuses one
+            # compiled executable.
             slot_probe = np.full(
-                (probe_h.shape[0], nprobe), sentinel, np.int32
+                (probe_h.shape[0], nprobe), -1, np.int32
             )
             slot_probe[:, : len(cols)] = lut[wave_probe]
             d_dev, pos_dev = _cache_scan(
                 q, self.cache.cache_arena, self.cache.cache_sq,
                 self.cache.cache_counts, jnp.asarray(slot_probe), k,
                 self.metric, self.scan_impl, self.interpret,
+                self.cache.cache_scale, self.cache.cache_anchors,
             )
             # slot→list mapping captured NOW, before the next wave remaps
             rev = np.full(self.cache.n_slots + 1, -1, np.int64)
@@ -313,11 +407,7 @@ class StreamingIVFFlatIndex:
         d = np.take_along_axis(d, order, 1).copy()
         lists = np.take_along_axis(lists, order, 1)
         offs = np.take_along_axis(offs, order, 1)
-        out_ids = np.full(d.shape, INVALID_ID, np.uint64)
-        for i in range(b):
-            for j in range(k):
-                if lists[i, j] >= 0:
-                    out_ids[i, j] = self.store.ids[lists[i, j]][offs[i, j]]
+        out_ids = self.store.lookup_ids(lists, offs)
         d[lists < 0] = FLT_MAX
         return d, out_ids
 

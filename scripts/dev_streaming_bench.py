@@ -1,13 +1,16 @@
 """Dev-only TPU measurement of the >HBM streaming tier (VERDICT #7).
 
-Workload: 20M x 768 bf16 (28.6 GB raw — exceeds the 16 GB HBM of one v5e
-chip), nlist=8192, HBM cache bounded to 25% of lists. The corpus lives in
-host RAM (HostListStore, fp32); the chip holds only centroids + the list
-cache. Phases:
+Workload: 20M x 768 (57 GB fp32 / 28.6 GB bf16 raw — exceeds the 16 GB HBM
+of one v5e chip), nlist=8192, HBM cache bounded to a fraction of lists.
+The corpus lives in host RAM as an INT8-RESIDUAL HostListStore (codes +
+per-row scales + per-list anchors — 14.3 GB host, 1 byte/dim per cache-miss
+upload); the chip holds only centroids + the quantized list cache, scanned
+with the grouped Pallas kernel. Phases:
 
   1. chunked build: generate each 500K chunk ON device, train (chunk 0),
-     assign on device, update the exact oracle for the query set, download
-     the chunk once (bf16 bits) and pack into the host store.
+     assign on device, quantize residuals vs the ASSIGNED centroid on
+     device, update the exact oracle for the query set, download the chunk
+     once (int8 codes + scales) and pack into the host store.
   2. warm: probe the query workload, prefetch its working set (measures the
      cold upload path: bytes + seconds through the relay's ~0.04 GB/s H2D).
   3. serve: batched searches on the warmed cache (QPS, recall@10, hit rate)
@@ -46,9 +49,10 @@ def main():
     p.add_argument("--n-batches", type=int, default=20)
     p.add_argument("--hot-clusters", type=int, default=400)
     p.add_argument("--cache-frac", type=float, default=0.125)
-    p.add_argument("--store-dir", default="/tmp/streamstore",
+    p.add_argument("--store-dir", default="/tmp/streamstore_i8",
                    help="persist/reuse the packed host store (the 20M "
                         "build costs ~40 min through the relay)")
+    p.add_argument("--scan-impl", default="auto")
     args = p.parse_args()
 
     import jax
@@ -85,12 +89,12 @@ def main():
         jax.random.PRNGKey(1234), (args.nlist, args.dim), jnp.float32
     )
 
-    # Host store build: generate + assign on device, download each chunk
-    # ONCE as int8 residual codes vs the KNOWN mode centers (the relay
-    # measured 0.007 GB/s D2H for fp32-converted arrays — int8 is 4x the
-    # wire efficiency and the dequantized fp32 store keeps arena-grade
-    # accuracy: residual per-row scales, ~0.2% noise). The packed store is
-    # persisted to --store-dir and reused on rerun.
+    # Host store build: generate + assign on device, quantize residuals vs
+    # the ASSIGNED trained centroid on device (the per-list anchor contract
+    # the quantized cache scan needs), download each chunk ONCE as int8
+    # codes + fp32 scales/norms (the relay measured 0.007 GB/s D2H for
+    # fp32-converted arrays — int8 is 4x the wire efficiency). The packed
+    # store is persisted to --store-dir and reused on rerun.
     import os as _os
 
     sd = args.store_dir
@@ -100,23 +104,24 @@ def main():
     have_truth = _os.path.isfile(_os.path.join(sd, "truth.npz"))
 
     @jax.jit
-    def quantize_chunk(xc, mode_ids):
-        res = xc.astype(jnp.float32) - centers_g[mode_ids]
+    def quantize_chunk(xc, anchor_rows):
+        res = xc.astype(jnp.float32) - anchor_rows
         scale = jnp.maximum(jnp.max(jnp.abs(res), axis=-1), 1e-12) / 127.0
-        codes = jnp.clip(
-            jnp.round(res / scale[:, None]), -127, 127
-        ).astype(jnp.int8)
-        return codes, scale
+        codes_f = jnp.clip(jnp.round(res / scale[:, None]), -127, 127)
+        deq = anchor_rows + codes_f * scale[:, None]
+        sq = jnp.sum(deq * deq, -1)     # stored-representation norms
+        return codes_f.astype(jnp.int8), scale, sq
 
     t0 = time.time()
     t_d2h = 0.0
     pieces_v = [[] for _ in range(args.nlist)]
+    pieces_s = [[] for _ in range(args.nlist)]
+    pieces_q = [[] for _ in range(args.nlist)]
     pieces_i = [[] for _ in range(args.nlist)]
     centroids = None
     queries = None
     gt_d = jnp.full((args.batch, args.k), jnp.inf, jnp.float32)
     gt_i = jnp.full((args.batch, args.k), -1, jnp.int64)
-    centers_h = np.asarray(centers_g)
     for ci, start in enumerate(starts):
         if have_store and have_truth and ci > 0:
             continue            # centroids/queries come from chunk 0 only
@@ -146,25 +151,20 @@ def main():
                     jnp.float32,
                 )
         _stage(f"chunk {ci}: assign + oracle")
-        assigns = np.asarray(kmeans_assign(xc, centroids, Metric.L2))
+        assigns_d = kmeans_assign(xc, centroids, Metric.L2)
+        assigns = np.asarray(assigns_d)
         gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
         gt_d.block_until_ready()
         if have_store:
             del xc
             continue
-        mode_ids = jnp.asarray(
-            ((start + np.arange(m)) % args.nlist).astype(np.int32)
-        )
-        codes_d, scale_d = quantize_chunk(xc, mode_ids)
+        codes_d, scale_d, sq_d = quantize_chunk(xc, centroids[assigns_d])
         td = time.time()
         codes = np.asarray(codes_d)
         scale = np.asarray(scale_d)
+        sq = np.asarray(sq_d)
         t_d2h += time.time() - td
-        del xc, codes_d, scale_d
-        xh = codes.astype(np.float32)
-        xh *= scale[:, None]
-        xh += centers_h[(start + np.arange(m)) % args.nlist]
-        del codes
+        del xc, codes_d, scale_d, sq_d
         order = np.argsort(assigns, kind="stable")
         sl = assigns[order]
         bounds = np.searchsorted(sl, np.arange(args.nlist + 1))
@@ -172,52 +172,57 @@ def main():
         for l in range(args.nlist):
             rows = order[bounds[l]:bounds[l + 1]]
             if rows.size:
-                pieces_v[l].append(xh[rows])
+                pieces_v[l].append(codes[rows])
+                pieces_s[l].append(scale[rows])
+                pieces_q[l].append(sq[rows])
                 pieces_i[l].append(ids_chunk[rows])
-        del xh
+        del codes, scale, sq
     if have_store and have_truth:
         tz = np.load(_os.path.join(sd, "truth.npz"))
         truth = tz["truth"]
         queries = jnp.asarray(tz["queries"])
+        centroids = jnp.asarray(np.load(_os.path.join(sd, "meta.npz"))[
+            "centroids"
+        ])
     else:
         truth = np.asarray(gt_i)
     _stage(f"build pass done in {time.time()-t0:.0f}s (d2h {t_d2h:.0f}s)")
 
-    store = HostListStore(args.nlist, args.dim)
+    store = HostListStore(args.nlist, args.dim, dtype="int8")
+    store.anchors = np.asarray(centroids, dtype=np.float32)
     if have_store:
         _stage(f"loading persisted store from {sd}")
         meta = np.load(_os.path.join(sd, "meta.npz"))
-        offs, cnts, sqs = meta["offsets"], meta["counts"], meta["sq"]
-        ids_all = meta["ids"]
+        offs, cnts = meta["offsets"], meta["counts"]
+        sqs, scales, ids_all = meta["sq"], meta["scale"], meta["ids"]
         vecs = np.load(_os.path.join(sd, "vecs.npy"), mmap_mode="r")
         o = 0
         for l in range(args.nlist):
             c = int(cnts[l])
             store.vectors[l] = vecs[offs[l]:offs[l] + c]
             store.sq[l] = sqs[o:o + c]
+            store.scale[l] = scales[o:o + c]
             store.ids[l] = ids_all[o:o + c]
             o += c
     else:
         _stage("packing host store")
         for l in range(args.nlist):
             if pieces_v[l]:
-                v = np.concatenate(pieces_v[l])
-                store.vectors[l] = v
-                store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
-                    np.float32
-                )
+                store.vectors[l] = np.concatenate(pieces_v[l])
+                store.scale[l] = np.concatenate(pieces_s[l])
+                store.sq[l] = np.concatenate(pieces_q[l])
                 store.ids[l] = np.concatenate(pieces_i[l])
-            pieces_v[l] = pieces_i[l] = None
+            pieces_v[l] = pieces_s[l] = pieces_q[l] = pieces_i[l] = None
         _stage(f"persisting store to {sd}")
-        # Stream through a memmap: np.concatenate would double the 57 GB
-        # store in RAM (measured host OOM kill at 130 GB RSS).
+        # Stream codes through a memmap: np.concatenate would double the
+        # store in RAM (measured host OOM kill at 130 GB RSS on fp32).
         try:
             _os.makedirs(sd, exist_ok=True)
             cnts = np.asarray([v.shape[0] for v in store.vectors], np.int64)
             offs = np.concatenate([[0], np.cumsum(cnts)[:-1]])
             mm = np.lib.format.open_memmap(
                 _os.path.join(sd, "vecs.npy"), mode="w+",
-                dtype=np.float32, shape=(int(cnts.sum()), args.dim),
+                dtype=np.int8, shape=(int(cnts.sum()), args.dim),
             )
             o = 0
             for l in range(args.nlist):
@@ -229,21 +234,25 @@ def main():
             np.savez(_os.path.join(sd, "meta.npz"),
                      offsets=offs, counts=cnts,
                      sq=np.concatenate(store.sq),
-                     ids=np.concatenate(store.ids))
+                     scale=np.concatenate(store.scale),
+                     ids=np.concatenate(store.ids),
+                     centroids=np.asarray(centroids))
             np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
                      queries=np.asarray(queries))
         except Exception as e:  # noqa: BLE001 — persistence is best-effort
             _stage(f"persist failed ({e}); continuing without")
     host_gb = store.nbytes() / (1 << 30)
     corpus_gb = args.n * args.dim * 2 / (1 << 30)
-    _stage(f"host store {host_gb:.1f} GB (bf16 corpus {corpus_gb:.1f} GB)")
+    _stage(f"host store {host_gb:.1f} GB int8 (bf16 corpus "
+           f"{corpus_gb:.1f} GB)")
 
     cfg = IVFFlatConfig(
-        dimension=args.dim, nlist=args.nlist, dtype="bfloat16",
+        dimension=args.dim, nlist=args.nlist, dtype="int8",
     )
     cache_slots = max(int(args.nlist * args.cache_frac), 1)
     tier = StreamingIVFFlatIndex.from_store(
         store, centroids, cfg, cache_slots=cache_slots,
+        scan_impl=args.scan_impl,
     )
     device_gb = tier.cache.memory_bytes() / (1 << 30)
     _stage(f"cache: {cache_slots} slots, {device_gb:.1f} GB device")
@@ -259,7 +268,11 @@ def main():
     tier.prefetch_lists(wanted)
     jax.block_until_ready(tier.cache.cache_arena)
     warm_s = time.time() - tw
-    warm_mb = wanted.size * tier.cache.capacity * args.dim * 2 / (1 << 20)
+    slot_bytes = tier.cache.capacity * (
+        args.dim * tier.cache.dtype.itemsize
+        + (8 if tier.cache.quantized else 4)   # sq (+ scale)
+    )
+    warm_mb = wanted.size * slot_bytes / (1 << 20)
 
     # Serve from the warmed cache.
     params = SearchParams(nprobe=args.nprobe, k=args.k)
@@ -290,10 +303,10 @@ def main():
     tier.search(np.asarray(cold_q), params)
     cold_s = time.time() - t2
     cold_misses = tier.cache.misses - m0
-    cold_mb = cold_misses * tier.cache.capacity * args.dim * 2 / (1 << 20)
+    cold_mb = cold_misses * slot_bytes / (1 << 20)
 
     print(json.dumps({
-        "metric": "streaming_tier_20m_bf16",
+        "metric": "streaming_tier_20m_int8",
         "n": args.n, "dim": args.dim, "nlist": args.nlist,
         "nprobe": args.nprobe, "batch": args.batch,
         "corpus_gb_bf16": round(corpus_gb, 1),

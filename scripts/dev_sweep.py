@@ -35,8 +35,8 @@ def main():
     p.add_argument(
         "--config", action="append", default=[],
         help="impl:batch[:m_budget[:flags]], e.g. pallas_grouped:512:16 or "
-             "pallas_grouped:512:16:bf16,k1 (flags: bf16 = stage_bf16, "
-             "kN = override k for timing isolation)",
+             "pallas_grouped:512:16:bf16,k1,p16 (flags: bf16 = stage_bf16, "
+             "kN = override k for timing isolation, pN = override nprobe)",
     )
     args = p.parse_args()
     if not args.config:
@@ -144,16 +144,20 @@ def main():
         flags = set(parts[3].split(",")) if len(parts) > 3 else set()
         stage_bf16 = "bf16" in flags
         k_run = args.k
+        nprobe_run = args.nprobe
         for f in flags:
             if f.startswith("k") and f[1:].isdigit():
                 k_run = int(f[1:])
+            if f.startswith("p") and f[1:].isdigit():
+                nprobe_run = int(f[1:])
         q = chunk_queries[:batch]
 
         if impl == "pallas_grouped" and (m_budget is not None or flags):
-            def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run):
+            def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
+                           _np=nprobe_run):
                 qf = qq.astype(jnp.float32)
                 coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
-                _, probe = topk_smallest(coarse, args.nprobe)
+                _, probe = topk_smallest(coarse, _np)
                 return pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena.arena, arena.arena_sq, arena.counts,
                     probe.astype(jnp.int32), _k, Metric.L2,
@@ -161,9 +165,10 @@ def main():
                     arena_anchors=arena.anchors, stage_bf16=_bf,
                 )
         else:
-            def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run):
+            def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run,
+                           _np=nprobe_run):
                 d, pos, _ = _ivf_search_device(
-                    qq, *sargs, args.nprobe, _k, Metric.L2, _impl,
+                    qq, *sargs, _np, _k, Metric.L2, _impl,
                     False, 0, None, arena.arena_scale, arena.anchors,
                     None, _bf,
                 )

@@ -150,6 +150,81 @@ def test_streaming_from_store(rng):
     np.testing.assert_array_equal(ids_out, i_ref)
 
 
+def test_streaming_grouped_scan_parity(rng):
+    """The grouped Pallas kernel (the TPU serving default) over the slot
+    cache must match the resident index, including multi-wave splits."""
+    idx, _ = _build(rng, nlist=16)
+    streaming = StreamingIVFFlatIndex(
+        idx, cache_slots=8, scan_impl="pallas_grouped"
+    )
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    p = SearchParams(nprobe=12, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_int8_base_exact_parity(rng):
+    """An int8-residual base snapshots into an int8 store (codes pass
+    through bit-identical, no dequantize round trip) and the quantized
+    cache scan must reproduce the resident index exactly."""
+    x = rng.standard_normal((4000, 16)).astype(np.float32)
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=16, nlist=16, dtype="int8"))
+    idx.train(x)
+    idx.add(x)
+    streaming = StreamingIVFFlatIndex(idx, cache_slots=8)
+    assert streaming.store.dtype == "int8"
+    assert streaming.cache.quantized
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    p = SearchParams(nprobe=6, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+    # device bytes: codes are 1 byte/dim (+ fp32 scale/anchor planes)
+    assert streaming.cache.cache_arena.dtype == np.int8
+
+
+def test_streaming_int8_grouped_multiwave(rng):
+    """int8 store + grouped kernel + cache smaller than the probe working
+    set: wave-split quantized scan still merges to the resident answer."""
+    x = rng.standard_normal((4000, 16)).astype(np.float32)
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=16, nlist=16, dtype="int8"))
+    idx.train(x)
+    idx.add(x)
+    streaming = StreamingIVFFlatIndex(
+        idx, cache_slots=5, scan_impl="pallas_grouped"
+    )
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    p = SearchParams(nprobe=16, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_host_store_lookup_ids(rng):
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
+        HostListStore,
+    )
+
+    store = HostListStore(3, 4)
+    store.ids[0] = np.array([10, 11], np.uint64)
+    store.ids[1] = np.array([], np.uint64)
+    store.ids[2] = np.array([30, 31, 32], np.uint64)
+    lists = np.array([[0, 2, -1], [2, 0, 2]])
+    offs = np.array([[1, 2, 0], [0, 0, 1]])
+    got = store.lookup_ids(lists, offs)
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        INVALID_ID,
+    )
+
+    np.testing.assert_array_equal(
+        got, np.array([[11, 32, INVALID_ID], [30, 10, 31]], np.uint64)
+    )
+
+
 def test_streaming_prefetch(rng):
     idx, _ = _build(rng)
     streaming = StreamingIVFFlatIndex(idx, cache_slots=8)
