@@ -367,11 +367,12 @@ class QueryServiceImpl:
         # validation first — client errors (INVALID_ARGUMENT/NOT_FOUND) must
         # never trip the breaker; same codes as query_service.cpp:72-92.
         st, queries, params = self._validate(request, context)
+        n_queries = queries.shape[0]
         # admission control (all wired, unlike the reference)
         if not eng.breaker.allow():
             _abort(context, grpc.StatusCode.UNAVAILABLE,
                    "circuit breaker open")
-        if not eng.rate_limiter.try_acquire(max(len(request.queries), 1)):
+        if not eng.rate_limiter.try_acquire(max(n_queries, 1)):
             _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED,
                    "rate limit exceeded")
         if not eng.limiter.try_enter():
@@ -385,12 +386,23 @@ class QueryServiceImpl:
             )
             d, ids = fut.result(timeout=eng.adaptive.timeout_s())
             resp = vdb_pb2.SearchResponse()
-            for row_d, row_i in zip(d, ids):
-                result = resp.results.add()
-                for dist, nid in zip(row_d, row_i):
-                    if nid == INVALID_ID:   # sentinel skip (cpp:142-156)
-                        continue
-                    result.neighbors.add(id=int(nid), distance=float(dist))
+            if request.packed_response:
+                # One memcpy instead of b·k python-proto message appends.
+                resp.packed_ids = np.ascontiguousarray(
+                    ids, dtype="<u8"
+                ).tobytes()
+                resp.packed_distances = np.ascontiguousarray(
+                    d, dtype="<f4"
+                ).tobytes()
+            else:
+                for row_d, row_i in zip(d, ids):
+                    result = resp.results.add()
+                    for dist, nid in zip(row_d, row_i):
+                        if nid == INVALID_ID:  # sentinel skip (cpp:142-156)
+                            continue
+                        result.neighbors.add(
+                            id=int(nid), distance=float(dist)
+                        )
             ok = True
             return resp
         finally:
@@ -400,12 +412,12 @@ class QueryServiceImpl:
                 eng.metrics.record_search(
                     request.index,
                     (time.monotonic() - t0) * 1000,
-                    len(request.queries),
+                    n_queries,
                 )
 
     def _validate(self, request, context):
         eng = self.engine
-        if not request.queries:
+        if not request.queries and not request.packed_queries:
             _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
                    "no queries provided")
         if request.topk <= 0 or request.topk > MAX_TOPK:
@@ -435,12 +447,24 @@ class QueryServiceImpl:
                     f"index metric is {index.metric.value}, "
                     f"request asked {request.metric}",
                 )
-        queries = np.zeros((len(request.queries), dim), np.float32)
-        for i, v in enumerate(request.queries):
-            if len(v.values) != dim:
+        if request.packed_queries:
+            raw = request.packed_queries
+            if len(raw) % (4 * dim):
                 _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
-                       f"query {i} has dim {len(v.values)}, index dim {dim}")
-            queries[i] = v.values
+                       f"packed_queries length {len(raw)} is not a "
+                       f"multiple of 4*dim ({4 * dim})")
+            queries = np.frombuffer(raw, dtype="<f4").reshape(-1, dim)
+            queries = np.ascontiguousarray(queries, np.float32)
+        else:
+            queries = np.zeros((len(request.queries), dim), np.float32)
+            for i, v in enumerate(request.queries):
+                if len(v.values) != dim:
+                    _abort(
+                        context, grpc.StatusCode.INVALID_ARGUMENT,
+                        f"query {i} has dim {len(v.values)}, "
+                        f"index dim {dim}",
+                    )
+                queries[i] = v.values
         nprobe = request.nprobe or self.engine.config.default_nprobe
         params = SearchParams(
             nprobe=nprobe, k=request.topk,

@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--nprobe", type=int, default=8)
     p.add_argument("--batch", type=int, default=1,
                    help="queries per request")
+    p.add_argument("--packed", action="store_true",
+                   help="use packed_queries/packed_response bytes instead "
+                        "of repeated Vector messages (cuts python-proto "
+                        "serialization ~30x at dim 768)")
     args = p.parse_args(argv)
 
     from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
@@ -46,17 +50,26 @@ def main(argv=None) -> int:
     def worker(tid: int):
         local_rng = np.random.default_rng(tid)
         for _ in range(args.requests):
-            q = [
-                vdb_pb2.Vector(values=local_rng.standard_normal(
-                    args.dimension).astype(float))
-                for _ in range(args.batch)
-            ]
+            if args.packed:
+                req = vdb_pb2.SearchRequest(
+                    packed_queries=local_rng.standard_normal(
+                        (args.batch, args.dimension)
+                    ).astype("<f4").tobytes(),
+                    packed_response=True,
+                    topk=args.topk, nprobe=args.nprobe, index=args.index,
+                )
+            else:
+                req = vdb_pb2.SearchRequest(
+                    queries=[
+                        vdb_pb2.Vector(values=local_rng.standard_normal(
+                            args.dimension).astype(float))
+                        for _ in range(args.batch)
+                    ],
+                    topk=args.topk, nprobe=args.nprobe, index=args.index,
+                )
             t0 = time.monotonic()
             try:
-                client.Search(vdb_pb2.SearchRequest(
-                    queries=q, topk=args.topk, nprobe=args.nprobe,
-                    index=args.index,
-                ))
+                client.Search(req)
                 ok = True
             except grpc.RpcError as e:
                 ok = False
@@ -84,6 +97,8 @@ def main(argv=None) -> int:
               else "acceptable" if avg < 100 else "poor")
     report = {
         "requests": total,
+        "packed_wire": bool(args.packed),
+        "batch": args.batch,
         "success_rate": len(latencies) / total,
         "qps": round(total * args.batch / wall, 1),
         "avg_ms": round(avg, 2),

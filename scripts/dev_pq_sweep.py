@@ -3,9 +3,10 @@ m=96 on the real chip, then measure the grouped Pallas ADC kernel's
 QPS/recall with and without exact rerank.
 
 Usage:  python scripts/dev_pq_sweep.py --n 1000000 \
-            --config 512:0 --config 512:40 --config 2048:40
+            --config 512:0 --config 512:40 --config 2048:40:p16
 
-Config format: batch[:rerank_k].  Prints one JSON line per config.
+Config format: batch[:rerank_k[:pN]] (pN overrides nprobe).
+Prints one JSON line per config.
 """
 
 from __future__ import annotations
@@ -34,6 +35,9 @@ def main():
     p.add_argument("--n-batches", type=int, default=10)
     p.add_argument("--max-batch", type=int, default=2048)
     p.add_argument("--raw-dtype", default="bfloat16")
+    p.add_argument("--capacity-factor", type=float, default=1.3,
+                   help="pre-grow arenas to mean*factor (1.5 OOMed a 10M "
+                        "int8+PQ build: 13.4 GB resident + transients)")
     p.add_argument("--config", action="append", default=[],
                    help="batch[:rerank_k]")
     args = p.parse_args()
@@ -71,8 +75,17 @@ def main():
     chunk_n = 500_000
     nq = args.max_batch
     oracle = make_oracle_updater(args.k)
-    gt_d = jnp.full((nq, args.k), jnp.inf, jnp.float32)
-    gt_i = jnp.full((nq, args.k), -1, jnp.int64)
+    # Oracle in 512-query slices: the [nq, 500K] distance intermediate at
+    # nq=2048 is 4 GB — alongside a 10M-scale index that OOMs the chip.
+    q_slice = min(512, nq)
+    gt_d = [
+        jnp.full((q_slice, args.k), jnp.inf, jnp.float32)
+        for _ in range(nq // q_slice)
+    ]
+    gt_i = [
+        jnp.full((q_slice, args.k), -1, jnp.int64)
+        for _ in range(nq // q_slice)
+    ]
     queries = None
     kx = jax.random.PRNGKey(42)
     chunk_keys = []
@@ -95,7 +108,9 @@ def main():
             jax.block_until_ready(idx.codebooks)
             # Pre-grow both arenas to final capacity: per-chunk growth
             # reallocates multi-GB device buffers every chunk.
-            final_cap = -(-int(args.n / args.nlist * 1.5) // 128) * 128
+            final_cap = -(-int(
+                args.n / args.nlist * args.capacity_factor
+            ) // 128) * 128
             idx._grow(final_cap)
             jax.block_until_ready(idx.code_arena_t)
             qi = jnp.asarray(rng.integers(0, mrows, nq))
@@ -115,10 +130,14 @@ def main():
             )
             jax.block_until_ready(idx.code_arena_t)
         _stage(f"chunk {ci}: oracle")
-        gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
-        gt_d.block_until_ready()
+        for qi in range(nq // q_slice):
+            s = slice(qi * q_slice, (qi + 1) * q_slice)
+            gt_d[qi], gt_i[qi] = oracle(
+                gt_d[qi], gt_i[qi], queries[s], xc, jnp.int64(start)
+            )
+            gt_d[qi].block_until_ready()
         del xc
-    truth = np.asarray(gt_i)
+    truth = np.concatenate([np.asarray(g) for g in gt_i])
     _stage(f"build done in {time.time() - t0:.0f}s cap={idx.capacity} "
            f"codes_mb={idx.code_arena_t.nbytes / (1 << 20):.0f}")
 
@@ -137,14 +156,18 @@ def main():
     for spec in args.config:
         parts = spec.split(":")
         batch = int(parts[0])
-        rerank_k = int(parts[1]) if len(parts) > 1 else 0
+        rerank_k = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        nprobe_run = args.nprobe
+        for f in parts[2:]:
+            if f.startswith("p") and f[1:].isdigit():
+                nprobe_run = int(f[1:])
         q = queries[:batch]
 
         interp = jax.default_backend() != "tpu"
 
-        def dev_search(qq, _r=rerank_k):
+        def dev_search(qq, _r=rerank_k, _np=nprobe_run):
             return _ivf_pq_search_device(
-                qq, nprobe=args.nprobe, k=args.k, metric=idx.metric,
+                qq, nprobe=_np, k=args.k, metric=idx.metric,
                 rerank_k=_r, scan_impl="pallas", interpret=interp, **sargs,
             )
 
