@@ -142,6 +142,68 @@ def kmeans_pp_init(
     return centroids
 
 
+def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
+                 samp_a, d_tot, n_total, it, iters, it_key, k: int):
+    """Twin/orphan reseeding shared by the single-chip and DP trainers.
+
+    Inputs are REPLICATED in the sharded caller (post-psum counts/d_tot,
+    all-gathered candidate pools), so the update is deterministic across
+    chips. ``cand_v [P]`` distortions with their rows ``cand_vecs [P, D]``;
+    ``samp_vecs [S, D]`` stratified rows with assignments ``samp_a [S]``.
+
+    Rebalance rationale (measured on the 10M headline corpus — see the
+    probe-coverage notes in CLAUDE.md):
+      - starved: counts < 10% of mean — serves nobody.
+      - redundant: twin centroids parked inside ONE natural mode
+        (NN-distance ≪ median spacing). Twins never starve, so count-based
+        reseeding alone leaves a mode-less centroid deficit elsewhere.
+    Targets rank in one pool: orphan-mode points (distortion / global mean
+    ≫ 10) and members of overfull clusters (> 1.5x mean count). Selection
+    is Gumbel-perturbed (P ∝ score): deterministic top-k plants several
+    reseeds in one orphaned mode — instant new twins. Skipped on the last
+    two iterations so fresh seeds settle."""
+    cc = pairwise_distance(new_centroids, new_centroids, Metric.L2)
+    cc = cc + jnp.where(jnp.eye(k, dtype=bool), jnp.inf, 0.0)
+    nn_d = jnp.min(cc, axis=-1)
+    partner = jnp.argmin(cc, axis=-1).astype(jnp.int32)
+    med_nn = jnp.median(nn_d)
+    redundant = (
+        (nn_d < 0.35 * med_nn)
+        & (jnp.arange(k, dtype=jnp.int32) > partner)
+    )
+    mean_count = jnp.mean(counts)
+    starved = counts < 0.1 * mean_count
+    reseed = (starved | redundant) & (it < iters - 2)
+
+    # Normalize distortion by the GLOBAL mean assignment distortion:
+    # orphan-mode points score ≈ (inter-mode / intra-mode)² ≫ 10, far above
+    # overfull-split donors (≈ 5-8) and ordinary tail points (≈ 2-4).
+    mean_d = d_tot / jnp.float32(n_total) + 1e-12
+    score_dist = cand_v.reshape(-1) / mean_d
+    samp_c = counts[samp_a.reshape(-1)]
+    score_samp = jnp.where(
+        samp_c > 1.5 * mean_count, 4.0 + samp_c / mean_count, -jnp.inf
+    )
+    pool_x = jnp.concatenate(
+        [cand_vecs.reshape(-1, cand_vecs.shape[-1]),
+         samp_vecs.reshape(-1, samp_vecs.shape[-1])]
+    )
+    pool_s = jnp.concatenate([score_dist, score_samp])
+    gumbel = jax.random.gumbel(it_key, pool_s.shape)
+    noisy = jnp.where(
+        pool_s > 0, jnp.log(jnp.maximum(pool_s, 1e-30)) + gumbel,
+        -jnp.inf,
+    )
+    s_cand = min(pool_s.shape[0], 512)
+    _, best = jax.lax.top_k(noisy, s_cand)
+    cand_rows = pool_x[best]                            # [s_cand, D]
+    slot = (jnp.cumsum(reseed.astype(jnp.int32)) - 1) % s_cand
+    return jnp.where(
+        reseed[:, None], cand_rows[slot].astype(jnp.float32),
+        new_centroids,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters", "chunk_size", "init"))
 def kmeans_fit(
     key: jax.Array,
@@ -162,7 +224,10 @@ def kmeans_fit(
     if init == "kmeans++":
         centroids = kmeans_pp_init(key, x, k)
     elif init == "random":
-        idx = jax.random.choice(key, n, (k,), replace=False)
+        # Degenerate tiny training sets (n < k, e.g. PQ codebooks trained
+        # on a handful of rows) must duplicate seeds — Lloyd keeps empty
+        # clusters on their previous centroid, so duplicates are harmless.
+        idx = jax.random.choice(key, n, (k,), replace=n < k)
         centroids = x[idx].astype(jnp.float32)
     else:
         raise ValueError(f"unknown init {init!r}")
@@ -209,11 +274,11 @@ def kmeans_fit(
             stride = max(d_min.shape[0] // n_cand, 1)
             samp = jnp.arange(n_cand, dtype=jnp.int32) * stride
             return (sums, counts, d_tot), (
-                a.astype(jnp.int32), top_v, rows[top_i],
-                rows[samp], a[samp].astype(jnp.int32),
+                a.astype(jnp.int32), top_v, xcf[top_i],
+                xcf[samp], a[samp].astype(jnp.int32),
             )
 
-        (sums, counts, d_tot), (assigns, cand_v, cand_r, samp_r, samp_a) = (
+        (sums, counts, d_tot), (assigns, cand_v, cand_x, samp_x, samp_a) = (
             jax.lax.scan(
                 chunk_body,
                 (jnp.zeros((k, dim), jnp.float32),
@@ -226,73 +291,12 @@ def kmeans_fit(
             centroids,
         )
         # Rebalance (plain keep-old — the reference behavior,
-        # ``ivf_flat_index.cpp:117-141`` — leaves bad seeds stuck forever).
-        # Freed SOURCES:
-        #   starved:   counts < 10% of mean — serves nobody.
-        #   redundant: twin centroids parked inside ONE natural mode
-        #              (NN-distance ≪ median centroid spacing). Twins never
-        #              starve (each holds half the mode), so count-based
-        #              reseeding alone leaves a mode-less centroid deficit
-        #              elsewhere.
-        # Reseed TARGETS, ranked in one pool:
-        #   - top-distortion points (orphaned modes, distortion ≫ mode
-        #     radius) — score = distortion / median;
-        #   - stratified sample points inside OVERFULL clusters (> 1.5x
-        #     mean count): a shared list (two modes, one centroid) spills
-        #     past the arena capacity clamp at build time, scattering rows
-        #     to far 2nd-choice lists that nprobe-bounded probes miss
-        #     (measured: probe coverage 0.94-0.96 at 1.2M/1024 before
-        #     this). Placing the freed centroid AT a member point splits
-        #     the shared cluster cleanly on the next iteration.
-        # Skipped on the last two iterations so fresh seeds settle.
-        cc = pairwise_distance(new_centroids, new_centroids, Metric.L2)
-        cc = cc + jnp.where(jnp.eye(k, dtype=bool), jnp.inf, 0.0)
-        nn_d = jnp.min(cc, axis=-1)
-        partner = jnp.argmin(cc, axis=-1).astype(jnp.int32)
-        med_nn = jnp.median(nn_d)
-        redundant = (
-            (nn_d < 0.35 * med_nn)
-            & (jnp.arange(k, dtype=jnp.int32) > partner)
-        )
-        mean_count = jnp.mean(counts)
-        starved = counts < 0.1 * mean_count
-        reseed = (starved | redundant) & (it < iters - 2)
-
-        flat_v = cand_v.reshape(-1)
-        flat_r = cand_r.reshape(-1)
-        # Normalize distortion by the GLOBAL mean assignment distortion:
-        # orphan-mode points score ≈ (inter-mode / intra-mode)² ≫ 10, far
-        # above overfull-split donors (≈ 5-8) and ordinary tail points
-        # (≈ 2-4). Normalizing by the candidate pool's own median instead
-        # inverts the priority — the pool is all-orphan when orphans
-        # exist, scoring them ~1.
-        mean_d = d_tot / jnp.float32(n_orig) + 1e-12
-        score_dist = flat_v / mean_d
-        samp_r = samp_r.reshape(-1)
-        samp_c = counts[samp_a.reshape(-1)]
-        score_samp = jnp.where(
-            samp_c > 1.5 * mean_count, 4.0 + samp_c / mean_count, -jnp.inf
-        )
-        pool_r = jnp.concatenate([flat_r, samp_r])
-        pool_s = jnp.concatenate([score_dist, score_samp])
-        # Gumbel-perturbed selection (P ∝ score) instead of plain top-k:
-        # an orphaned mode contributes MANY top-distortion rows, and
-        # deterministic top-k plants several reseeds in one mode — instant
-        # new twins. Weighted sampling spreads picks across modes
-        # (measured at 4096 lists: top-k selection plateaued at ~175
-        # shared lists no matter the iteration count).
-        gumbel = jax.random.gumbel(it_key, pool_s.shape)
-        noisy = jnp.where(
-            pool_s > 0, jnp.log(jnp.maximum(pool_s, 1e-30)) + gumbel,
-            -jnp.inf,
-        )
-        s_cand = min(pool_s.shape[0], 512)
-        _, best = jax.lax.top_k(noisy, s_cand)
-        cand_rows = pool_r[best]                        # [s_cand]
-        slot = (jnp.cumsum(reseed.astype(jnp.int32)) - 1) % s_cand
-        new_centroids = jnp.where(
-            reseed[:, None], xp[cand_rows[slot]].astype(jnp.float32),
-            new_centroids,
+        # ``ivf_flat_index.cpp:117-141`` — leaves bad seeds stuck forever):
+        # twin/orphan reseeding, shared with the DP trainer — see
+        # ``_reseed_step`` for the full rationale and measurements.
+        new_centroids = _reseed_step(
+            new_centroids, counts, cand_v, cand_x, samp_x, samp_a,
+            d_tot, n_orig, it, iters, it_key, k,
         )
         return new_centroids, assigns
 

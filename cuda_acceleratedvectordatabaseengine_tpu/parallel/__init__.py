@@ -16,6 +16,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.parallel.mesh import (
 from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
     ShardedIVFFlatIndex,
     ShardedIVFPQIndex,
+    sharded_kmeans_fit,
     sharded_kmeans_lloyd_step,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "SHARD_AXIS",
     "ShardedIVFFlatIndex",
     "ShardedIVFPQIndex",
+    "sharded_kmeans_fit",
     "sharded_kmeans_lloyd_step",
 ]

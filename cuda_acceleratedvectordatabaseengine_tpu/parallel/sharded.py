@@ -30,6 +30,11 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
     Metric,
     pairwise_distance,
 )
+from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+    _reseed_step,
+    kmeans_assign,
+    kmeans_pp_init,
+)
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
 from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import (
     scan_probed_lists,
@@ -37,6 +42,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.scan import (
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
 from cuda_acceleratedvectordatabaseengine_tpu.parallel.mesh import SHARD_AXIS
+from cuda_acceleratedvectordatabaseengine_tpu.models.arena import INVALID_ID
 from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
     FLT_MAX,
     IVFFlatIndex,
@@ -138,6 +144,61 @@ def _sharded_search(
               arena_anchors)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_shards", "quantize", "has_anchor"),
+    donate_argnums=(0, 1, 2),
+)
+def _pack_stripe(
+    arena_s, sq_s, scale_s, x, lists, slots, anchors,
+    mesh, n_shards, quantize, has_anchor,
+):
+    """Scatter one replicated chunk into the slot-striped arenas: each chip
+    writes only the rows whose logical slot lands on its stripe (slot % N ==
+    shard); foreign rows divert to the per-chip TRASH slot (local index
+    cap_l − 1, logical slot ≥ global capacity — never valid in any scan).
+    Donated arenas: the functional update would otherwise hold old+new
+    multi-GB arenas per chunk. Quantization math is identical to the
+    single-chip bulk pack (``models/ivf_flat._bulk_pack_device``)."""
+
+    def local_fn(arena_l, sq_l, scale_l, x, lists, slots, anch):
+        s = jax.lax.axis_index(SHARD_AXIS)
+        cap_l = arena_l.shape[1]
+        mine = (slots % n_shards) == s
+        lslot = jnp.where(mine, slots // n_shards, cap_l - 1)
+        xf = x.astype(jnp.float32)
+        if quantize:
+            a_rows = anch[lists] if has_anchor else 0.0
+            res = xf - a_rows
+            row_scale = jnp.maximum(
+                jnp.max(jnp.abs(res), axis=-1), 1e-12
+            ) / 127.0
+            hi = jnp.clip(
+                jnp.round(res / row_scale[:, None]), -127, 127
+            ).astype(jnp.int8)
+            deq = a_rows + hi.astype(jnp.float32) * row_scale[:, None]
+            scale_l = scale_l.at[lists, lslot].set(row_scale)
+        else:
+            hi = xf.astype(arena_l.dtype)
+            deq = hi.astype(jnp.float32)
+        arena_l = arena_l.at[lists, lslot].set(hi)
+        sq_l = sq_l.at[lists, lslot].set(jnp.sum(deq * deq, -1))
+        return arena_l, sq_l, scale_l
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(
+            P(None, SHARD_AXIS, None), P(None, SHARD_AXIS),
+            P(None, SHARD_AXIS), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(None, SHARD_AXIS, None), P(None, SHARD_AXIS),
+            P(None, SHARD_AXIS),
+        ),
+    )
+    return fn(arena_s, sq_s, scale_s, x, lists, slots, anchors)
+
+
 class ShardedIVFFlatIndex:
     """Multi-chip serving view over a trained :class:`IVFFlatIndex`.
 
@@ -145,15 +206,25 @@ class ShardedIVFFlatIndex:
     arena onto the mesh — the multi-chip analog of the reference's epoch
     activation swap (``server/query_service.cpp:254-257``). Searches then run
     SPMD across all chips with an ICI all-gather merge.
+
+    :meth:`build_on_mesh` instead trains AND packs on the mesh with no
+    single-chip base at all — the path for corpora sized for the whole
+    slice rather than one chip.
     """
 
     def __init__(self, base: IVFFlatIndex, mesh, scan_impl: str = "auto"):
         if not base.trained:
             raise RuntimeError("base index must be trained")
         self.base = base
+        self.config = base.config
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         self.metric = base.metric
+        self._set_scan_impl(scan_impl)
+        self._published = False
+        self.refresh()
+
+    def _set_scan_impl(self, scan_impl: str) -> None:
         if scan_impl == "auto":
             scan_impl = (
                 "pallas_grouped" if jax.default_backend() == "tpu"
@@ -165,8 +236,146 @@ class ShardedIVFFlatIndex:
             scan_impl.startswith("pallas")
             and jax.default_backend() != "tpu"
         )
-        self._published = False
-        self.refresh()
+
+    @classmethod
+    def build_on_mesh(
+        cls,
+        mesh,
+        config,
+        x,
+        ids: np.ndarray | None = None,
+        key: jax.Array | None = None,
+        centroids: jax.Array | None = None,
+        chunk_rows: int = 250_000,
+        scan_impl: str = "auto",
+        train_iters: int | None = None,
+    ) -> "ShardedIVFFlatIndex":
+        """Train AND build entirely on the mesh — no single-chip base index
+        ever exists. Training is the full DP k-means
+        (:func:`sharded_kmeans_fit`: psum'd Lloyd + replicated twin/orphan
+        reseeding); packing scatters each chunk onto the slot-striped
+        arenas via :func:`_pack_stripe` (each chip quantizes and writes its
+        1/N stripe). This is the capability the reference only claimed
+        (``README.md:25`` multi-GPU; zero sharding code — SURVEY §2.9).
+        """
+        self = cls.__new__(cls)
+        self.base = None
+        self.config = config
+        self.mesh = mesh
+        n_shards = self.n_shards = mesh.devices.size
+        self.metric = config.metric
+        self._set_scan_impl(scan_impl)
+
+        n, dim = x.shape
+        if ids is None:
+            ids = np.arange(n, dtype=np.uint64)
+        repl = NamedSharding(mesh, P())
+        shard_rows = NamedSharding(mesh, P(SHARD_AXIS, None))
+
+        # ---- train (DP over the mesh) -------------------------------- #
+        if centroids is None:
+            key = key if key is not None else jax.random.PRNGKey(config.seed)
+            cap_train = config.train_sample_per_list * config.nlist
+            if n > cap_train:
+                stride = n // cap_train
+                sample = x[:: stride][:cap_train]
+            else:
+                sample = x
+            sample = jnp.asarray(sample, jnp.float32)
+            if self.metric == Metric.COSINE:
+                sample = l2_normalize(sample)
+            pad = (-sample.shape[0]) % n_shards
+            if pad:
+                sample = jnp.concatenate(
+                    [sample, jnp.zeros((pad, dim), jnp.float32)]
+                )
+            centroids = sharded_kmeans_fit(
+                mesh, key, jax.device_put(sample, shard_rows), config.nlist,
+                iters=train_iters or config.train_iters,
+            )
+        self.centroids = jax.device_put(
+            jnp.asarray(centroids, jnp.float32), repl
+        )
+
+        # ---- assign (chunked, row-parallel) -------------------------- #
+        assign_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.INNER_PRODUCT
+            else Metric.L2
+        )
+        assigns = []
+        for i0 in range(0, n, chunk_rows):
+            xc = jnp.asarray(x[i0:i0 + chunk_rows], jnp.float32)
+            if self.metric == Metric.COSINE:
+                xc = l2_normalize(xc)
+            assigns.append(
+                np.asarray(kmeans_assign(xc, self.centroids, assign_metric))
+            )
+        assignments = np.concatenate(assigns)
+        counts_h = np.bincount(
+            assignments, minlength=config.nlist
+        ).astype(np.int64)
+        # Local capacity: stripe share of the fullest list + 1 TRASH slot
+        # (foreign rows divert there during the pack), 8-aligned.
+        cap_l = -(-(
+            -(-int(counts_h.max()) // n_shards) + 1
+        ) // 8) * 8
+        cap_l = max(cap_l, 8)
+        global_cap = cap_l * n_shards
+
+        # ---- pack (chunked scatter onto the striped arenas) ---------- #
+        dtype = jnp.dtype(config.dtype)
+        quantize = dtype == jnp.int8
+        nlist = config.nlist
+        shard3 = NamedSharding(mesh, P(None, SHARD_AXIS, None))
+        shard2 = NamedSharding(mesh, P(None, SHARD_AXIS))
+        arena_s = jax.device_put(
+            jnp.zeros((nlist, global_cap, dim), dtype), shard3
+        )
+        sq_s = jax.device_put(
+            jnp.zeros((nlist, global_cap), jnp.float32), shard2
+        )
+        scale_s = jax.device_put(
+            jnp.zeros((nlist, global_cap), jnp.float32), shard2
+        )
+        self.has_scale = quantize
+        self.has_anchor = quantize
+        anchors = (
+            self.centroids if quantize
+            else jax.device_put(jnp.zeros((nlist, dim), jnp.float32), repl)
+        )
+        from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+            compute_append_slots,
+        )
+
+        running = np.zeros(nlist, np.int64)
+        ids_table = np.full((nlist, global_cap), INVALID_ID, np.uint64)
+        for i0 in range(0, n, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            a_c = assignments[i0:i1]
+            slots = compute_append_slots(running, a_c)
+            running += np.bincount(a_c, minlength=nlist)
+            xc = jnp.asarray(x[i0:i1], jnp.float32)
+            if self.metric == Metric.COSINE:
+                xc = l2_normalize(xc)
+            arena_s, sq_s, scale_s = _pack_stripe(
+                arena_s, sq_s, scale_s, xc,
+                jnp.asarray(a_c.astype(np.int32)),
+                jnp.asarray(slots.astype(np.int32)),
+                anchors, mesh, n_shards, quantize, self.has_anchor,
+            )
+            ids_table[a_c, slots] = ids[i0:i1].astype(np.uint64)
+
+        self.arena_s = arena_s
+        self.arena_sq_s = sq_s
+        self.arena_scale = scale_s
+        self.arena_anchors = anchors
+        self.counts = jax.device_put(
+            jnp.asarray(counts_h.astype(np.int32)), repl
+        )
+        self._ids_table = ids_table
+        self.global_cap = global_cap
+        self._published = True
+        return self
 
     def refresh(self) -> None:
         """Re-stripe the base arena across the mesh (one gather + resharding
@@ -200,6 +409,7 @@ class ShardedIVFFlatIndex:
             else jnp.zeros((arena.nlist, arena.dim), jnp.float32),
             repl,
         )
+        self._ids_table = arena.ids
         self.global_cap = cap
         self._published = True
 
@@ -214,7 +424,7 @@ class ShardedIVFFlatIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
-        nprobe = min(params.nprobe, self.base.config.nlist)
+        nprobe = min(params.nprobe, self.config.nlist)
         d, pos = _sharded_search(
             jax.device_put(
                 jnp.asarray(queries), NamedSharding(self.mesh, P())
@@ -227,7 +437,10 @@ class ShardedIVFFlatIndex:
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
-        ids = self.base.arena.positions_to_ids(pos)
+        flat = self._ids_table.reshape(-1)
+        safe = np.clip(pos, 0, flat.size - 1)
+        ids = flat[safe]
+        ids[pos < 0] = INVALID_ID
         d[pos < 0] = FLT_MAX
         return d, ids
 
@@ -444,6 +657,135 @@ class ShardedIVFPQIndex:
         ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
         d[pos < 0] = FLT_MAX
         return d, ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "iters", "chunk_size", "n_cand",
+                     "seed_per_chip"),
+)
+def sharded_kmeans_fit(
+    mesh,
+    key: jax.Array,
+    x_sharded: jax.Array,       # [N, D] sharded P(SHARD_AXIS, None);
+                                # padded rows must be exactly zero
+    k: int,
+    iters: int = 10,
+    chunk_size: int = 16384,
+    n_cand: int = 32,
+    seed_per_chip: int = 8192,
+) -> jax.Array:
+    """Full data-parallel k-means over the mesh — the multi-chip twin of
+    ``ops.kmeans.kmeans_fit`` (same Lloyd-as-matmuls update AND the same
+    twin/orphan reseeding, via the shared ``_reseed_step``).
+
+    SPMD structure per iteration: each chip scans its row shard in chunks
+    accumulating partial ``onehot.T @ x`` sums / counts / total distortion
+    plus a local candidate pool (top-distortion rows + stratified sample);
+    sums ride a ``psum`` allreduce and the pools an ``all_gather`` over
+    ICI, after which the reseed update runs replicated (deterministic, so
+    centroids stay bit-identical across chips). Seeding is Gumbel-max
+    k-means++ on an all-gathered stratified per-chip sample.
+
+    Returns replicated centroids ``[k, D]`` fp32. This is the trainer the
+    reference *claimed* at multi-GPU scale but never wrote (its multi-GPU
+    support is config-only, ``configs/production.yaml:11``; training is a
+    host loop, ``engine/ivf_flat_index.cpp:49-145``)."""
+    n, dim = x_sharded.shape
+    n_shards = mesh.devices.size
+    n_local = n // n_shards
+    cs = min(chunk_size, max(n_local, 1))
+    nc = min(n_cand, cs)
+    k_seed, k_loop = jax.random.split(key)
+    loop_keys = jax.random.split(k_loop, iters)
+
+    def local_fn(x_l):
+        # ---- seeding: stratified local sample → all_gather → kmeans++
+        stride = max(n_local // min(seed_per_chip, n_local), 1)
+        samp_local = x_l[::stride][: min(seed_per_chip, n_local)]
+        seed_pool = jax.lax.all_gather(
+            samp_local, SHARD_AXIS, axis=0, tiled=True
+        )
+        centroids = kmeans_pp_init(k_seed, seed_pool, k)
+
+        pad = (-n_local) % cs
+        x_p = (
+            jnp.concatenate(
+                [x_l, jnp.zeros((pad,) + x_l.shape[1:], x_l.dtype)]
+            ) if pad else x_l
+        )
+        chunks = x_p.reshape(-1, cs, dim)
+        row_ids = jnp.arange(x_p.shape[0]).reshape(-1, cs)
+        valid = (row_ids < n_local).astype(jnp.float32)
+
+        def lloyd(centroids, it_and_key):
+            it, it_key = it_and_key
+
+            def chunk_body(carry, inputs):
+                sums, counts, d_tot = carry
+                xc, w = inputs
+                xcf = xc.astype(jnp.float32)
+                d = pairwise_distance(xcf, centroids, Metric.L2)
+                a = jnp.argmin(d, axis=-1)
+                onehot = (
+                    a[:, None] == jnp.arange(k)[None, :]
+                ).astype(jnp.float32) * w[:, None]
+                sums = sums + jax.lax.dot_general(
+                    onehot, xcf,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                counts = counts + jnp.sum(onehot, axis=0)
+                d_min = jnp.where(w > 0, jnp.min(d, axis=-1), -jnp.inf)
+                d_tot = d_tot + jnp.sum(jnp.maximum(d_min, 0.0) * w)
+                top_v, top_i = jax.lax.top_k(d_min, nc)
+                stride_c = max(cs // nc, 1)
+                samp = jnp.arange(nc, dtype=jnp.int32) * stride_c
+                return (sums, counts, d_tot), (
+                    top_v, xcf[top_i], xcf[samp], a[samp].astype(jnp.int32),
+                )
+
+            (sums, counts, d_tot), (cand_v, cand_x, samp_x, samp_a) = (
+                jax.lax.scan(
+                    chunk_body,
+                    (jnp.zeros((k, dim), jnp.float32),
+                     jnp.zeros((k,), jnp.float32), jnp.float32(0.0)),
+                    (chunks, valid),
+                )
+            )
+            # DP allreduce (the NCCL the reference never had → ICI psum).
+            sums = jax.lax.psum(sums, SHARD_AXIS)
+            counts = jax.lax.psum(counts, SHARD_AXIS)
+            d_tot = jax.lax.psum(d_tot, SHARD_AXIS)
+            new_centroids = jnp.where(
+                (counts > 0)[:, None],
+                sums / jnp.maximum(counts, 1.0)[:, None], centroids,
+            )
+            # Candidate pools all_gather so the replicated reseed sees the
+            # global top-distortion rows, not one chip's.
+            g = functools.partial(
+                jax.lax.all_gather, axis_name=SHARD_AXIS, axis=0,
+                tiled=True,
+            )
+            new_centroids = _reseed_step(
+                new_centroids, counts,
+                g(cand_v.reshape(-1)), g(cand_x.reshape(-1, dim)),
+                g(samp_x.reshape(-1, dim)), g(samp_a.reshape(-1)),
+                d_tot, n, it, iters, it_key, k,
+            )
+            return new_centroids, None
+
+        centroids, _ = jax.lax.scan(
+            lloyd, centroids, (jnp.arange(iters), loop_keys)
+        )
+        return centroids
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None),), out_specs=P(),
+        check_vma=False,    # replicated by determinism (see _sharded_search)
+    )
+    return fn(x_sharded)
 
 
 def sharded_kmeans_lloyd_step(mesh, x_sharded, centroids, k: int):

@@ -136,7 +136,10 @@ def test_sharded_int8_arena(rng):
 
 
 def test_streaming_int8_base(rng):
-    """Streaming tier over an int8 base serves dequantized values."""
+    """Streaming tier over an int8 base keeps the codes quantized
+    end-to-end (int8 cache + scale/anchor planes) and reproduces the
+    resident index exactly — the device-built bulk-pack variant of
+    tests/test_io_host.py::test_streaming_int8_base_exact_parity."""
     import jax.numpy as jnp
 
     from cuda_acceleratedvectordatabaseengine_tpu.io_host import (
@@ -149,16 +152,12 @@ def test_streaming_int8_base(rng):
     idx.train(x)
     idx.build_from_device(jnp.asarray(x))
     streaming = StreamingIVFFlatIndex(idx, cache_slots=8)
-    assert streaming.cache.dtype == jnp.bfloat16
+    assert streaming.cache.dtype == jnp.int8 and streaming.cache.quantized
     q = rng.standard_normal((3, 16)).astype(np.float32)
     d, ids = streaming.search(q, SearchParams(nprobe=8, k=5))
     d_ref, ids_ref = idx.search(q, SearchParams(nprobe=8, k=5))
-    # dequantized bf16 cache vs int8 device scan: result sets should match
-    same = np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / 5
-        for a, b in zip(ids, ids_ref)
-    ])
-    assert same > 0.9
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-4)
 
 
 def _build_pq(rng, n=4000, dim=32, nlist=16, m=8, keep_raw=True,
@@ -290,3 +289,77 @@ def test_sharded_pallas_int8(rng, impl):
     d_x, ids_x = idx.search(q, params)
     np.testing.assert_array_equal(ids, ids_x)
     np.testing.assert_allclose(d, d_x, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_kmeans_fit_quality(rng):
+    """Full DP training converges like the single-chip trainer: distortion
+    on clustered data within 10% of ops.kmeans.kmeans_fit."""
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+        kmeans_fit,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+        sharded_kmeans_fit,
+    )
+
+    k, dim, per = 16, 24, 200
+    centers = rng.standard_normal((k, dim)).astype(np.float32) * 4
+    x = np.repeat(centers, per, 0) + 0.3 * rng.standard_normal(
+        (k * per, dim)
+    ).astype(np.float32)
+    rng.shuffle(x)
+
+    def distortion(c):
+        d = ((x[:, None, :] - np.asarray(c)[None]) ** 2).sum(-1)
+        return d.min(1).mean()
+
+    c1, _ = kmeans_fit(jax.random.PRNGKey(0), jnp.asarray(x), k, iters=15)
+    mesh = make_mesh(8)
+    xs = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("shard", None))
+    )
+    c8 = sharded_kmeans_fit(mesh, jax.random.PRNGKey(0), xs, k, iters=15)
+    assert distortion(c8) <= distortion(c1) * 1.1
+    # replicated output: identical on every device
+    shards = [np.asarray(s.data) for s in c8.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(s, shards[0])
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_build_on_mesh_matches_single_chip(rng, dtype):
+    """Mesh-built index (DP assign + striped pack, shared centroids) must
+    return exactly what a single-chip index built from the same centroids
+    returns — same ids, same distances (same quantized representation)."""
+    idx, x = _build(rng, n=3000, dim=32, nlist=16)
+    if dtype == "int8":
+        cfg = IVFFlatConfig(dimension=32, nlist=16, dtype="int8")
+        idx = IVFFlatIndex(cfg)
+        idx.train(x)
+        idx.add(x)
+    mesh = make_mesh(8)
+    sharded = ShardedIVFFlatIndex.build_on_mesh(
+        mesh, idx.config, x, centroids=idx.centroids, chunk_rows=1000,
+    )
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    p = SearchParams(nprobe=8, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = sharded.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_build_on_mesh_full_train_pack_search(rng):
+    """End-to-end on the mesh with NO single-chip artifacts: DP k-means →
+    striped pack → SPMD search. Every vector must find itself."""
+    x = rng.standard_normal((2000, 24)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=24, nlist=8, dtype="int8",
+                        train_sample_per_list=64)
+    mesh = make_mesh(8)
+    sharded = ShardedIVFFlatIndex.build_on_mesh(
+        mesh, cfg, x, key=jax.random.PRNGKey(3), chunk_rows=512,
+    )
+    d, ids = sharded.search(x[:16], SearchParams(nprobe=8, k=5))
+    assert (ids[:, 0] == np.arange(16)).all()
+    assert (d[:, 0] < 1e-2).all()
+    # the arenas really live distributed across the 8 devices
+    assert len(sharded.arena_s.sharding.device_set) == 8
