@@ -313,6 +313,48 @@ class StreamingIVFFlatIndex:
         )
 
     # ------------------------------------------------------------------ #
+    # serving surface (what the gRPC layer drives on any index tier)
+    # ------------------------------------------------------------------ #
+
+    trained = True          # from_store/ctor both require trained inputs
+    read_only = True        # mutations go to the NEXT epoch's build
+
+    @property
+    def ntotal(self) -> int:
+        return self.store.total()
+
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64)) -> None:
+        """Warmup RPC on the streaming tier: stage the given lists into the
+        HBM cache (real data movement — unlike the resident index, where
+        the arena is already in HBM and warmup only compiles). With no
+        explicit lists, compile-warm the scan executables per batch bucket;
+        the tiny searches also pull each query's probed lists resident."""
+        if list_ids is not None:
+            self.prefetch_lists(np.asarray(list_ids, np.int64))
+            return
+        params = SearchParams(nprobe=1)
+        dummy = np.zeros((1, self.config.dimension), np.float32)
+        for bs in batch_sizes:
+            self.search(np.repeat(dummy, bs, axis=0), params)
+
+    def evict_list(self, list_id: int) -> None:
+        """Explicit eviction (``ivf_flat_index.h:63``) — on this tier the
+        cache slot is truly freed (the reference's eviction body was a
+        TODO, ``ivf_flat_index.cpp:398-402``)."""
+        self.cache.evict_list(int(list_id))
+
+    def memory_stats(self) -> dict:
+        cent = 0 if self.centroids is None else self.centroids.size * 4
+        return {
+            "arena_bytes": self.cache.memory_bytes(),
+            "centroid_bytes": int(cent),
+            "total_bytes": self.cache.memory_bytes() + int(cent),
+            "host_bytes": self.store.nbytes(),
+            "total_vectors": self.ntotal,
+            "nlist": self.config.nlist,
+            "capacity_per_list": self.cache.capacity,
+            "cache_hit_rate": self.cache.get_hit_rate(),
+        }
 
     def prefetch_lists(self, list_ids) -> None:
         """Warmup/prefetch path (ListPrefetcher → cache)."""

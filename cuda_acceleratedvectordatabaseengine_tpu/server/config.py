@@ -26,6 +26,9 @@ class ServerConfig:
     # device
     device_memory_limit_gb: float = 0.0     # 0 = no explicit cap
     arena_dtype: str = "bfloat16"
+    # HBM budget for a streaming-tier index's list cache (0 = auto:
+    # ~nlist/4 slots). Tier is chosen per index at CreateIndex.
+    streaming_cache_bytes: int = 0
 
     # rate limiting (configs/production.yaml:32-33)
     rate_limit_rps: float = 10000.0

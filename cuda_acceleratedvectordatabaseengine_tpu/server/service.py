@@ -142,7 +142,8 @@ class VdbEngine:
     # index lifecycle
     # ------------------------------------------------------------------ #
 
-    def create_index(self, name, dimension, metric, nlist, m, nbits) -> None:
+    def create_index(self, name, dimension, metric, nlist, m, nbits,
+                     tier: str = "") -> None:
         with self.lock:
             if name in self.indices:
                 raise KeyError(f"index {name!r} already exists")
@@ -153,6 +154,7 @@ class VdbEngine:
                 "m": m,
                 "nbits": nbits or 8,
                 "dtype": self.config.arena_dtype,
+                "tier": tier or "resident",
             }
             d = os.path.join(self.indices_dir, name)
             os.makedirs(d, exist_ok=True)
@@ -189,9 +191,42 @@ class VdbEngine:
     def _load_epoch_into(self, st: IndexState, epoch_id: str) -> None:
         path = self.epochs.epoch_dir(st.name, epoch_id)
         man = IndexManifest.load(path)
-        index = (
-            load_ivf_pq(path) if man.kind == "ivf_pq" else load_ivf_flat(path)
-        )
+        if (
+            st.config.get("tier") == "streaming" and man.kind == "ivf_flat"
+        ):
+            # >HBM tier: the epoch loads into HOST RAM and serves through
+            # an HBM list cache — activation never materializes a device
+            # arena, so epochs larger than the chip activate cleanly.
+            from cuda_acceleratedvectordatabaseengine_tpu.io_host import (
+                StreamingIVFFlatIndex,
+            )
+            from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501
+                load_ivf_flat_host,
+            )
+
+            store, centroids, cfg, cap = load_ivf_flat_host(path)
+            import jax.numpy as jnp
+
+            # Cache must hold at least one probe column's working set for
+            # the coalescer's largest batch (≤ max_batch unique lists per
+            # column), or wave planning rejects the batch.
+            slots = None
+            if not self.config.streaming_cache_bytes:
+                slots = min(
+                    cfg.nlist,
+                    max(cfg.nlist // 4, self.config.max_batch_size),
+                )
+            index = StreamingIVFFlatIndex.from_store(
+                store, jnp.asarray(centroids), cfg,
+                cache_slots=slots,
+                max_device_bytes=self.config.streaming_cache_bytes or None,
+                capacity=cap,
+            )
+        else:
+            index = (
+                load_ivf_pq(path) if man.kind == "ivf_pq"
+                else load_ivf_flat(path)
+            )
         # Warm the search executables BEFORE the swap goes live: the first
         # compile of a new shape can take tens of seconds on TPU and would
         # otherwise blow the request deadline right after activation. Every
@@ -235,10 +270,15 @@ class VdbEngine:
     def add_vectors(self, name, vectors, ids) -> tuple[int, int]:
         st = self.get_state(name)
         with self.lock:
-            if st.index is not None and st.index.trained:
+            if (
+                st.index is not None and st.index.trained
+                and not getattr(st.index, "read_only", False)
+            ):
                 st.index.add(vectors, ids)
                 total = st.index.ntotal
             else:
+                # untrained index OR a read-only serving tier (streaming):
+                # buffer for the next BuildEpoch.
                 st.pending_vectors.append(vectors)
                 st.pending_ids.append(ids)
                 total = sum(len(v) for v in st.pending_vectors)
@@ -290,7 +330,10 @@ class VdbEngine:
         if vectors:
             x = np.concatenate(vectors).astype(np.float32)
             all_ids = np.concatenate(ids).astype(np.uint64)
-        elif st.index is not None and st.index.trained:
+        elif (
+            st.index is not None and st.index.trained
+            and not getattr(st.index, "read_only", False)
+        ):
             # re-snapshot the live index (epoch checkpoint of current state)
             st.index.save(epoch_dir)
             job.progress = 1.0
@@ -521,10 +564,17 @@ class AdminServiceImpl:
             Metric.parse(metric)
         except ValueError as e:
             _abort(context, grpc.StatusCode.INVALID_ARGUMENT, str(e))
+        tier = getattr(request, "tier", "") or "resident"
+        if tier not in ("resident", "streaming"):
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   f"unknown tier {tier!r} (resident|streaming)")
+        if tier == "streaming" and request.m:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "streaming tier supports IVF-Flat only (m must be 0)")
         try:
             self.engine.create_index(
                 request.name, request.dimension, metric,
-                request.nlist, request.m, request.nbits,
+                request.nlist, request.m, request.nbits, tier,
             )
         except KeyError as e:
             _abort(context, grpc.StatusCode.ALREADY_EXISTS, str(e))

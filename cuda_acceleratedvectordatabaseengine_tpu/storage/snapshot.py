@@ -118,6 +118,46 @@ def load_ivf_flat(path: str):
     return IVFFlatIndex.from_state(cfg, centroids, arena, counts, id_table)
 
 
+def load_ivf_flat_host(path: str):
+    """Load an IVF-Flat snapshot into HOST RAM only — no device arena is
+    ever materialized. This is the >HBM serving path: the streaming tier
+    (``io_host/streaming.StreamingIVFFlatIndex.from_store``) serves the
+    returned store through an HBM list cache, so an epoch larger than the
+    chip's memory activates without OOM (the scenario the reference's
+    ``max_gpu_memory`` config promised, ``engine/ivf_flat_index.h:21``).
+
+    Returns ``(store, centroids_host, config, capacity_per_list)``.
+    """
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
+        HostListStore,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        IVFFlatConfig,
+    )
+
+    man = IndexManifest.load(path)
+    if man.kind != "ivf_flat":
+        raise ValueError(f"snapshot at {path} is kind={man.kind!r}")
+    ids, vecs = ArrowStorage.read_vectors(os.path.join(path, VECTORS_FILE))
+    centroids = ArrowStorage.read_centroids(
+        os.path.join(path, CENTROIDS_FILE)
+    )
+    cfg = IVFFlatConfig(
+        dimension=man.dimension, nlist=man.nlist, metric=man.metric,
+        dtype=man.dtype,
+    )
+    store = HostListStore(man.nlist, man.dimension)
+    for s in man.shards:
+        rows = slice(s.row_offset, s.row_offset + s.num_vectors)
+        v = np.ascontiguousarray(vecs[rows], np.float32)
+        store.vectors[s.list_id] = v
+        store.sq[s.list_id] = (
+            (v.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        )
+        store.ids[s.list_id] = ids[rows].astype(np.uint64)
+    return store, centroids, cfg, man.capacity_per_list
+
+
 # ---------------------------------------------------------------------- #
 # IVF-PQ
 # ---------------------------------------------------------------------- #

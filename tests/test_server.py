@@ -456,3 +456,88 @@ def test_search_priority_field_accepted(live_server):
     ))
     assert len(resp.results) == 1
     assert len(resp.results[0].neighbors) >= 1
+
+
+def _build_and_activate(admin, name, deadline_s=60):
+    import time
+
+    admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index=name))
+    deadline = time.time() + deadline_s
+    while True:
+        try:
+            admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index=name))
+            return
+        except grpc.RpcError as e:
+            if e.code() != grpc.StatusCode.FAILED_PRECONDITION:
+                raise
+            assert time.time() < deadline, "build never finished"
+            time.sleep(0.2)
+
+
+def test_streaming_tier_lifecycle(live_server):
+    """VERDICT r2 #9: a `tier: streaming` index serves a >HBM-style epoch
+    over gRPC — activation loads the snapshot into HOST RAM only, Search
+    runs through the HBM list cache, and Warmup(lists) does REAL data
+    movement (prefetches those lists into the cache)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host import (
+        StreamingIVFFlatIndex,
+    )
+
+    rng = np.random.default_rng(11)
+    admin, query = live_server["admin"], live_server["query"]
+    name = "stream-idx"
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name=name, dimension=16, metric="L2", nlist=8, tier="streaming"
+    ))
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index=name, vectors=_vectors(rng, 400, 16)
+    ))
+    _build_and_activate(admin, name)
+
+    st = live_server["engine"].get_state(name)
+    assert isinstance(st.index, StreamingIVFFlatIndex)
+
+    # Warmup with explicit lists = prefetch into the cache tier.
+    query.Warmup(vdb_pb2.WarmupRequest(index=name, lists=[0, 1, 2]))
+    assert {0, 1, 2} <= set(st.index.cache.resident_lists())
+
+    # Search end-to-end: an ingested vector finds itself.
+    v0 = st.index.store.vectors[0][0]
+    ids0 = st.index.store.ids[0][0]
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=v0.astype(float))], topk=3,
+        nprobe=8, index=name,
+    ))
+    assert resp.results[0].neighbors[0].id == int(ids0)
+    assert resp.results[0].neighbors[0].distance < 1e-3
+
+    # Stats flow from the streaming tier's memory accounting.
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index=name))
+    assert stats.indexed_vectors == 400
+    assert stats.gpu_memory_used > 0
+
+    # AddVectors against the live (read-only) streaming index buffers for
+    # the NEXT epoch instead of failing (epoch contents = fed data, same
+    # as the resident tier's build semantics).
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index=name, vectors=_vectors(rng, 50, 16, id0=1000)
+    ))
+    assert sum(len(v) for v in st.pending_vectors) == 50
+    _build_and_activate(admin, name)
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index=name))
+    assert stats.indexed_vectors == 50
+    assert isinstance(st.index, StreamingIVFFlatIndex)
+
+
+def test_streaming_tier_validation(live_server):
+    admin = live_server["admin"]
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="bad-tier", dimension=8, tier="nvme"
+        ))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="stream-pq", dimension=8, m=4, tier="streaming"
+        ))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT

@@ -90,6 +90,41 @@ def test_ivf_flat_save_load_identical_results(tmp_path, rng):
     assert idx2.ntotal == 2000
 
 
+def test_ivf_flat_host_load_streaming_parity(tmp_path, rng):
+    """load_ivf_flat_host serves the snapshot through the streaming tier
+    with the same results as the resident load — without ever building a
+    device arena (the >HBM activation path)."""
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host import (
+        StreamingIVFFlatIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
+        load_ivf_flat_host,
+    )
+
+    x = rng.standard_normal((1500, 32)).astype(np.float32)
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=32, nlist=8, dtype="float32"))
+    idx.train(x)
+    ids = np.arange(1500, dtype=np.uint64) * 7
+    idx.add(x, ids=ids)
+    path = str(tmp_path / "snap-host")
+    idx.save(path)
+
+    store, centroids, cfg, cap = load_ivf_flat_host(path)
+    assert store.total() == 1500
+    assert cap == idx.arena.capacity
+    streaming = StreamingIVFFlatIndex.from_store(
+        store, jnp.asarray(centroids), cfg, cache_slots=8, capacity=cap
+    )
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    p = SearchParams(nprobe=8, k=10)
+    d1, i1 = idx.search(q, p)
+    d2, i2 = streaming.search(q, p)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
 def test_ivf_pq_save_load_identical_results(tmp_path, rng):
     x = rng.standard_normal((2000, 32)).astype(np.float32)
     idx = IVFPQIndex(IVFPQConfig(dimension=32, nlist=8, m=8,
