@@ -262,3 +262,42 @@ def test_int8_save_load_roundtrip(tmp_path):
         assert set(a.tolist()) == set(b.tolist())
     np.testing.assert_allclose(np.sort(d1), np.sort(d2), rtol=5e-2,
                                atol=5e-2)
+
+
+def test_calibrate_nprobe_meets_target(oracle):
+    """calibrate_nprobe must pick an nprobe whose measured coverage meets
+    the target, and SearchParams(nprobe=0) must resolve to it."""
+    rng = np.random.default_rng(21)
+    idx, x = _build(rng, n=8000, nlist=32)
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    rep = idx.calibrate_nprobe(queries=q, target_coverage=0.9, k=10)
+    assert rep["nprobe"] >= 1
+    assert rep["coverage"] >= 0.9
+    assert idx.calibrated_nprobe == rep["nprobe"]
+    # The curve is monotone non-decreasing and exact at full probe.
+    ps = sorted(rep["curve"])
+    vals = [rep["curve"][p] for p in ps]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert rep["curve"][32] == 1.0
+    # nprobe=0 ⇒ auto: recall at the calibrated point must be close to
+    # the measured coverage (ranking on fp32 arenas is exact).
+    _, ids = idx.search(q, SearchParams(nprobe=0, k=10))
+    _, ref = oracle(q, x, 10)
+    assert _recall(ids, ref.astype(np.uint64)) >= 0.85
+
+
+def test_calibrate_nprobe_self_sample():
+    """Default calibration samples stored rows (no queries given) and
+    works on int8 arenas (dequantizes through scales/anchors)."""
+    rng = np.random.default_rng(22)
+    idx, _ = _build(rng, n=4000, nlist=16, dtype="int8")
+    rep = idx.calibrate_nprobe(sample=128, target_coverage=0.95)
+    assert 1 <= rep["nprobe"] <= 16
+    assert rep["coverage"] >= 0.95
+    assert rep["sample"] == 128
+
+
+def test_calibrate_nprobe_requires_train():
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=8, nlist=4))
+    with pytest.raises(RuntimeError):
+        idx.calibrate_nprobe()
