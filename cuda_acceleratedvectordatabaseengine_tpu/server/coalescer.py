@@ -37,6 +37,13 @@ class _Pending:
     enqueued_at: float
 
 
+class QueueFullError(RuntimeError):
+    """Raised by submit() when the pending queue is at ``max_queue`` —
+    fail-fast admission instead of queueing work that will outlive its
+    deadline (the overload mode VERDICT r2 flagged: timed-out items were
+    still burning device time)."""
+
+
 class RequestCoalescer:
     """Windowed batcher over a priority queue.
 
@@ -44,6 +51,12 @@ class RequestCoalescer:
     worker thread; result i resolves future i. Exceptions fail the whole
     drained batch (callers see the error, as with the reference's promise
     scatter, ``query_service.cpp:380-401``).
+
+    Returned futures support ``cancel()``: a caller whose deadline expires
+    while its item is still QUEUED prevents the device from ever running
+    it (the drain calls ``set_running_or_notify_cancel`` and drops
+    cancelled items before building the batch). Items already inside a
+    running device batch are past cancellation — that bound is one batch.
     """
 
     def __init__(
@@ -53,11 +66,14 @@ class RequestCoalescer:
         max_batch: int = 64,
         name: str = "coalescer",
         max_batch_fn: Callable[[], int] | None = None,
+        max_queue: int | None = None,
     ):
         self.batch_fn = batch_fn
         self.window_s = window_s
         self.max_batch = max_batch
         self.max_batch_fn = max_batch_fn
+        self.max_queue = max_queue
+        self._shed = 0
         self._queue = PriorityRequestQueue()
         self._lock = threading.Lock()
         self._stop = False
@@ -81,6 +97,14 @@ class RequestCoalescer:
         with self._lock:
             if self._stop:
                 raise RuntimeError("coalescer stopped")
+            if (
+                self.max_queue is not None
+                and len(self._queue) >= self.max_queue
+            ):
+                self._shed += 1
+                raise QueueFullError(
+                    f"coalescer queue full ({self.max_queue} pending)"
+                )
             self._queue.put(
                 _Pending(payload, fut, time.monotonic()), priority
             )
@@ -93,6 +117,7 @@ class RequestCoalescer:
                 "items": self._items,
                 "avg_batch": self._items / max(self._batches, 1),
                 "queued": len(self._queue),
+                "shed": self._shed,
             }
 
     def stop(self) -> None:
@@ -119,7 +144,13 @@ class RequestCoalescer:
             drained = self._queue.drain(
                 self._current_max_batch(), self.window_s
             )
-            batch = [p for p in drained if p is not None]
+            # Transition each live item to RUNNING; cancelled futures
+            # (caller deadline expired while queued) drop out here and
+            # never cost a device slot.
+            batch = [
+                p for p in drained
+                if p is not None and p.future.set_running_or_notify_cancel()
+            ]
             with self._lock:
                 stopping = self._stop
                 if batch:

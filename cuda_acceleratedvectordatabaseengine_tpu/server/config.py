@@ -39,6 +39,10 @@ class ServerConfig:
     breaker_open_seconds: float = 30.0
     breaker_decay: float = 0.95
     max_concurrent_requests: int = 256
+    # Fail-fast bound on the per-index coalescer backlog (0 = unbounded):
+    # submissions past this are shed with RESOURCE_EXHAUSTED instead of
+    # queueing work that will outlive its adaptive deadline.
+    max_queued_requests: int = 1024
 
     # metrics
     metrics_port: int = 8080

@@ -15,6 +15,7 @@ Differences from the reference worth knowing:
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import json
 import os
@@ -43,6 +44,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.server.balancer import (
     Priority,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.server.coalescer import (
+    QueueFullError,
     RequestCoalescer,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.server.config import ServerConfig
@@ -186,6 +188,10 @@ class VdbEngine:
             max_batch_fn=lambda: self.adaptive.batch_size(
                 self.limiter.active, self.limiter.max_concurrent
             ),
+            # Fail-fast backlog bound: work queued deeper than this would
+            # blow the adaptive deadline anyway — shed at admission instead
+            # of burning device time on answers nobody will read.
+            max_queue=self.config.max_queued_requests or None,
         )
 
     def _load_epoch_into(self, st: IndexState, epoch_id: str) -> None:
@@ -424,10 +430,27 @@ class QueryServiceImpl:
         t0 = time.monotonic()
         ok = False
         try:
-            fut = st.coalescer.submit(
-                (queries, params), priority=_wire_priority(request)
-            )
-            d, ids = fut.result(timeout=eng.adaptive.timeout_s())
+            try:
+                fut = st.coalescer.submit(
+                    (queries, params), priority=_wire_priority(request)
+                )
+            except QueueFullError as e:
+                ok = True  # overload shedding is not an engine failure
+                _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
+            try:
+                d, ids = fut.result(timeout=eng.adaptive.timeout_s())
+            except concurrent.futures.TimeoutError:
+                # Deadline expired. If the item is still queued, cancel()
+                # keeps the device from ever running it; if it is already
+                # inside a running batch, the result is simply dropped.
+                cancelled = fut.cancel()
+                ok = True  # client-deadline expiry must not trip the breaker
+                _abort(
+                    context, grpc.StatusCode.DEADLINE_EXCEEDED,
+                    "queue wait exceeded adaptive deadline ("
+                    + ("cancelled while queued" if cancelled
+                       else "batch already running") + ")",
+                )
             resp = vdb_pb2.SearchResponse()
             if request.packed_response:
                 # One memcpy instead of b·k python-proto message appends.
