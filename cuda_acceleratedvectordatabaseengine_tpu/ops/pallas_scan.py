@@ -534,7 +534,9 @@ def scan_probed_lists_pallas_grouped(
     if m_budget is None:
         # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
         # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
-        # 64@b8192 (nprobe=32, nlist=4096).
+        # 64@b8192 (nprobe=32, nlist=4096); re-validated at nprobe=16
+        # (r3 latency sweep, LATENCY_r03.json) where the formula's picks
+        # (8@b512, 64@b8192) match the measured bests.
         m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
     # Static row bound: full rows + one partial row per list (+ the
@@ -800,7 +802,9 @@ def scan_probed_codes_pallas_grouped(
     if m_budget is None:
         # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
         # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
-        # 64@b8192 (nprobe=32, nlist=4096).
+        # 64@b8192 (nprobe=32, nlist=4096); re-validated at nprobe=16
+        # (r3 latency sweep, LATENCY_r03.json) where the formula's picks
+        # (8@b512, 64@b8192) match the measured bests.
         m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
     m = m_budget
     # Static row bound — see scan_probed_lists_pallas_grouped.

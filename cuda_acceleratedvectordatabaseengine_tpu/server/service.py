@@ -65,6 +65,8 @@ from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
 )
 
 MAX_TOPK = 1000       # reference bound (query_service.cpp:80-86)
+MAX_QUERIES = 8192    # one device batch; rate limiting is per-request, so
+                      # this is the per-token work bound (see Search)
 MAX_DIMENSION = 65536  # reference bound (query_service.cpp:436)
 
 
@@ -421,7 +423,15 @@ class QueryServiceImpl:
         if not eng.breaker.allow():
             _abort(context, grpc.StatusCode.UNAVAILABLE,
                    "circuit breaker open")
-        if not eng.rate_limiter.try_acquire(max(n_queries, 1)):
+        # One token per REQUEST, not per query: the config key is
+        # requests_per_second (configs/production.yaml:32) and the
+        # reference's bucket is refilled in request units
+        # (query_service.cpp:639-677). Charging per query made a burst of
+        # batch=64 packed requests eat 64x tokens and shed a third of a
+        # perfectly sustainable load (measured, wire bench r3). Per-batch
+        # work is bounded separately: _validate caps the query tensor and
+        # the coalescer sheds past max_queued_requests.
+        if not eng.rate_limiter.try_acquire(1):
             _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED,
                    "rate limit exceeded")
         if not eng.limiter.try_enter():
@@ -521,7 +531,13 @@ class QueryServiceImpl:
                        f"multiple of 4*dim ({4 * dim})")
             queries = np.frombuffer(raw, dtype="<f4").reshape(-1, dim)
             queries = np.ascontiguousarray(queries, np.float32)
+            if queries.shape[0] > MAX_QUERIES:
+                _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                       f"at most {MAX_QUERIES} queries per request")
         else:
+            if len(request.queries) > MAX_QUERIES:
+                _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                       f"at most {MAX_QUERIES} queries per request")
             queries = np.zeros((len(request.queries), dim), np.float32)
             for i, v in enumerate(request.queries):
                 if len(v.values) != dim:

@@ -63,21 +63,26 @@ done
 [[ -n "${READY:-}" ]] || { echo "[wire] never became ready"; tail -30 "${LOG}"; exit 1; }
 
 echo "[wire] phase 3: load tests"
-run_load() {  # name threads requests nprobe
+run_load() {  # name threads requests nprobe batch [--packed]
   python -m cuda_acceleratedvectordatabaseengine_tpu.tools.load_test \
     --target "127.0.0.1:${PORT}" --index default --dimension 768 \
-    --threads "$2" --requests "$3" --topk 10 --nprobe "$4" --batch 1 \
-    > "${OUT}/$1.json" || return 1
+    --threads "$2" --requests "$3" --topk 10 --nprobe "$4" --batch "$5" \
+    ${6:-} > "${OUT}/$1.json" || return 1
   echo "[wire] $1:"; cat "${OUT}/$1.json"
 }
-run_load warm 8 50 32 || exit 1      # post-boot warm pass (not reported)
-run_load t16_np32 16 200 32 || exit 1
-run_load t48_np32 48 200 32 || exit 1
-run_load t16_np8 16 200 8 || exit 1
+run_load warm 8 50 32 1 || exit 1    # post-boot warm pass (not reported)
+run_load t16_np32 16 200 32 1 || exit 1
+run_load t16_np32_packed 16 200 32 1 --packed || exit 1
+run_load t48_np32_packed 48 200 32 1 --packed || exit 1
+# multi-query requests: the packed bytes field amortizes per-float proto
+# cost, letting one RPC carry the batch the device wants
+run_load b8_packed 16 200 32 8 --packed || exit 1
+run_load b64_packed 8 100 32 64 --packed || exit 1
 
 echo "[wire] phase 4: report"
 python scripts/wire_bench.py report \
-  --run "${OUT}/t16_np32.json" --run "${OUT}/t48_np32.json" \
-  --run "${OUT}/t16_np8.json" \
+  --run "${OUT}/t16_np32.json" --run "${OUT}/t16_np32_packed.json" \
+  --run "${OUT}/t48_np32_packed.json" --run "${OUT}/b8_packed.json" \
+  --run "${OUT}/b64_packed.json" \
   --output "WIRE_r${ROUND}.json" || exit 1
 echo "[wire] done -> WIRE_r${ROUND}.json"

@@ -217,3 +217,43 @@ def test_packed_queries_bad_length(adm_server):
             packed_queries=b"\x00" * 7, topk=3, index="adm",
         ))
     assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_rate_limit_charges_per_request_not_per_query(adm_server):
+    """A multi-query (batched) request consumes ONE token: the config key
+    is requests_per_second (``configs/production.yaml:32``) and the
+    reference bucket refills in request units
+    (``query_service.cpp:639-677``). Charging per query made packed
+    batch=64 requests eat 64x tokens and shed sustainable load."""
+    query, engine = adm_server["query"], adm_server["engine"]
+    orig = engine.rate_limiter
+    engine.rate_limiter = RateLimiter(rate_per_s=0.0, burst=2)
+    try:
+        q = np.zeros((64, DIM), np.float32)
+        # two batched requests fit the 2-token burst...
+        for _ in range(2):
+            resp = query.Search(vdb_pb2.SearchRequest(
+                packed_queries=q.tobytes(), topk=3, nprobe=4, index="adm",
+            ))
+            assert len(resp.results) == 64
+        # ...the third request (even a single-query one) is shed
+        assert _code_of(lambda: _search(query)) == \
+            grpc.StatusCode.RESOURCE_EXHAUSTED
+    finally:
+        engine.rate_limiter = orig
+
+
+def test_oversized_batch_rejected(adm_server):
+    """Per-request rate limiting needs a per-request work bound: more than
+    MAX_QUERIES queries in one request is INVALID_ARGUMENT (the
+    repeated-Vector form shares the same cap in _validate)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
+        MAX_QUERIES,
+    )
+    query = adm_server["query"]
+    big = np.zeros((MAX_QUERIES + 1, DIM), np.float32)
+    with pytest.raises(grpc.RpcError) as e:
+        query.Search(vdb_pb2.SearchRequest(
+            packed_queries=big.tobytes(), topk=3, index="adm",
+        ))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
