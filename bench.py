@@ -426,6 +426,9 @@ def main():
         chunked_truth = np.concatenate(
             [np.asarray(g) for g in gt_i]
         )[: args.batch]
+        chunked_truth_d = np.concatenate(
+            [np.asarray(g) for g in gt_d]
+        )[: args.batch]
         x_host = None
         x = None
     cnts = np.asarray(idx.arena.counts)
@@ -465,6 +468,7 @@ def main():
     _stage("exact oracle")
     if chunked:
         true_pos = chunked_truth
+        truth_d = chunked_truth_d
     else:
         upd = make_oracle_updater(args.k)
         q_slice = min(512, args.batch)
@@ -472,7 +476,7 @@ def main():
         q_pad = jnp.pad(
             queries, ((0, n_slices * q_slice - args.batch), (0, 0))
         )
-        gt_i = []
+        gt_i, gt_dl = [], []
         step_n = 500_000
         for qi in range(n_slices):
             s = slice(qi * q_slice, (qi + 1) * q_slice)
@@ -488,7 +492,9 @@ def main():
                 )
             sd.block_until_ready()
             gt_i.append(np.asarray(si))
+            gt_dl.append(np.asarray(sd))
         true_pos = np.concatenate(gt_i)[: args.batch]
+        truth_d = np.concatenate(gt_dl)[: args.batch]
     cap = idx.arena.capacity
     truth = np.asarray(true_pos)
 
@@ -504,7 +510,7 @@ def main():
     matched = sorted_ids[locs] == truth.astype(np.uint64)
     true_list = order_ids[locs] // cap
 
-    nprobe_curve = None
+    nprobe_curve, coverage_limited = None, False
     if args.nprobe <= 0:
         # Measured-coverage auto-scaling — the same construction as
         # IVFFlatIndex.calibrate_nprobe (models/ivf_flat.py), reusing this
@@ -523,17 +529,31 @@ def main():
             ranks, np.clip(true_list, 0, args.nlist - 1), axis=1
         )
         n_valid = max(int(matched.sum()), 1)
-        nprobe_curve, chosen = {}, args.nlist
+        nprobe_curve, chosen = {}, None
         for cand in (8, 12, 16, 24, 32, 48, 64, 96, 128):
             if cand > args.nlist:
                 break
             cov = float((rank_of_true[matched] < cand).sum() / n_valid)
             nprobe_curve[cand] = round(cov, 4)
-            if cov >= 0.99:
+            if chosen is None and cov >= 0.99:
                 chosen = cand
-                break
+        coverage_limited = chosen is None
+        if coverage_limited:
+            # Coverage plateaus below target (e.g. zipf head modes: the
+            # true top-k scatter near-uniformly across a dense mode's many
+            # cells, so extra probes buy ~nothing — measured s=1.0 curve:
+            # 0.429@8 → 0.459@128). Escalating to a full scan would be
+            # dishonest QPS-wise AND unservable; pick the knee instead —
+            # the smallest nprobe within 1% absolute of the best measured
+            # coverage — and report coverage_limited so the artifact says
+            # identity-recall is geometry-bound, not mistuned.
+            best = max(nprobe_curve.values())
+            chosen = min(
+                p for p, c in nprobe_curve.items() if c >= best - 0.01
+            )
         args.nprobe = chosen
-        _stage(f"auto-nprobe: {chosen} (coverage curve: {nprobe_curve})")
+        _stage(f"auto-nprobe: {chosen} (coverage curve: {nprobe_curve}"
+               f"{', coverage-limited' if coverage_limited else ''})")
 
     # Warm (compile) + recall measurement.
     _stage("warm compile + first search")
@@ -546,6 +566,18 @@ def main():
         len(set(a.tolist()) & set(b.tolist())) / args.k
         for a, b in zip(got_ids, truth)
     ])
+    # Epsilon-recall: fraction of RETURNED neighbors within 5% (in L2
+    # distance) of the exact kth neighbor. On dense duplicated-mass
+    # geometry (zipf head modes) identity recall@k is ill-posed — the
+    # rank-2..k neighbors are near-ties scattered across a mode's many
+    # cells — while the returned set is metrically indistinguishable from
+    # the true one; this metric (standard in ANN benchmarking) separates
+    # the two failure modes. Returned d is the stored-representation
+    # (int8-dequant) distance, truth is exact bf16: the representation
+    # gap is ~1%, well inside the 5% tolerance.
+    ret_d = np.sqrt(np.maximum(np.asarray(d)[: truth.shape[0]], 0.0))
+    true_dk = np.sqrt(np.maximum(truth_d[:, args.k - 1], 0.0))
+    recall_eps = float(np.mean(ret_d <= 1.05 * true_dk[:, None] + 1e-6))
 
     # Probe coverage: the fraction of TRUE top-k whose list was probed —
     # splits recall loss into its probe-miss component (coverage < 1) and
@@ -575,7 +607,9 @@ def main():
 
     detail = {
         "recall_at_10": round(float(recall), 4),
+        "recall_eps_05": round(recall_eps, 4),
         "probe_coverage": round(float(coverage), 4),
+        "coverage_limited": coverage_limited,
         "p50_batch_ms": round(float(np.percentile(lats, 50)), 2),
         "p99_batch_ms": round(float(np.percentile(lats, 99)), 2),
         "batch": args.batch,

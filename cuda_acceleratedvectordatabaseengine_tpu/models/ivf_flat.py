@@ -290,12 +290,36 @@ def _ivf_search_device(
         from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
         if scan_impl == "pallas_grouped":
-            d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
-                q, arena, arena_sq, counts, probe_ids, keep, metric,
-                approx=approx_topk, arena_scale=arena_scale,
-                arena_anchors=arena_anchors, m_budget=m_budget,
-                stage_bf16=stage_bf16,
-            )
+            # The grouped kernel's scalar-prefetch row table must fit SMEM
+            # (GROUPED_SMEM_ROWS_MAX). Huge probe sets (calibration's
+            # full-probe exact pass, nprobe→nlist fallbacks) are split
+            # along the probe axis — probe chunks are disjoint lists, so
+            # a top-k merge over the concatenated candidates is exact.
+            n_chunks = 1
+            while pallas_scan.grouped_row_bound(
+                q.shape[0], -(-nprobe // n_chunks), centroids.shape[0],
+                m_budget,
+            ) > pallas_scan.GROUPED_SMEM_ROWS_MAX:
+                n_chunks += 1
+            step = -(-nprobe // n_chunks)
+            parts = [
+                pallas_scan.scan_probed_lists_pallas_grouped(
+                    q, arena, arena_sq, counts,
+                    probe_ids[:, s:s + step], keep, metric,
+                    approx=approx_topk, arena_scale=arena_scale,
+                    arena_anchors=arena_anchors, m_budget=m_budget,
+                    stage_bf16=stage_bf16,
+                )
+                for s in range(0, nprobe, step)
+            ]
+            if len(parts) == 1:
+                d, pos = parts[0]
+            else:
+                d, pos = topk_smallest(
+                    jnp.concatenate([p[0] for p in parts], axis=1),
+                    keep,
+                    idx=jnp.concatenate([p[1] for p in parts], axis=1),
+                )
         elif arena_scale is not None or scan_impl == "pallas_sorted":
             d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
@@ -743,14 +767,31 @@ class IVFFlatIndex:
             curve[p] = float(
                 (rank_of_true[valid] < p).sum() / n_valid
             )
+        cand_curve = {p: c for p, c in curve.items() if p < nlist}
         chosen = next(
-            (p for p in sorted(curve) if curve[p] >= target_coverage),
-            nlist,
+            (p for p in sorted(cand_curve)
+             if cand_curve[p] >= target_coverage),
+            None,
         )
+        coverage_limited = chosen is None and bool(cand_curve)
+        if coverage_limited:
+            # Coverage plateaus below target (dense duplicated-mass
+            # geometry: the true top-k scatter across a mode's many cells
+            # near-uniformly, so extra probes buy ~nothing). Escalating to
+            # a full scan would silently turn serving into brute force;
+            # pick the knee — the smallest nprobe within 1% absolute of
+            # the best measured candidate — and flag it.
+            best = max(cand_curve.values())
+            chosen = min(
+                p for p, c in cand_curve.items() if c >= best - 0.01
+            )
+        elif chosen is None:
+            chosen = nlist
         self.calibrated_nprobe = int(chosen)
         return {
             "nprobe": int(chosen),
             "coverage": curve.get(chosen, 1.0),
+            "coverage_limited": coverage_limited,
             "curve": curve,
             "target": target_coverage,
             "sample": s,

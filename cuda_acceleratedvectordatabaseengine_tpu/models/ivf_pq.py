@@ -149,11 +149,30 @@ def _ivf_pq_search_device(
             Metric.INNER_PRODUCT
             if metric == Metric.INNER_PRODUCT else Metric.L2
         )
-        best_d, best_p = pallas_scan.scan_probed_codes_pallas_grouped(
-            q, code_arena_t, code_sq, counts, centroids, codebooks,
-            probe_ids.astype(jnp.int32), keep, kernel_metric,
-            interpret=interpret,
-        )
+        # Chunk the probe axis when the scalar-prefetch row table would
+        # exceed SMEM (see ops/pallas_scan.GROUPED_SMEM_ROWS_MAX); probe
+        # chunks cover disjoint lists, so the top-k merge is exact.
+        n_chunks = 1
+        while pallas_scan.grouped_row_bound(
+            b, -(-nprobe // n_chunks), nlist,
+        ) > pallas_scan.GROUPED_SMEM_ROWS_MAX:
+            n_chunks += 1
+        step_p = -(-nprobe // n_chunks)
+        parts = [
+            pallas_scan.scan_probed_codes_pallas_grouped(
+                q, code_arena_t, code_sq, counts, centroids, codebooks,
+                probe_ids[:, s:s + step_p].astype(jnp.int32), keep,
+                kernel_metric, interpret=interpret,
+            )
+            for s in range(0, nprobe, step_p)
+        ]
+        if len(parts) == 1:
+            best_d, best_p = parts[0]
+        else:
+            best_d, best_p = topk_smallest(
+                jnp.concatenate([p[0] for p in parts], axis=1), keep,
+                idx=jnp.concatenate([p[1] for p in parts], axis=1),
+            )
     else:
         slot_iota = jnp.arange(cap, dtype=jnp.int32)
         init_d = jnp.full((b, keep), jnp.inf, jnp.float32)

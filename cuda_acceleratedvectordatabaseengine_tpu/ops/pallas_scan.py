@@ -345,6 +345,38 @@ def _emit_row_topk(d, cnt, k: int, out_d_ref, out_s_ref):
     out_s_ref[0] = best_s
 
 
+# SMEM budget (in rows) for the grouped kernels' scalar-prefetch row
+# table: row_list [n_rows] i32 + counts [nlist] i32 must fit the ~1 MB
+# of SMEM. Measured failure without the bound: nprobe=4096 at b=8192
+# builds a 528K-row table → "Allocation (size=2117632) would exceed
+# memory (size=1048576)" from Mosaic. 100K rows = 400 KB leaves room
+# for counts and per-step scalars at any practical nlist.
+GROUPED_SMEM_ROWS_MAX = 100_000
+
+
+def grouped_row_bound(
+    batch: int, nprobe: int, nlist: int, m_budget: int | None = None,
+) -> int:
+    """Static grid-row bound of the grouped kernels for this shape — the
+    mirror of the computation inside ``scan_probed_lists_pallas_grouped``.
+    Callers compare it against ``GROUPED_SMEM_ROWS_MAX`` to decide how to
+    chunk the probe axis (``models/ivf_flat._ivf_search_device`` does so
+    automatically)."""
+    n_pairs = batch * nprobe
+    m = m_budget or max(8, min(64, -(-n_pairs // nlist) * 2))
+    return max(min(n_pairs // m + nlist + 1, n_pairs), 1)
+
+
+def _check_row_table(n_rows: int) -> None:
+    if n_rows > GROUPED_SMEM_ROWS_MAX:
+        raise ValueError(
+            f"grouped-kernel scalar-prefetch row table ({n_rows} rows) "
+            f"exceeds the SMEM budget ({GROUPED_SMEM_ROWS_MAX}); split "
+            "the probe axis into chunks and merge top-k (the IVF search "
+            "drivers do this automatically)"
+        )
+
+
 def _pack_pairs_into_rows(probe_ids, nlist: int, m: int, n_rows: int):
     """Sort (query, probe) pairs by list id and pack them into list-rows of
     up to M same-list queries (shared by the grouped scan kernels).
@@ -545,6 +577,7 @@ def scan_probed_lists_pallas_grouped(
     # (b·nprobe < nlist): without it a b=64 grid would be ~2/3 sentinel
     # steps of pure bookkeeping (the round-2 small-batch grid tax).
     n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)
+    _check_row_table(n_rows)
     has_scale = arena_scale is not None
     has_anchor = arena_anchors is not None
 
@@ -809,6 +842,7 @@ def scan_probed_codes_pallas_grouped(
     m = m_budget
     # Static row bound — see scan_probed_lists_pallas_grouped.
     n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)
+    _check_row_table(n_rows)
 
     q = queries.astype(jnp.float32)
     pack = _pack_pairs_into_rows(probe_ids, nlist, m, n_rows)

@@ -262,3 +262,52 @@ def test_residual_quantization_is_finer(rng):
     err_raw = np.abs(deq_raw - arena_f).mean()
     err_res = np.abs(deq_res - arena_f).mean()
     assert err_res < err_raw / 4.0, (err_raw, err_res)
+
+
+def test_grouped_row_bound_guard_and_probe_chunking(rng, monkeypatch):
+    """Huge probe sets (e.g. a full-probe exact pass at big batch) must not
+    build an SMEM row table past the budget: the kernel raises a clear
+    error, and _ivf_search_device splits the probe axis into chunks whose
+    merged top-k is exact (probe chunks cover disjoint lists)."""
+    import functools
+
+    from cuda_acceleratedvectordatabaseengine_tpu.models import ivf_flat
+    from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+
+    # the guard itself
+    with pytest.raises(ValueError, match="SMEM"):
+        pallas_scan._check_row_table(pallas_scan.GROUPED_SMEM_ROWS_MAX + 1)
+    # bound formula mirrors the kernel: tiny shapes stay tiny
+    assert pallas_scan.grouped_row_bound(4, 3, 8) <= 12
+
+    nlist, cap, dim, B, k = 8, 64, 16, 6, 5
+    arena = np.zeros((nlist, cap, dim), np.float32)
+    counts = rng.integers(1, cap + 1, nlist).astype(np.int32)
+    for l in range(nlist):
+        arena[l, :counts[l]] = rng.standard_normal((counts[l], dim))
+    q = rng.standard_normal((B, dim)).astype(np.float32)
+
+    # Force chunking: a row budget so small every nprobe=nlist search
+    # must split, and an interpret-mode kernel so it runs on CPU.
+    monkeypatch.setattr(pallas_scan, "GROUPED_SMEM_ROWS_MAX", 6)
+    monkeypatch.setattr(
+        pallas_scan,
+        "scan_probed_lists_pallas_grouped",
+        functools.partial(
+            pallas_scan.scan_probed_lists_pallas_grouped, interpret=True,
+        ),
+    )
+    want = ivf_flat._ivf_search_device(
+        jnp.asarray(q), jnp.asarray(arena.mean(1)), jnp.asarray(arena),
+        jnp.asarray((arena ** 2).sum(-1)), jnp.asarray(counts),
+        nlist, k, Metric.L2, "gather", False, 0, None, None, None, None,
+    )
+    got = ivf_flat._ivf_search_device(
+        jnp.asarray(q), jnp.asarray(arena.mean(1)), jnp.asarray(arena),
+        jnp.asarray((arena ** 2).sum(-1)), jnp.asarray(counts),
+        nlist, k, Metric.L2, "pallas_grouped", False, 0, None, None, None,
+        None,
+    )
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
+                               rtol=1e-5, atol=1e-5)
