@@ -157,28 +157,66 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
       - redundant: twin centroids parked inside ONE natural mode
         (NN-distance ≪ median spacing). Twins never starve, so count-based
         reseeding alone leaves a mode-less centroid deficit elsewhere.
-    Targets rank in one pool: orphan-mode points (distortion / global mean
-    ≫ 10) and members of overfull clusters (> 1.5x mean count). Selection
-    is Gumbel-perturbed (P ∝ score): deterministic top-k plants several
-    reseeds in one orphaned mode — instant new twins. Skipped on the last
-    two iterations so fresh seeds settle."""
+      - donated: on mass-skewed corpora (zipf) kmeans++ seeds ~one
+        centroid per mode (inter-mode D² dominates) and Lloyd cannot
+        migrate centroids across modes, so a head mode holding 12% of the
+        corpus keeps ONE cell and sprays its arena overflow across
+        arbitrary spill lists (measured: probe coverage stuck at 0.45 on
+        zipf s=1.0 where cells ∝ mass predicts ~0.89). Overfull lists
+        (> 1.5x mean) demand ceil(count/(1.5·mean)) - 1 extra cells each;
+        the lowest-count centroids are donated to fund them, capped per
+        iteration. Balanced corpora have zero demand → no-op.
+
+    PLACEMENT differs by trigger. Orphaned modes are repaired by placing
+    the centroid AT a high-distortion row: competition is cross-mode, so
+    the whole mode snaps to it. Splitting an overfull mode that way fails
+    in high dim — a centroid placed at a data row captures ~only that row
+    (every other mode row is ~√2× closer to the mode-center centroid;
+    measured: head-mode counts unchanged after 10 iterations of
+    row-placed splits). Donated slots instead BISECT: clone the target
+    centroid plus a small random jitter (0.25× the global rms assignment
+    radius). The Voronoi boundary between the clone and its target is the
+    hyperplane through the jitter midpoint — each clone peels off ~half
+    the target's mass immediately, and Lloyd polarizes the pair. Multiple
+    clones of one target (distinct jitter directions) tile the mode in a
+    single iteration. The twin rule carries a count condition
+    (pair sum < 1.5·mean) so fresh in-mode splits aren't re-merged.
+
+    Orphan/redundant targets rank in one Gumbel-perturbed pool (P ∝
+    score): orphan-mode points (distortion / global mean ≫ 10) and
+    members of overfull clusters. Reseeding is skipped on the last two
+    iterations so fresh seeds settle."""
     cc = pairwise_distance(new_centroids, new_centroids, Metric.L2)
     cc = cc + jnp.where(jnp.eye(k, dtype=bool), jnp.inf, 0.0)
     nn_d = jnp.min(cc, axis=-1)
     partner = jnp.argmin(cc, axis=-1).astype(jnp.int32)
     med_nn = jnp.median(nn_d)
+    mean_count = jnp.mean(counts)
+    mean_d = d_tot / jnp.float32(n_total) + 1e-12
+    # Twin rule count condition: only merge when the pair's combined mass
+    # would NOT itself be overfull — otherwise the donated bisections
+    # below get re-merged the iteration after they're planted.
     redundant = (
         (nn_d < 0.35 * med_nn)
         & (jnp.arange(k, dtype=jnp.int32) > partner)
+        & (counts + counts[partner] < 1.5 * mean_count)
     )
-    mean_count = jnp.mean(counts)
     starved = counts < 0.1 * mean_count
-    reseed = (starved | redundant) & (it < iters - 2)
+    # Density adaptation (see docstring): each overfull list demands
+    # ceil(count / (1.5·mean)) - 1 clones; the lowest-count centroids
+    # (cheapest distortion to give up) are donated, bounded per iteration.
+    demand = jnp.maximum(jnp.ceil(counts / (1.5 * mean_count)) - 1.0, 0.0)
+    d_cap = max(min(256, k // 8), 1)
+    quota = jnp.minimum(jnp.sum(demand), float(d_cap)).astype(jnp.int32)
+    rank_by_count = jnp.zeros((k,), jnp.int32).at[jnp.argsort(counts)].set(
+        jnp.arange(k, dtype=jnp.int32)
+    )
+    donated = (rank_by_count < quota) & (demand == 0)
+    reseed = (starved | redundant | donated) & (it < iters - 2)
 
     # Normalize distortion by the GLOBAL mean assignment distortion:
     # orphan-mode points score ≈ (inter-mode / intra-mode)² ≫ 10, far above
     # overfull-split donors (≈ 5-8) and ordinary tail points (≈ 2-4).
-    mean_d = d_tot / jnp.float32(n_total) + 1e-12
     score_dist = cand_v.reshape(-1) / mean_d
     samp_c = counts[samp_a.reshape(-1)]
     score_samp = jnp.where(
@@ -189,7 +227,8 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
          samp_vecs.reshape(-1, samp_vecs.shape[-1])]
     )
     pool_s = jnp.concatenate([score_dist, score_samp])
-    gumbel = jax.random.gumbel(it_key, pool_s.shape)
+    key_pool, key_eps = jax.random.split(it_key)
+    gumbel = jax.random.gumbel(key_pool, pool_s.shape)
     noisy = jnp.where(
         pool_s > 0, jnp.log(jnp.maximum(pool_s, 1e-30)) + gumbel,
         -jnp.inf,
@@ -198,10 +237,31 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
     _, best = jax.lax.top_k(noisy, s_cand)
     cand_rows = pool_x[best]                            # [s_cand, D]
     slot = (jnp.cumsum(reseed.astype(jnp.int32)) - 1) % s_cand
-    return jnp.where(
-        reseed[:, None], cand_rows[slot].astype(jnp.float32),
-        new_centroids,
+
+    # Bisecting placement for donated slots: the r-th donated slot clones
+    # the target whose demand interval contains r (targets get clones in
+    # proportion to their demand), offset by a random direction scaled to
+    # 0.25× the global rms assignment radius — small enough that the
+    # clone/target Voronoi hyperplane passes near the mode center
+    # (~50/50 mass split), large enough that Lloyd polarizes the pair.
+    d_rank = jnp.cumsum(donated.astype(jnp.int32)) - 1
+    cum = jnp.cumsum(demand)
+    tgt = jnp.clip(
+        jnp.searchsorted(cum, d_rank.astype(cum.dtype), side="right"),
+        0, k - 1,
     )
+    eps = jax.random.normal(
+        key_eps, new_centroids.shape, jnp.float32
+    )
+    eps = eps * (
+        0.25 * jnp.sqrt(mean_d)
+        / (jnp.linalg.norm(eps, axis=-1, keepdims=True) + 1e-20)
+    )
+    placed = jnp.where(
+        donated[:, None], new_centroids[tgt] + eps,
+        cand_rows[slot].astype(jnp.float32),
+    )
+    return jnp.where(reseed[:, None], placed, new_centroids)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters", "chunk_size", "init"))
