@@ -232,6 +232,20 @@ def main():
                         "capacity overflow via guarded spill. Queries "
                         "are drawn uniformly over ROWS, so the query "
                         "load inherits the same skew")
+    p.add_argument("--split-threshold", type=float, default=1.5,
+                   help="coarse-quantizer overfull trigger (x mean train "
+                        "count; bisecting clone reseeds). Tightening it "
+                        "below the 1.35x-mean chunked-build capacity "
+                        "clamp MEASURED WORSE on zipf (2M x 64 CPU diag: "
+                        "recall 0.975 vs 0.995, full lists 201 vs 72 — "
+                        "the extra clone churn orphans more modes than "
+                        "the overflow it prevents); keep 1.5 unless "
+                        "re-measured")
+    p.add_argument("--assign-choices", type=int, default=4,
+                   help="balanced-assignment spill depth (top-t nearest "
+                        "lists a row may land in); deeper walks measured "
+                        "no gain over 4 on zipf heads (see "
+                        "--split-threshold)")
     p.add_argument("--skew-s", type=float, default=1.0,
                    help="zipf exponent (1.0: the largest of 4096 modes "
                         "holds ~11%% of the corpus)")
@@ -301,6 +315,8 @@ def main():
     cfg = IVFFlatConfig(
         dimension=args.dim, nlist=args.nlist, dtype=args.dtype,
         train_sample_per_list=128, max_capacity_factor=4.0,
+        split_threshold=args.split_threshold,
+        assign_choices=args.assign_choices,
     )
     idx = IVFFlatIndex(cfg)
     itemsize = 2  # bf16 corpus chunks
@@ -620,6 +636,8 @@ def main():
         "k": args.k,
         "nprobe_curve": nprobe_curve,
         "skew": args.skew,
+        "split_threshold": args.split_threshold,
+        "assign_choices": args.assign_choices,
         "clusters_per_list": cpl,
         "arena_dtype": args.dtype,
         "scan_impl": args.scan,

@@ -66,6 +66,18 @@ class IVFFlatConfig:
                                      # 10/25/40 iters; training is ~1% of
                                      # a 10M build)
     train_sample_per_list: int = 128 # train on min(n, nlist * this) samples
+    split_threshold: float = 1.5     # coarse-quantizer overfull trigger (×
+                                     # mean train count): lists past it get
+                                     # bisecting clone reseeds (mass-skewed
+                                     # corpora). Tightening below the
+                                     # chunked-build capacity clamp (1.35×
+                                     # mean) measured WORSE on zipf (2M×64
+                                     # diag: recall 0.975 vs 0.995 at 1.2 —
+                                     # clone churn orphans more modes than
+                                     # the overflow it prevents)
+    assign_choices: int = 4          # balanced-assignment spill depth
+                                     # (top-t nearest lists a row may land
+                                     # in); 8 measured no zipf gain over 4
     seed: int = 42                   # reference seeds k-means with 42
     max_capacity_factor: float = 8.0 # bulk-build capacity clamp (× mean
                                      # list size); overflow spills to the
@@ -366,6 +378,41 @@ def _ivf_search_device(
     return d[:, :k], pos[:, :k], probe_ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
+        "m_budget", "stage_bf16",
+    ),
+)
+def _ivf_search_device_packed(
+    queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
+    scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
+    arena_scale=None, arena_anchors=None, m_budget=None, stage_bf16=False,
+):
+    """``_ivf_search_device`` with its three outputs packed into ONE int32
+    array ``[B, 2k + nprobe]`` (dists bitcast f32→i32 | positions |
+    probe ids). Serving hot path: on remote-dispatch runtimes (axon relay,
+    ~29 ms per host↔device round trip) fetching three separate outputs
+    costs three D2H round trips per request batch — measured 196 ms
+    server-side p50 at 1M×768 b16, ~3× the dispatch+device floor. One
+    packed output makes the whole search exactly one dispatch plus one
+    fetch."""
+    d, pos, probe_ids = _ivf_search_device(
+        queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
+        scan_impl, approx_topk, rerank_k, arena_lo, arena_scale,
+        arena_anchors, m_budget, stage_bf16,
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32),
+            pos.astype(jnp.int32),
+            probe_ids.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
 class IVFFlatIndex:
     """IVF-Flat ANN index. All mutating ops swap whole device arrays, so
     concurrent searches against the previous snapshot stay valid — the
@@ -437,7 +484,8 @@ class IVFFlatIndex:
         key = jax.random.PRNGKey(cfg.seed)
         sample = jnp.asarray(vectors)
         centroids, _ = kmeans_fit(
-            key, sample, cfg.nlist, iters=cfg.train_iters
+            key, sample, cfg.nlist, iters=cfg.train_iters,
+            split_thresh=cfg.split_threshold,
         )
         self.centroids = centroids
         self.trained = True
@@ -489,7 +537,8 @@ class IVFFlatIndex:
         if self.metric == Metric.COSINE:
             sample = l2_normalize(sample)
         self.centroids, _ = kmeans_fit(
-            key, sample, cfg.nlist, iters=cfg.train_iters
+            key, sample, cfg.nlist, iters=cfg.train_iters,
+            split_thresh=cfg.split_threshold,
         )
         self.trained = True
         self._publish_anchors()
@@ -521,7 +570,7 @@ class IVFFlatIndex:
         # overflow rows spill to their next-nearest list. Spilled rows stay
         # findable whenever their fallback list is probed — standard
         # balanced-IVF behavior, negligible recall cost at realistic nprobe.
-        t_choices = 4
+        t_choices = self.config.assign_choices
         choices = np.asarray(kmeans_assign_topk(
             x_dev, self.centroids, t_choices, assign_metric
         ))
@@ -577,7 +626,7 @@ class IVFFlatIndex:
             self.arena = self.arena.grow(capacity)
         cap = self.arena.capacity
         choices = np.asarray(kmeans_assign_topk(
-            x_dev, self.centroids, 4, assign_metric
+            x_dev, self.centroids, cfg.assign_choices, assign_metric
         ))
         counts_h = np.asarray(self.arena.counts)
         assignments = _balance_assignments(
@@ -639,7 +688,10 @@ class IVFFlatIndex:
                 else "gather"
             )
 
-        d, pos, probe_ids = _ivf_search_device(
+        # One dispatch + ONE packed fetch (see _ivf_search_device_packed):
+        # per-output fetches cost a relay round trip each on remote
+        # runtimes, tripling per-request serving latency.
+        packed = np.asarray(_ivf_search_device_packed(
             jnp.asarray(queries),
             self.centroids,
             arena.arena,
@@ -656,15 +708,18 @@ class IVFFlatIndex:
             arena.anchors,
             self.config.m_budget,
             self.config.stage_bf16,
-        )
-        d = np.asarray(d)[:b].copy()
-        pos = np.asarray(pos)[:b]
+        ))[:b]
+        k = params.k
+        # explicit copy: np.asarray of a device array is read-only, and a
+        # contiguous slice (b=1) would pass through ascontiguousarray as-is
+        d = packed[:, :k].copy().view(np.float32)
+        pos = packed[:, k:2 * k]
         ids = arena.positions_to_ids(pos)
         d[pos < 0] = FLT_MAX
         # Hotness accounting (GpuCache/ListPrefetcher analog) over the
         # actual probe set — lists probed but contributing no results still
         # accumulate heat.
-        probed = np.unique(np.asarray(probe_ids)[:b])
+        probed = np.unique(packed[:, 2 * k:])
         self.list_access_count[probed[probed >= 0]] += 1
         return d, ids
 

@@ -143,7 +143,8 @@ def kmeans_pp_init(
 
 
 def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
-                 samp_a, d_tot, n_total, it, iters, it_key, k: int):
+                 samp_a, d_tot, n_total, it, iters, it_key, k: int,
+                 split_thresh: float = 1.5):
     """Twin/orphan reseeding shared by the single-chip and DP trainers.
 
     Inputs are REPLICATED in the sharded caller (post-psum counts/d_tot,
@@ -199,13 +200,15 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
     redundant = (
         (nn_d < 0.35 * med_nn)
         & (jnp.arange(k, dtype=jnp.int32) > partner)
-        & (counts + counts[partner] < 1.5 * mean_count)
+        & (counts + counts[partner] < split_thresh * mean_count)
     )
     starved = counts < 0.1 * mean_count
     # Density adaptation (see docstring): each overfull list demands
     # ceil(count / (1.5·mean)) - 1 clones; the lowest-count centroids
     # (cheapest distortion to give up) are donated, bounded per iteration.
-    demand = jnp.maximum(jnp.ceil(counts / (1.5 * mean_count)) - 1.0, 0.0)
+    demand = jnp.maximum(
+        jnp.ceil(counts / (split_thresh * mean_count)) - 1.0, 0.0
+    )
     d_cap = max(min(256, k // 8), 1)
     quota = jnp.minimum(jnp.sum(demand), float(d_cap)).astype(jnp.int32)
     rank_by_count = jnp.zeros((k,), jnp.int32).at[jnp.argsort(counts)].set(
@@ -220,7 +223,8 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
     score_dist = cand_v.reshape(-1) / mean_d
     samp_c = counts[samp_a.reshape(-1)]
     score_samp = jnp.where(
-        samp_c > 1.5 * mean_count, 4.0 + samp_c / mean_count, -jnp.inf
+        samp_c > split_thresh * mean_count,
+        4.0 + samp_c / mean_count, -jnp.inf
     )
     pool_x = jnp.concatenate(
         [cand_vecs.reshape(-1, cand_vecs.shape[-1]),
@@ -264,7 +268,10 @@ def _reseed_step(new_centroids, counts, cand_v, cand_vecs, samp_vecs,
     return jnp.where(reseed[:, None], placed, new_centroids)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk_size", "init"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "iters", "chunk_size", "init", "split_thresh"),
+)
 def kmeans_fit(
     key: jax.Array,
     x: jax.Array,
@@ -272,6 +279,7 @@ def kmeans_fit(
     iters: int = 10,
     chunk_size: int = 16384,
     init: str = "kmeans++",
+    split_thresh: float = 1.5,
 ) -> tuple[jax.Array, jax.Array]:
     """Train k-means: seeding + ``iters`` fixed Lloyd iterations (the
     reference also runs a fixed 10, ``ivf_flat_index.cpp:109-142``).
@@ -357,6 +365,7 @@ def kmeans_fit(
         new_centroids = _reseed_step(
             new_centroids, counts, cand_v, cand_x, samp_x, samp_a,
             d_tot, n_orig, it, iters, it_key, k,
+            split_thresh=split_thresh,
         )
         return new_centroids, assigns
 
