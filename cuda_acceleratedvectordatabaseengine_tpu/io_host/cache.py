@@ -72,20 +72,27 @@ class HbmListCache:
         # fixed-shape scans pad ragged probe sets with it, so every probe
         # wave compiles to the same executable (static shapes, SURVEY §7
         # hard part #1) and padded probes contribute only masked +inf rows.
-        self.cache_arena = jnp.zeros(
-            (n_slots + 1, capacity, dim), self.dtype
+        self.cache_arena = self._device_zeros(
+            (n_slots + 1, capacity, dim), self.dtype, cap_axis=1
         )
-        self.cache_sq = jnp.zeros((n_slots + 1, capacity), jnp.float32)
-        self.cache_counts = jnp.zeros((n_slots + 1,), jnp.int32)
+        self.cache_sq = self._device_zeros(
+            (n_slots + 1, capacity), jnp.float32, cap_axis=1
+        )
+        self.cache_counts = self._device_zeros(
+            (n_slots + 1,), jnp.int32, cap_axis=None
+        )
         # int8 caches carry the quantization planes (per-row scales +
         # per-list anchors) alongside the codes, mirroring PackedListArena.
         self.quantized = self.dtype == jnp.int8
         self.cache_scale = (
-            jnp.zeros((n_slots + 1, capacity), jnp.float32)
+            self._device_zeros(
+                (n_slots + 1, capacity), jnp.float32, cap_axis=1
+            )
             if self.quantized else None
         )
         self.cache_anchors = (
-            jnp.zeros((n_slots + 1, dim), jnp.float32)
+            self._device_zeros((n_slots + 1, dim), jnp.float32,
+                               cap_axis=None)
             if self.quantized else None
         )
         self._lock = threading.Lock()
@@ -96,6 +103,21 @@ class HbmListCache:
         self._freq: dict[int, int] = {}
         self.hits = 0
         self.misses = 0
+
+    # ------------------------------------------------------------------ #
+    # Placement hooks. The single-chip cache keeps everything on the
+    # default device; parallel/sharded_streaming.ShardedHbmListCache
+    # overrides these to slot-stripe the capacity axis over a device mesh
+    # (same contract as the resident sharded arena, parallel/sharded).
+    # ------------------------------------------------------------------ #
+
+    def _device_zeros(self, shape, dtype, cap_axis=None):
+        return jnp.zeros(shape, dtype)
+
+    def _stage_update(self, arr, cap_axis=None):
+        """Place one host-side upload operand on device. ``cap_axis`` marks
+        the slot-capacity axis (the striped one under sharding)."""
+        return jnp.asarray(arr)
 
     # ------------------------------------------------------------------ #
 
@@ -219,10 +241,10 @@ class HbmListCache:
                 (self.cache_arena, self.cache_sq, self.cache_counts) = (
                     _scatter_upload(
                         self.cache_arena, self.cache_sq, self.cache_counts,
-                        jnp.asarray(np.asarray(batch_s, np.int32)),
-                        jnp.asarray(stack_cast),
-                        jnp.asarray(sq_new),
-                        jnp.asarray(np.asarray(cnts_list, np.int32)),
+                        self._stage_update(np.asarray(batch_s, np.int32)),
+                        self._stage_update(stack_cast, cap_axis=1),
+                        self._stage_update(sq_new, cap_axis=1),
+                        self._stage_update(np.asarray(cnts_list, np.int32)),
                     )
                 )
             jax.block_until_ready(self.cache_counts)
@@ -249,10 +271,12 @@ class HbmListCache:
          self.cache_scale, self.cache_anchors) = _scatter_upload_q(
             self.cache_arena, self.cache_sq, self.cache_counts,
             self.cache_scale, self.cache_anchors,
-            jnp.asarray(np.asarray(batch_s, np.int32)),
-            jnp.asarray(codes), jnp.asarray(sq_new),
-            jnp.asarray(cnts), jnp.asarray(scale_new),
-            jnp.asarray(anchors_new),
+            self._stage_update(np.asarray(batch_s, np.int32)),
+            self._stage_update(codes, cap_axis=1),
+            self._stage_update(sq_new, cap_axis=1),
+            self._stage_update(cnts),
+            self._stage_update(scale_new, cap_axis=1),
+            self._stage_update(anchors_new),
         )
 
     def memory_bytes(self) -> int:

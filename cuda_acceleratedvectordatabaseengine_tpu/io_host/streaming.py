@@ -298,7 +298,7 @@ class StreamingIVFFlatIndex:
             budget = max_device_bytes or (per_slot * max(nlist // 4, 1))
             cache_slots = max(int(budget // max(per_slot, 1)), 1)
         cache_slots = min(cache_slots, nlist)
-        self.cache = HbmListCache(
+        self.cache = self._make_cache(
             cache_slots, cap, config.dimension, dtype, policy
         )
         if scan_impl == "auto":
@@ -311,6 +311,11 @@ class StreamingIVFFlatIndex:
             scan_impl.startswith("pallas")
             and jax.default_backend() != "tpu"
         )
+
+    def _make_cache(self, cache_slots, cap, dim, dtype, policy):
+        """Cache construction hook (the mesh tier substitutes a
+        slot-striped cache)."""
+        return HbmListCache(cache_slots, cap, dim, dtype, policy)
 
     # ------------------------------------------------------------------ #
     # serving surface (what the gRPC layer drives on any index tier)
@@ -426,12 +431,7 @@ class StreamingIVFFlatIndex:
                 (probe_h.shape[0], nprobe), -1, np.int32
             )
             slot_probe[:, : len(cols)] = lut[wave_probe]
-            d_dev, pos_dev = _cache_scan(
-                q, self.cache.cache_arena, self.cache.cache_sq,
-                self.cache.cache_counts, jnp.asarray(slot_probe), k,
-                self.metric, self.scan_impl, self.interpret,
-                self.cache.cache_scale, self.cache.cache_anchors,
-            )
+            d_dev, pos_dev = self._run_cache_scan(q, slot_probe, k)
             # slot→list mapping captured NOW, before the next wave remaps
             rev = np.full(self.cache.n_slots + 1, -1, np.int64)
             for l, s in mapping.items():
@@ -452,6 +452,17 @@ class StreamingIVFFlatIndex:
         out_ids = self.store.lookup_ids(lists, offs)
         d[lists < 0] = FLT_MAX
         return d, out_ids
+
+    def _run_cache_scan(self, q, slot_probe: np.ndarray, k: int):
+        """One wave's fused scan over the cache arena (slot-remapped
+        probes). Overridden by the mesh tier
+        (``parallel/sharded_streaming``) to run SPMD with an ICI merge."""
+        return _cache_scan(
+            q, self.cache.cache_arena, self.cache.cache_sq,
+            self.cache.cache_counts, jnp.asarray(slot_probe), k,
+            self.metric, self.scan_impl, self.interpret,
+            self.cache.cache_scale, self.cache.cache_anchors,
+        )
 
     def _plan_waves(self, probe_h: np.ndarray) -> list[list[int]]:
         """Greedy column grouping: each wave's unique lists ≤ cache slots."""

@@ -19,12 +19,16 @@ from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
     sharded_kmeans_fit,
     sharded_kmeans_lloyd_step,
 )
+from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded_streaming import (  # noqa: E501
+    ShardedStreamingIVFFlatIndex,
+)
 
 __all__ = [
     "make_mesh",
     "SHARD_AXIS",
     "ShardedIVFFlatIndex",
     "ShardedIVFPQIndex",
+    "ShardedStreamingIVFFlatIndex",
     "sharded_kmeans_fit",
     "sharded_kmeans_lloyd_step",
 ]
