@@ -41,6 +41,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.pq import (
     pq_decode as _pq_decode,
     pq_distance_tables,
     pq_encode,
+    opq_fit,
     train_product_quantizer,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import topk_smallest
@@ -75,6 +76,12 @@ class IVFPQConfig:
     scan_impl: str = "auto"     # "auto" → grouped Pallas ADC kernel on TPU
                                 # (decode-staging; the XLA take_along_axis
                                 # lookup is TPU-pathological), "xla" | "pallas"
+    opq: bool = False           # learn an OPQ rotation (ops/pq.opq_fit).
+                                # Applied as a change of basis at the index
+                                # boundary: centroids/ingest/queries rotate
+                                # once, every kernel downstream is unchanged
+                                # (rotation is an isometry)
+    opq_iters: int = 6          # OPQ alternations (Procrustes + Lloyd)
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -122,10 +129,17 @@ def _ivf_pq_search_device(
     rerank_k: int,  # 0 = no rerank
     scan_impl: str = "xla",
     interpret: bool = False,
+    opq_R=None,     # [D, D] orthogonal OPQ rotation or None
 ):
     b, dim = queries.shape
     nlist, m, cap = code_arena_t.shape
     q = queries.astype(jnp.float32)
+    if opq_R is not None:
+        # Change of basis into the OPQ frame: centroids/codes/raw arena all
+        # live rotated, and rotation is an isometry, so this is the ONLY
+        # query-side change OPQ needs (order vs normalize is irrelevant —
+        # orthogonal maps preserve norms).
+        q = q @ opq_R
     if metric == Metric.COSINE:
         q = l2_normalize(q)
     q_sq = jnp.sum(q * q, axis=-1)
@@ -258,6 +272,7 @@ class IVFPQIndex:
         self.metric = config.metric
         self.centroids: jax.Array | None = None
         self.codebooks: jax.Array | None = None   # [m, ks, dsub] fp32
+        self.opq_R: jax.Array | None = None       # [D, D] orthogonal or None
         cap = PackedListArena.SLOT_ALIGN
         # Codes live TRANSPOSED on device ([nlist, m, cap]) so the Pallas
         # ADC kernel's per-subspace rows are contiguous sublane slices;
@@ -360,10 +375,30 @@ class IVFPQIndex:
         residuals = (
             sample_d[sub_idx] - self.centroids[assign[np.asarray(sub_idx)]]
         )
-        self.codebooks = train_product_quantizer(
-            k2, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
-        )
+        self._train_pq(k2, residuals)
         self.trained = True
+
+    def _train_pq(self, key, residuals) -> None:
+        """PQ codebooks from a residual sample; with ``config.opq`` also an
+        OPQ rotation, after which the WHOLE index operates in the rotated
+        basis (centroids rotate here; ingest/queries rotate via
+        :meth:`_rot`) — distances are unchanged (isometry), only the
+        subspace split moves to decorrelated axes."""
+        cfg = self.config
+        if cfg.opq:
+            self.opq_R, self.codebooks = opq_fit(
+                key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters,
+                opq_iters=cfg.opq_iters,
+            )
+            self.centroids = self.centroids @ self.opq_R
+        else:
+            self.codebooks = train_product_quantizer(
+                key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
+            )
+
+    def _rot(self, x: jax.Array) -> jax.Array:
+        """Change of basis into the OPQ frame (no-op without OPQ)."""
+        return x @ self.opq_R if self.opq_R is not None else x
 
     def train_from_device(self, x_dev: jax.Array) -> None:
         """Device-resident training (parity with
@@ -392,9 +427,7 @@ class IVFPQIndex:
         nsub = min(nsamp, cfg.pq_train_sample)
         sub_idx = jnp.asarray(np.sort(rng.choice(nsamp, nsub, replace=False)))
         residuals = sample_d[sub_idx] - self.centroids[assign[sub_idx]]
-        self.codebooks = train_product_quantizer(
-            k2, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
-        )
+        self._train_pq(k2, residuals)
         self.trained = True
 
     def add(self, vectors: np.ndarray, ids: np.ndarray | None = None) -> None:
@@ -416,7 +449,7 @@ class IVFPQIndex:
             if self.metric == Metric.INNER_PRODUCT
             else Metric.L2
         )
-        vec_d = jnp.asarray(vectors)
+        vec_d = self._rot(jnp.asarray(vectors))
         assignments = np.asarray(
             kmeans_assign(vec_d, self.centroids, assign_metric)
         )
@@ -438,6 +471,7 @@ class IVFPQIndex:
         x_dev = x_dev.astype(jnp.float32)
         if self.metric == Metric.COSINE:
             x_dev = l2_normalize(x_dev)
+        x_dev = self._rot(x_dev)
         assign_metric = (
             Metric.INNER_PRODUCT
             if self.metric == Metric.INNER_PRODUCT
@@ -547,6 +581,7 @@ class IVFPQIndex:
             rerank_k,
             scan_impl,
             interpret,
+            opq_R=self.opq_R,
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
@@ -595,6 +630,8 @@ class IVFPQIndex:
             "counts": np.asarray(self.counts),
             "ids": self.ids,
         }
+        if self.opq_R is not None:
+            out["opq_R"] = np.asarray(self.opq_R)
         if self.raw is not None:
             # to_host() dequantizes int8 arenas (scale × code); a bare
             # astype(float32) would persist raw codes as if they were values.

@@ -64,6 +64,92 @@ def train_product_quantizer(
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size",))
+def _refresh_codebooks(xr, codes, codebooks, chunk_size: int = 2048):
+    """One warm Lloyd step per subspace: codewords ← mean of their assigned
+    (rotated) subvectors. Chunked one-hot matmul accumulation — the naive
+    ``[n, m, ks]`` one-hot is ~6 GB at the 768-D training shape."""
+    n, dim = xr.shape
+    m, ks, dsub = codebooks.shape
+    pad = (-n) % chunk_size
+    xp = jnp.pad(xr, ((0, pad), (0, 0))).reshape(-1, chunk_size, dim)
+    # Padded rows point at codeword 0 but are masked via a validity column.
+    cp = jnp.pad(codes, ((0, pad), (0, 0))).reshape(-1, chunk_size, m)
+    valid = jnp.pad(
+        jnp.ones((n,), jnp.float32), (0, pad)
+    ).reshape(-1, chunk_size)
+
+    def body(carry, inp):
+        sums, cnts = carry
+        xc, cc, vc = inp
+        x_sub = xc.reshape(chunk_size, m, dsub)
+        onehot = jax.nn.one_hot(
+            cc.astype(jnp.int32), ks, dtype=jnp.float32
+        ) * vc[:, None, None]                           # [c, m, ks]
+        sums = sums + jnp.einsum(
+            "cmk,cmd->mkd", onehot, x_sub,
+            preferred_element_type=jnp.float32,
+        )
+        cnts = cnts + jnp.sum(onehot, axis=0)
+        return (sums, cnts), None
+
+    (sums, cnts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((m, ks, dsub), jnp.float32),
+         jnp.zeros((m, ks), jnp.float32)),
+        (xp, cp, valid),
+    )
+    return jnp.where(
+        cnts[..., None] > 0,
+        sums / jnp.maximum(cnts[..., None], 1.0),
+        codebooks,
+    )
+
+
+@jax.jit
+def _opq_step(x, R, codebooks):
+    """One OPQ-NP alternation: Procrustes rotation update from the current
+    code reconstruction, then a warm Lloyd refresh of the codebooks in the
+    new rotated frame."""
+    xr = x @ R
+    codes = pq_encode(xr, codebooks)
+    y = pq_decode(codes, codebooks)
+    # min_R ‖xR − y‖_F over orthogonal R → R = U Vᵀ with U S Vᵀ = svd(xᵀy)
+    u, _, vt = jnp.linalg.svd(x.T @ y, full_matrices=False)
+    R = u @ vt
+    xr = x @ R
+    codes = pq_encode(xr, codebooks)
+    return R, _refresh_codebooks(xr, codes, codebooks)
+
+
+def opq_fit(
+    key: jax.Array,
+    x: jax.Array,          # [n, dim] fp32 training sample (residuals)
+    m: int,
+    ks: int = 256,
+    iters: int = 10,
+    opq_iters: int = 6,
+) -> tuple[jax.Array, jax.Array]:
+    """Optimized Product Quantization (OPQ-NP, Ge et al. CVPR'13): learn an
+    ORTHOGONAL rotation ``R [dim, dim]`` + codebooks minimizing
+    ``‖xR − decode(encode(xR))‖²``. The rotation redistributes correlated
+    variance across subspaces, which plain PQ's fixed axis-aligned split
+    cannot (the reference has no PQ trainer at all — ``pq_trainer.cpp`` is
+    a build ghost, ``indexmgr/CMakeLists.txt:8-47``).
+
+    Returns ``(R, codebooks)``. Rotation is an isometry, so callers apply
+    it once at the index boundary (rotate centroids/ingest/queries) and
+    every distance downstream is unchanged — no kernel changes needed."""
+    x = x.astype(jnp.float32)
+    codebooks = train_product_quantizer(key, x, m, ks, iters)
+    R = jnp.eye(x.shape[1], dtype=jnp.float32)
+    for _ in range(opq_iters):
+        # One jitted alternation per step (executable reused across iters).
+        R, codebooks = _opq_step(x, R, codebooks)
+    R.block_until_ready()
+    return R, codebooks
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
 def pq_encode(
     x: jax.Array,          # [n, dim] fp32 (residuals)
     codebooks: jax.Array,  # [m, ks, dsub] fp32

@@ -639,10 +639,13 @@ class ShardedIVFPQIndex:
         rerank_k = 0
         if params.use_exact_rerank and self.has_raw:
             rerank_k = min(max(4 * params.k, params.k), 256)
+        q = jnp.asarray(queries)
+        if getattr(self.base, "opq_R", None) is not None:
+            # The striped arenas were published in the OPQ frame (the base
+            # index lives rotated end-to-end); rotate queries to match.
+            q = q @ self.base.opq_R
         d, pos = _sharded_pq_search(
-            jax.device_put(
-                jnp.asarray(queries), NamedSharding(self.mesh, P())
-            ),
+            jax.device_put(q, NamedSharding(self.mesh, P())),
             self.centroids, self.codebooks, self.codes_t_s, self.code_sq_s,
             self.counts, self.raw_s, self.raw_sq_s, self.raw_scale_s,
             self.raw_anchors, self.mesh, nprobe, params.k, self.metric,

@@ -178,6 +178,12 @@ def save_ivf_pq(path: str, index) -> None:
     ArrowStorage.write_centroids(
         os.path.join(path, CENTROIDS_FILE), state["centroids"]
     )
+    if "opq_R" in state:
+        # OPQ rotation: the whole index lives in the rotated basis, so the
+        # rotation must survive persistence or reloaded queries would be
+        # scanned in the wrong frame.
+        np.save(os.path.join(path, "opq_rotation.npy"),
+                state["opq_R"].astype(np.float32))
     if "arena" in state:
         vecs = state["arena"][mask]
         ArrowStorage.write_vectors(
@@ -215,12 +221,15 @@ def load_ivf_pq(path: str):
     if man.kind != "ivf_pq":
         raise ValueError(f"snapshot at {path} is kind={man.kind!r}")
     keep_raw = bool(man.extra.get("keep_raw", False))
+    rot_path = os.path.join(path, "opq_rotation.npy")
     cfg = IVFPQConfig(
         dimension=man.dimension, nlist=man.nlist, m=man.pq_m,
         nbits=man.pq_nbits, metric=man.metric, keep_raw=keep_raw,
-        raw_dtype=man.dtype,
+        raw_dtype=man.dtype, opq=os.path.isfile(rot_path),
     )
     idx = IVFPQIndex(cfg)
+    if cfg.opq:
+        idx.opq_R = jnp.asarray(np.load(rot_path))
     idx.centroids = jnp.asarray(
         ArrowStorage.read_centroids(os.path.join(path, CENTROIDS_FILE))
     )

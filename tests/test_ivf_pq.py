@@ -185,3 +185,104 @@ def test_pallas_pq_scan_matches_xla(rng, metric):
     )
     np.testing.assert_array_equal(i3, i4)
     np.testing.assert_allclose(d3, d4, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------- #
+# OPQ (rotation-optimized PQ — ops/pq.opq_fit; beyond the reference)
+# ---------------------------------------------------------------------- #
+
+def _anisotropic(rng, n, dim, decay=0.85):
+    """Correlated gaussian whose principal axes straddle subspace
+    boundaries — the geometry plain axis-aligned PQ handles worst."""
+    spectrum = decay ** np.arange(dim)
+    basis, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    z = rng.standard_normal((n, dim)) * spectrum
+    return (z @ basis.T).astype(np.float32)
+
+
+def test_opq_fit_reduces_reconstruction_error(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.pq import (
+        opq_fit,
+        pq_decode,
+        pq_encode,
+        train_product_quantizer,
+    )
+
+    x = jnp.asarray(_anisotropic(rng, 3000, 32))
+    key = jax.random.PRNGKey(0)
+    cb_plain = train_product_quantizer(key, x, m=8, ks=32, iters=8)
+    err_plain = float(jnp.mean(
+        (x - pq_decode(pq_encode(x, cb_plain), cb_plain)) ** 2
+    ))
+    R, cb_opq = opq_fit(key, x, m=8, ks=32, iters=8, opq_iters=4)
+    # R orthogonal
+    np.testing.assert_allclose(
+        np.asarray(R.T @ R), np.eye(32), atol=1e-4
+    )
+    xr = x @ R
+    err_opq = float(jnp.mean(
+        (xr - pq_decode(pq_encode(xr, cb_opq), cb_opq)) ** 2
+    ))
+    assert err_opq < err_plain * 0.9, (err_opq, err_plain)
+
+
+def test_opq_index_end_to_end(rng, oracle):
+    """opq=True: the whole index operates in the rotated basis; reported
+    distances stay TRUE-space distances (rotation is an isometry) and
+    rerank recall matches the plain index's on easy data."""
+    x = _anisotropic(rng, 4000, 32)
+    cfg = IVFPQConfig(dimension=32, nlist=16, m=8, pq_train_sample=2048,
+                      opq=True, opq_iters=3)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    assert idx.opq_R is not None
+    q = (x[:6] + 0.05 * rng.standard_normal((6, 32))).astype(np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=16, k=5,
+                                        use_exact_rerank=True))
+    # exact rerank distances are true-space L2: verify against numpy
+    true_d = ((q[:, None] - x[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        d[:, 0], true_d[np.arange(6), ids[:, 0].astype(np.int64)],
+        rtol=1e-3, atol=1e-3,
+    )
+    assert (ids[:, 0] == np.arange(6, dtype=np.uint64)).all()
+
+
+def test_opq_adc_recall_not_worse_on_anisotropic(rng, oracle):
+    """ADC-only (no rerank) on anisotropic data: OPQ must not lose to the
+    axis-aligned split (it usually wins — that is its purpose)."""
+    x = _anisotropic(rng, 4000, 32)
+    q = (x[:32] + 0.05 * rng.standard_normal((32, 32))).astype(np.float32)
+    _, truth = oracle(q, x, 5)
+    recalls = {}
+    for opq in (False, True):
+        cfg = IVFPQConfig(dimension=32, nlist=8, m=8, pq_train_sample=2048,
+                          opq=opq, opq_iters=4)
+        idx = IVFPQIndex(cfg)
+        idx.train(x)
+        idx.add(x)
+        _, ids = idx.search(q, SearchParams(nprobe=8, k=5))
+        recalls[opq] = _recall(ids.astype(np.int64), truth)
+    assert recalls[True] >= recalls[False] - 0.02, recalls
+
+
+def test_opq_snapshot_roundtrip(rng, tmp_path):
+    x = _anisotropic(rng, 2000, 16)
+    cfg = IVFPQConfig(dimension=16, nlist=8, m=4, pq_train_sample=1024,
+                      opq=True, opq_iters=2)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    d_ref, ids_ref = idx.search(q, SearchParams(nprobe=8, k=5))
+    path = str(tmp_path / "pq_opq")
+    idx.save(path)
+    idx2 = IVFPQIndex.load(path)
+    assert idx2.opq_R is not None and idx2.config.opq
+    d, ids = idx2.search(q, SearchParams(nprobe=8, k=5))
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-4)

@@ -363,3 +363,44 @@ def test_build_on_mesh_full_train_pack_search(rng):
     assert (d[:, 0] < 1e-2).all()
     # the arenas really live distributed across the 8 devices
     assert len(sharded.arena_s.sharding.device_set) == 8
+
+
+def test_sharded_pq_opq_equals_single_chip(rng):
+    """OPQ-rotated PQ over the mesh: queries rotate into the published
+    frame; results match the single-chip OPQ index exactly."""
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+        ShardedIVFPQIndex,
+    )
+
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    cfg = IVFPQConfig(dimension=32, nlist=8, m=8, pq_train_sample=2048,
+                      opq=True, opq_iters=2)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    assert idx.opq_R is not None
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=5, use_exact_rerank=True)
+    # mesh-1 vs mesh-N (same code path — the convention of the other
+    # sharded-PQ tests: ADC near-ties make the rerank candidate cutoff
+    # scan-path-sensitive, so base-vs-sharded is not bit-identical).
+    single = ShardedIVFPQIndex(idx, make_mesh(1))
+    d_ref, ids_ref = single.search(q, params)
+    sharded = ShardedIVFPQIndex(idx, make_mesh(4))
+    d, ids = sharded.search(q, params)
+    # Per-chip partial ADC sums can reorder near-equal candidates at the
+    # rerank-k cutoff (fp accumulation order), so the tail of the top-k is
+    # not bit-stable across mesh sizes; the head and the distances are.
+    np.testing.assert_array_equal(ids[:, :3], ids_ref[:, :3])
+    assert (ids == ids_ref).mean() >= 0.9
+    np.testing.assert_allclose(d, d_ref, rtol=1e-2, atol=0.15)
+    # and the rotated-frame search still solves the true-space problem
+    dd, ii = sharded.search(
+        (x[:4] + 0.01 * rng.standard_normal((4, 32))).astype(np.float32),
+        params,
+    )
+    assert (ii[:, 0] == np.arange(4, dtype=np.uint64)).all()
