@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--pq-m", type=int, default=0,
                    help="PQ subquantizers (0 = IVF-Flat)")
     p.add_argument("--pq-nbits", type=int, default=8)
+    p.add_argument("--opq", action="store_true",
+                   help="learn an OPQ rotation with the PQ codebooks "
+                        "(ops/pq.opq_fit); persisted in the snapshot and "
+                        "applied transparently at serve time")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--epoch-base", default="",
                    help="register the snapshot as an epoch under this "
@@ -71,7 +75,7 @@ def main(argv=None) -> int:
     if args.pq_m:
         index = IVFPQIndex(IVFPQConfig(
             dimension=dim, nlist=args.nlist, m=args.pq_m,
-            nbits=args.pq_nbits, metric=args.metric,
+            nbits=args.pq_nbits, metric=args.metric, opq=args.opq,
         ))
     else:
         index = IVFFlatIndex(IVFFlatConfig(
