@@ -129,7 +129,9 @@ class HbmListCache:
         with self._lock:
             return sorted(self._list_to_slot)
 
-    def _pick_victim_locked(self, protected: set[int]) -> int:
+    def _pick_victim_locked(
+        self, protected: set[int], soft: set[int] | None = None
+    ) -> int:
         if self._free:
             return self._free.pop()
         score = self._last_access if self.policy == "lru" else self._freq
@@ -141,6 +143,14 @@ class HbmListCache:
                 f"cache thrash: all {self.n_slots} slots are needed by the "
                 "current batch; raise cache slots or split the batch"
             )
+        if soft:
+            # Belady-style preference: the caller knows which resident
+            # lists the NEXT wave of this batch needs — evicting one now
+            # guarantees a re-upload microseconds later. Only a preference:
+            # if every candidate is soft-protected, evict among them.
+            unsoft = [l for l in candidates if l not in soft]
+            if unsoft:
+                candidates = unsoft
         victim_list = min(candidates, key=lambda l: score.get(l, 0))
         slot = self._list_to_slot.pop(victim_list)
         del self._slot_to_list[slot]
@@ -164,11 +174,16 @@ class HbmListCache:
     # ------------------------------------------------------------------ #
 
     def ensure_resident(
-        self, list_ids: np.ndarray, host_fetch
+        self, list_ids: np.ndarray, host_fetch,
+        soft_protect: set[int] | None = None,
     ) -> dict[int, int]:
         """Make every list in ``list_ids`` device-resident; returns
         {list_id: slot}. ``host_fetch(list_id) -> (vectors [c, dim] np,
         sq [c] np, count)`` supplies host data for misses.
+
+        ``soft_protect``: lists a later wave of the same batch will need —
+        preferred survivors during eviction (never blocks a required
+        upload).
 
         All misses upload as one batched scatter (single dispatch).
         """
@@ -192,7 +207,7 @@ class HbmListCache:
                 self._freq[l] = self._freq.get(l, 0) + 1
             slots_for_missing = {}
             for l in missing:
-                slot = self._pick_victim_locked(protected)
+                slot = self._pick_victim_locked(protected, soft_protect)
                 self._list_to_slot[l] = slot
                 self._slot_to_list[slot] = l
                 slots_for_missing[l] = slot

@@ -375,6 +375,7 @@ class StreamingIVFFlatIndex:
         if queries.ndim == 1:
             queries = queries[None]
         b = queries.shape[0]
+        q_in = queries                        # unpadded view, for row splits
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
@@ -384,6 +385,23 @@ class StreamingIVFFlatIndex:
             jnp.asarray(queries), self.centroids, nprobe, self.metric
         )
         probe_h = np.asarray(probe)           # D2H: [B, nprobe] int32, tiny
+
+        # A single probe column whose unique-list count exceeds the cache
+        # is un-stageable in one wave (every query's column-j list must be
+        # resident for the same fixed-shape scan). Rows are independent, so
+        # split the batch in half and recurse — exactness is preserved and
+        # termination is guaranteed (a 1-row column touches 1 list).
+        if b > 1:
+            worst = max(
+                len(np.unique(probe_h[:b, j]))
+                for j in range(probe_h.shape[1])
+            )
+            if worst > self.cache.n_slots:
+                mid = (b + 1) // 2
+                d1, i1 = self.search(q_in[:mid], params)
+                d2, i2 = self.search(q_in[mid:], params)
+                return (np.concatenate([d1, d2], axis=0),
+                        np.concatenate([i1, i2], axis=0))
 
         # Split probe columns into waves whose unique-list working set fits
         # the cache (one wave in the common case). Each wave: batched upload
@@ -415,10 +433,17 @@ class StreamingIVFFlatIndex:
         # targeted, drop donation for the cache arenas. Depth 2 bounds the
         # host-side result backlog.
         pending: list[tuple] = []
-        for cols in waves:
+        wave_sets = [
+            set(int(l) for l in np.unique(probe_h[:, cols]))
+            for cols in waves
+        ]
+        for wi, cols in enumerate(waves):
             wave_probe = probe_h[:, cols]
             mapping = self.cache.ensure_resident(
-                wave_probe.reshape(-1), self.store.fetch
+                wave_probe.reshape(-1), self.store.fetch,
+                soft_protect=(
+                    wave_sets[wi + 1] if wi + 1 < len(waves) else None
+                ),
             )
             lut = np.full(self.config.nlist, -1, np.int32)
             for l, s in mapping.items():

@@ -304,3 +304,46 @@ def test_streaming_multi_wave_tiny_cache(rng):
     d, ids = streaming.search(q, p)
     np.testing.assert_array_equal(ids, i_ref)
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cache_soft_protect_prefers_unprotected_victim():
+    """Belady-style hint: lists a later wave needs survive eviction even
+    when LRU/LFU scores would pick them."""
+    import jax.numpy as jnp
+
+    data = {
+        l: (np.full((2, 8), l, np.float32), np.zeros(2, np.float32), 2)
+        for l in range(10)
+    }
+    cache = HbmListCache(n_slots=3, capacity=4, dim=8, dtype=jnp.float32,
+                         policy="lru")
+    cache.ensure_resident(np.array([1, 2]), lambda l: data[l])
+    time.sleep(0.01)
+    cache.ensure_resident(np.array([0]), lambda l: data[l])  # 0 = freshest
+    # LRU alone would evict 1; the next wave needs {1, 2} → evict 0.
+    cache.ensure_resident(np.array([5]), lambda l: data[l],
+                          soft_protect={1, 2})
+    assert 0 not in cache.resident_lists()
+    assert {1, 2, 5} <= set(cache.resident_lists())
+    # Soft protection never blocks: all residents soft-protected still
+    # yields a victim (among them).
+    cache.ensure_resident(np.array([7]), lambda l: data[l],
+                          soft_protect={1, 2, 5})
+    assert 7 in cache.resident_lists()
+
+
+def test_streaming_column_wider_than_cache_splits_batch(rng):
+    """A single probe column can touch more unique lists than the cache has
+    slots (a wide cold batch). The tier must split the batch by rows — not
+    raise — and still return exactly the resident-index results."""
+    idx, _ = _build(rng, n=8000, nlist=32)
+    streaming = StreamingIVFFlatIndex(idx, cache_slots=5)
+    # 16 queries pinned near 16 distinct centroids: probe column 0 has ~16
+    # unique lists > 5 slots.
+    cents = np.asarray(idx.centroids)[:16]
+    q = (cents + 0.01 * rng.standard_normal(cents.shape)).astype(np.float32)
+    p = SearchParams(nprobe=4, k=10)
+    d_ref, i_ref = idx.search(q, p)
+    d, ids = streaming.search(q, p)
+    np.testing.assert_array_equal(ids, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
