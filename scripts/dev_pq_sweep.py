@@ -40,6 +40,13 @@ def main():
                         "int8+PQ build: 13.4 GB resident + transients)")
     p.add_argument("--config", action="append", default=[],
                    help="batch[:rerank_k]")
+    p.add_argument("--opq", action="store_true",
+                   help="learn an OPQ rotation (IVFPQConfig.opq)")
+    p.add_argument("--aniso", type=float, default=0.0,
+                   help="corpus anisotropy: scale dim i by (1+i)^-aniso "
+                        "then mix through a fixed random rotation (real "
+                        "embedding spectra decay; isotropic synthetic "
+                        "gaussians are PQ's best case and OPQ's no-op)")
     args = p.parse_args()
     if not args.config:
         args.config = ["512:0", "512:40", "2048:40"]
@@ -69,8 +76,20 @@ def main():
     cfg = IVFPQConfig(
         dimension=args.dim, nlist=args.nlist, m=args.m,
         raw_dtype=args.raw_dtype, train_sample_per_list=64,
+        opq=args.opq,
     )
     idx = IVFPQIndex(cfg)
+
+    if args.aniso > 0:
+        aniso_spec = (1.0 + jnp.arange(args.dim, dtype=jnp.float32)) ** (
+            -args.aniso
+        )
+        mix, _ = jnp.linalg.qr(jax.random.normal(
+            jax.random.PRNGKey(77), (args.dim, args.dim), jnp.float32
+        ))
+        warp = jax.jit(lambda xc: (xc * aniso_spec[None]) @ mix)
+    else:
+        warp = None
 
     chunk_n = 500_000
     nq = args.max_batch
@@ -101,6 +120,8 @@ def main():
             noise=0.25, centers=centers_g, base=start,
         )
         xc = xc.astype(jnp.float32)
+        if warp is not None:
+            xc = warp(xc)
         xc.block_until_ready()
         if ci == 0:
             _stage("train (coarse + PQ codebooks)")
@@ -150,6 +171,7 @@ def main():
         raw_sq=raw.arena_sq if raw else None,
         raw_scale=raw.arena_scale if raw else None,
         raw_anchors=raw.anchors if raw else None,
+        opq_R=idx.opq_R,
     )
     flat_ids = idx.ids.reshape(-1)
 
@@ -200,6 +222,7 @@ def main():
             "recall": round(float(recall), 4),
             "batch_ms_p50": round(float(np.median(lats)), 1),
             "compile_s": round(compile_s, 1),
+            "opq": bool(args.opq), "aniso": args.aniso,
         }), flush=True)
 
 
