@@ -29,6 +29,10 @@ class ServerConfig:
     # HBM budget for a streaming-tier index's list cache (0 = auto:
     # ~nlist/4 slots). Tier is chosen per index at CreateIndex.
     streaming_cache_bytes: int = 0
+    # Eviction policy for that cache. lfu (default) pins the hot working
+    # set when it exceeds the slot count; lru degenerates to ~0% hits on
+    # cyclic wave scans over a too-large working set.
+    streaming_cache_policy: str = "lfu"
 
     # rate limiting (configs/production.yaml:32-33)
     rate_limit_rps: float = 10000.0

@@ -215,9 +215,9 @@ class VdbEngine:
             store, centroids, cfg, cap = load_ivf_flat_host(path)
             import jax.numpy as jnp
 
-            # Cache must hold at least one probe column's working set for
-            # the coalescer's largest batch (≤ max_batch unique lists per
-            # column), or wave planning rejects the batch.
+            # Size the cache so one probe column of the coalescer's largest
+            # batch fits without row-splitting (the tier splits oversized
+            # batches correctly, but splits halve the device batch width).
             slots = None
             if not self.config.streaming_cache_bytes:
                 slots = min(
@@ -229,6 +229,7 @@ class VdbEngine:
                 cache_slots=slots,
                 max_device_bytes=self.config.streaming_cache_bytes or None,
                 capacity=cap,
+                policy=self.config.streaming_cache_policy,
             )
         else:
             index = (
