@@ -106,6 +106,16 @@ def main():
     rng = np.random.default_rng(7)
     have_store = _os.path.isfile(_os.path.join(sd, "meta.npz"))
     have_truth = _os.path.isfile(_os.path.join(sd, "truth.npz"))
+    if have_truth:
+        # The persisted truth pins the QUERY WORKLOAD too — reusing it with
+        # different --hot-clusters/--batch silently serves the old queries.
+        tz0 = np.load(_os.path.join(sd, "truth.npz"))
+        if (int(tz0.get("hot_clusters", -1)) != args.hot_clusters
+                or tz0["queries"].shape[0] != args.batch):
+            _stage("persisted truth is for a different query workload — "
+                   "rebuilding ground truth (store itself is reused)")
+            have_truth = False
+        del tz0
 
     @jax.jit
     def quantize_chunk(xc, anchor_rows):
@@ -137,12 +147,20 @@ def main():
         )
         xc.block_until_ready()
         if ci == 0:
-            _stage("train coarse quantizer (chunk 0)")
-            k1, _ = jax.random.split(jax.random.PRNGKey(0))
-            centroids, _ = kmeans_fit(
-                k1, xc.astype(jnp.float32), args.nlist, iters=40
-            )
-            centroids.block_until_ready()
+            if have_store:
+                # The packed store was built against the persisted
+                # centroids — retraining (even deterministically) wastes
+                # ~5 min; the list assignment contract requires these.
+                centroids = jnp.asarray(np.load(
+                    _os.path.join(sd, "meta.npz")
+                )["centroids"])
+            else:
+                _stage("train coarse quantizer (chunk 0)")
+                k1, _ = jax.random.split(jax.random.PRNGKey(0))
+                centroids, _ = kmeans_fit(
+                    k1, xc.astype(jnp.float32), args.nlist, iters=40
+                )
+                centroids.block_until_ready()
             # Hot-cluster query workload: rows whose natural cluster id is
             # < hot_clusters (round-robin membership → (start+i) % nlist).
             hot_rows = np.flatnonzero(
@@ -155,13 +173,14 @@ def main():
                     jnp.float32,
                 )
         _stage(f"chunk {ci}: assign + oracle")
-        assigns_d = kmeans_assign(xc, centroids, Metric.L2)
-        assigns = np.asarray(assigns_d)
         gt_d, gt_i = oracle(gt_d, gt_i, queries, xc, jnp.int64(start))
         gt_d.block_until_ready()
         if have_store:
+            # Truth-only pass: the packed store already fixes assignments.
             del xc
             continue
+        assigns_d = kmeans_assign(xc, centroids, Metric.L2)
+        assigns = np.asarray(assigns_d)
         codes_d, scale_d, sq_d = quantize_chunk(xc, centroids[assigns_d])
         td = time.time()
         codes = np.asarray(codes_d)
@@ -190,6 +209,15 @@ def main():
         ])
     else:
         truth = np.asarray(gt_i)
+        if have_store:
+            # Store reused but truth rebuilt (new query workload): persist
+            # the fresh truth so the next rerun skips the oracle pass.
+            try:
+                np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
+                         queries=np.asarray(queries),
+                         hot_clusters=args.hot_clusters)
+            except Exception as e:  # noqa: BLE001
+                _stage(f"truth persist failed ({e}); continuing")
     _stage(f"build pass done in {time.time()-t0:.0f}s (d2h {t_d2h:.0f}s)")
 
     store = HostListStore(args.nlist, args.dim, dtype="int8")
@@ -242,7 +270,8 @@ def main():
                      ids=np.concatenate(store.ids),
                      centroids=np.asarray(centroids))
             np.savez(_os.path.join(sd, "truth.npz"), truth=truth,
-                     queries=np.asarray(queries))
+                     queries=np.asarray(queries),
+                     hot_clusters=args.hot_clusters)
         except Exception as e:  # noqa: BLE001 — persistence is best-effort
             _stage(f"persist failed ({e}); continuing without")
     host_gb = store.nbytes() / (1 << 30)
@@ -266,6 +295,9 @@ def main():
     coarse = pairwise_distance(queries, centroids, Metric.L2)
     _, probe = topk_smallest(coarse, args.nprobe)
     wanted, freq = np.unique(np.asarray(probe), return_counts=True)
+    workload_lists = int(wanted.size)
+    _stage(f"workload probe union: {workload_lists} lists "
+           f"({cache_slots} slots) — warm serving requires union <= slots")
     if wanted.size > cache_slots:
         wanted = wanted[np.argsort(-freq)][:cache_slots]
     tw = time.time()
@@ -318,6 +350,7 @@ def main():
         "device_cache_gb": round(device_gb, 2),
         "cache_slots": cache_slots,
         "policy": args.policy,
+        "workload_probe_union_lists": workload_lists,
         "qps_warm": round(qps, 1),
         "recall_at_10": round(float(recall), 4),
         "hit_rate_warm": round(hit_rate, 4),
