@@ -1,7 +1,16 @@
 """Dev-only: characterize the axon relay's host-RSS retention on H2D
 staging (observed: a 20M streaming serve loop grew to 130 GB RSS and was
-OOM-killed; RSS grew ~6x the bytes staged through jnp.asarray + donated
-scatter uploads).
+OOM-killed).
+
+Measured result (2026-08-18, one v5e chip over the relay): RSS grows by
+EXACTLY the staged bytes on every jnp.asarray H2D transfer (+235 MB/iter
+for a 128x2560x768 int8 stack) and is never released — not by refcount,
+not by explicit ``arr.delete()`` + ``gc.collect()``. The retention is
+inside the axon PJRT plugin (libaxon_pjrt.so), which also explains the
+apparent 1.2 GB/s "upload" speed: the client records the literal and
+ships it lazily. Nothing app-side can free it; long miss-heavy streaming
+runs on THIS HARNESS are host-RAM-bounded at ~(RAM / staged GB) batches.
+Real TPU-VM hosts do not have this pathology.
 
 Runs the exact upload shape HbmListCache uses: a [slots, cap, dim] int8
 arena updated by a donated scatter of ~260 MB staging batches. Prints RSS
