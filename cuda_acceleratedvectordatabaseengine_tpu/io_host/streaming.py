@@ -328,19 +328,25 @@ class StreamingIVFFlatIndex:
     def ntotal(self) -> int:
         return self.store.total()
 
-    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64)) -> None:
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64),
+                     nprobes=None) -> None:
         """Warmup RPC on the streaming tier: stage the given lists into the
         HBM cache (real data movement — unlike the resident index, where
         the arena is already in HBM and warmup only compiles). With no
-        explicit lists, compile-warm the scan executables per batch bucket;
-        the tiny searches also pull each query's probed lists resident."""
+        explicit lists, compile-warm the scan executables per batch bucket
+        × nprobe value (waves pad their slot-probe matrix to the full
+        [B, nprobe] width, so the cache-scan executable is nprobe-static
+        like the resident path's)."""
         if list_ids is not None:
             self.prefetch_lists(np.asarray(list_ids, np.int64))
             return
-        params = SearchParams(nprobe=1)
+        if nprobes is None:
+            nprobes = (1,)
         dummy = np.zeros((1, self.config.dimension), np.float32)
-        for bs in batch_sizes:
-            self.search(np.repeat(dummy, bs, axis=0), params)
+        for np_ in nprobes:
+            params = SearchParams(nprobe=int(np_))
+            for bs in batch_sizes:
+                self.search(np.repeat(dummy, bs, axis=0), params)
 
     def evict_list(self, list_id: int) -> None:
         """Explicit eviction (``ivf_flat_index.h:63``) — on this tier the

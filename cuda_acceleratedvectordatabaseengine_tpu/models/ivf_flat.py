@@ -856,18 +856,25 @@ class IVFFlatIndex:
     # residency management (GpuCache / warmup surface)
     # ------------------------------------------------------------------ #
 
-    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64)) -> None:
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64),
+                     nprobes=None) -> None:
         """Reference declares warmup as pre-loading lists to the GPU
         (``ivf_flat_index.h:60-62``). On TPU the arena is already
         HBM-resident; the cold-start cost is *compilation*, so warmup traces
-        and compiles the search executable for each batch bucket."""
+        and compiles the search executable for each batch bucket ×
+        ``nprobes`` value. nprobe is SHAPE-STATIC (probe-id width): a
+        serving nprobe that warmup skipped pays a cold compile on its first
+        request — the recurring ~1 s server-p99 outlier until round 3."""
         if not self.trained:
             return
-        params = SearchParams()
+        if nprobes is None:
+            nprobes = (SearchParams().nprobe,)
         dummy = np.zeros((1, self.config.dimension), np.float32)
-        for bs in batch_sizes:
-            q = np.repeat(dummy, bs, axis=0)
-            self.search(q, params)
+        for np_ in nprobes:
+            params = SearchParams(nprobe=int(np_))
+            for bs in batch_sizes:
+                q = np.repeat(dummy, bs, axis=0)
+                self.search(q, params)
         if list_ids is not None:
             self.list_access_count[np.asarray(list_ids, np.int64)] += 1
 

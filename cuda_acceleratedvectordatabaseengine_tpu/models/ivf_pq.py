@@ -601,14 +601,20 @@ class IVFPQIndex:
     # residency surface (parity with IVFFlatIndex / declared GpuCache)
     # ------------------------------------------------------------------ #
 
-    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64)) -> None:
-        """Warm = compile the search executables per batch bucket (the
-        arena is already HBM-resident; see IVFFlatIndex.warmup_lists)."""
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64),
+                     nprobes=None) -> None:
+        """Warm = compile the search executables per batch bucket × nprobe
+        value (the arena is already HBM-resident; nprobe is shape-static —
+        see IVFFlatIndex.warmup_lists)."""
         if not self.trained:
             return
+        if nprobes is None:
+            nprobes = (SearchParams().nprobe,)
         dummy = np.zeros((1, self.config.dimension), np.float32)
-        for bs in batch_sizes:
-            self.search(np.repeat(dummy, bs, axis=0), SearchParams())
+        for np_ in nprobes:
+            for bs in batch_sizes:
+                self.search(np.repeat(dummy, bs, axis=0),
+                            SearchParams(nprobe=int(np_)))
         if list_ids is not None:
             self.list_access_count[np.asarray(list_ids, np.int64)] += 1
 

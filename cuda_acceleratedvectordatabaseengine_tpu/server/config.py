@@ -56,6 +56,11 @@ class ServerConfig:
     default_nlist: int = 1024
     default_nprobe: int = 8                  # reference Search default
     keep_epochs: int = 3
+    # Serving operating points warmed at activation. nprobe is
+    # SHAPE-STATIC in the jitted search: an nprobe that warmup skipped
+    # pays a multi-second cold compile on its first request (the server
+    # p99 outlier of rounds 1-2). default_nprobe is always included.
+    warm_nprobes: tuple = (32,)
 
     @classmethod
     def from_yaml(cls, path: str) -> "ServerConfig":

@@ -248,8 +248,15 @@ class VdbEngine:
         sizes = [b for b in BUCKETS if b <= self.config.max_batch_size]
         if self.config.max_batch_size not in sizes:
             sizes.append(self.config.max_batch_size)
+        # nprobe is shape-static too: warm every configured serving
+        # operating point, not just the default (warm_nprobes).
+        nprobes = sorted(
+            {int(self.config.default_nprobe)}
+            | {int(p) for p in (self.config.warm_nprobes or ())}
+        )
         try:
-            index.warmup_lists(batch_sizes=tuple(sizes))
+            index.warmup_lists(batch_sizes=tuple(sizes),
+                               nprobes=tuple(nprobes))
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         with self.lock:

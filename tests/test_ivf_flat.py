@@ -111,6 +111,11 @@ def test_ivf_hotness_and_warmup(rng):
     idx.evict_list(int(hot[0]))
     assert idx.list_access_count[hot[0]] == 0
     idx.warmup_lists(batch_sizes=(1,))
+    # nprobe is shape-static: warmup accepts explicit serving operating
+    # points and the warmed shapes then serve without retracing.
+    idx.warmup_lists(batch_sizes=(1, 8), nprobes=(2, 4))
+    d, ids = idx.search(x[:8], SearchParams(nprobe=4, k=3))
+    assert ids.shape == (8, 3)
 
 
 def test_ivf_custom_ids_roundtrip(rng):

@@ -606,3 +606,21 @@ def test_coalescer_queue_shedding():
             f.result(timeout=5)
     finally:
         co.stop()
+
+
+def test_production_yaml_parses_warm_nprobes():
+    """The shipped production.yaml actually drives the server (the
+    reference's YAML was parsed by nothing, SURVEY §5), including the
+    round-3 warm_nprobes operating points."""
+    import os
+
+    from cuda_acceleratedvectordatabaseengine_tpu.server.config import (
+        ServerConfig,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "production.yaml")
+    cfg = ServerConfig.from_yaml(path)
+    assert cfg.default_nprobe == 32
+    assert list(cfg.warm_nprobes) == [8, 32]
+    assert cfg.streaming_cache_policy == "lfu"
