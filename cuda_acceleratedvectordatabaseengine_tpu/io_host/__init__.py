@@ -11,6 +11,9 @@ CUDA machinery maps to different primitives (SURVEY.md §2.3 TPU mapping):
   - ``streaming``  → StreamingIVFFlatIndex: host-RAM corpus, HBM cache tier,
                      async upload of probed lists overlapping compute — the
                      T3 ``DoubleBuffer`` role via JAX async dispatch.
+  - ``host_rerank``→ HostReranker: exact second-stage rerank from the host
+                     store for keep_raw=False IVF-PQ (codes on device, raw
+                     rows in host RAM — the capacity tier past the HBM wall).
   - ``prefetcher`` → AdaptivePrefetcher (P2 stride/pattern prediction),
                      ListPrefetcher (P3 hotness-driven), PrefetchScheduler
                      (P4 priority + bandwidth throttle), over the aligned
@@ -22,6 +25,9 @@ from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
     HostListStore,
     StreamingIVFFlatIndex,
 )
+from cuda_acceleratedvectordatabaseengine_tpu.io_host.host_rerank import (
+    HostReranker,
+)
 from cuda_acceleratedvectordatabaseengine_tpu.io_host.prefetcher import (
     AccessPattern,
     AdaptivePrefetcher,
@@ -32,6 +38,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.io_host.prefetcher import (
 __all__ = [
     "HbmListCache",
     "HostListStore",
+    "HostReranker",
     "StreamingIVFFlatIndex",
     "AccessPattern",
     "AdaptivePrefetcher",

@@ -87,18 +87,43 @@ class HostListStore:
         self._ids_start: np.ndarray | None = None
 
     @classmethod
-    def from_assignments(cls, vectors, ids, assignments, nlist):
-        store = cls(nlist, vectors.shape[1])
+    def from_assignments(cls, vectors, ids, assignments, nlist,
+                         dtype: str = "float32", anchors=None):
+        """Pack (vectors, ids, assignments) into a store. ``dtype="int8"``
+        residual-quantizes each row against ``anchors[list]`` (per-row
+        max-abs scales — the arena quantization contract); ``sq`` then
+        holds norms of the DEQUANTIZED representation so scans and the
+        host reranker see distances to the stored point."""
+        store = cls(nlist, vectors.shape[1], dtype=dtype)
+        if dtype == "int8":
+            if anchors is None:
+                raise ValueError("int8 stores need per-list anchors")
+            store.anchors = np.ascontiguousarray(anchors, np.float32)
         order = np.argsort(assignments, kind="stable")
         sorted_lists = assignments[order]
         bounds = np.searchsorted(sorted_lists, np.arange(nlist + 1))
         for l in range(nlist):
             rows = order[bounds[l]:bounds[l + 1]]
             v = np.ascontiguousarray(vectors[rows], np.float32)
-            store.vectors[l] = v
-            store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
-                np.float32
-            )
+            if dtype == "int8":
+                res = v - store.anchors[l]
+                scale = np.maximum(
+                    np.abs(res).max(axis=-1), 1e-12
+                ).astype(np.float32) / np.float32(127.0)
+                codes = np.clip(
+                    np.round(res / scale[:, None]), -127, 127
+                )
+                deq = store.anchors[l] + codes * scale[:, None]
+                store.vectors[l] = codes.astype(np.int8)
+                store.scale[l] = scale
+                store.sq[l] = np.einsum(
+                    "nd,nd->n", deq, deq
+                ).astype(np.float32)
+            else:
+                store.vectors[l] = v
+                store.sq[l] = (v.astype(np.float64) ** 2).sum(-1).astype(
+                    np.float32
+                )
             store.ids[l] = ids[rows].astype(np.uint64)
         return store
 

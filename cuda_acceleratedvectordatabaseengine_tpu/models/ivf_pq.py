@@ -296,6 +296,11 @@ class IVFPQIndex:
         self._ids = np.full((config.nlist, cap), INVALID_ID, np.uint64)
         self.trained = False
         self.list_access_count = np.zeros(config.nlist, np.int64)
+        # Host-store exact rerank (keep_raw=False capacity tier): the raw
+        # corpus stays in host RAM, the device keeps only codes. See
+        # io_host/host_rerank.HostReranker and attach_host_rerank().
+        self._host_rr = None
+        self.host_rerank_k = 128
 
     # ------------------------------------------------------------------ #
 
@@ -516,6 +521,16 @@ class IVFPQIndex:
             )
             self._ids[assignments, slots] = np.asarray(ids, np.uint64)
 
+    def reserve(self, capacity: int) -> None:
+        """Pre-size the code arena for a bulk build: one pad instead of the
+        repeated 1.5× ``_grow`` steps, whose old+new arenas transiently
+        double multi-GB device footprints (the flat builder's
+        capacity-planning analog, ``models/ivf_flat.py`` bulk pack)."""
+        cap = -(-capacity // PackedListArena.SLOT_ALIGN) * \
+            PackedListArena.SLOT_ALIGN
+        if cap > self.capacity:
+            self._grow(cap)
+
     def _grow(self, new_cap: int) -> None:
         pad = new_cap - self.capacity
         self.code_arena_t = jnp.pad(
@@ -553,6 +568,22 @@ class IVFPQIndex:
         rerank_k = 0
         if params.use_exact_rerank and self.raw is not None:
             rerank_k = min(max(4 * params.k, params.k), 256)
+        # Past the HBM wall (keep_raw=False + attached host store) the
+        # exact rerank runs HOST-side: the device returns a top-R ADC
+        # shortlist and the host recomputes exact distances from the int8
+        # store (io_host/host_rerank; the composition of the reference's
+        # declared rerank_k surface, ``engine/ivf_flat_index.h:153-157``,
+        # with its declared host tier, ``format/storage.h:124-173``).
+        host_rr = (
+            params.use_exact_rerank
+            and self.raw is None
+            and self._host_rr is not None
+        )
+        k_dev = params.k
+        if host_rr:
+            k_dev = min(
+                max(self.host_rerank_k, params.k), self.capacity * nprobe
+            )
 
         raw_arena = self.raw.arena if self.raw is not None else None
         raw_sq = self.raw.arena_sq if self.raw is not None else None
@@ -576,7 +607,7 @@ class IVFPQIndex:
             raw_scale,
             raw_anchors,
             nprobe,
-            params.k,
+            k_dev,
             self.metric,
             rerank_k,
             scan_impl,
@@ -592,6 +623,14 @@ class IVFPQIndex:
         d[pos < 0] = FLT_MAX
         probed = np.unique(pos[pos >= 0] // self.capacity)
         self.list_access_count[probed] += 1
+        if host_rr:
+            q_rr = queries[:b]
+            if self.metric == Metric.COSINE:
+                nrm = np.linalg.norm(q_rr, axis=1, keepdims=True)
+                q_rr = q_rr / np.maximum(nrm, 1e-12)
+            d, out_ids = self._host_rr.rerank(
+                q_rr, out_ids, self.metric, params.k
+            )
         return d, out_ids
 
     def search_batch(self, queries, params=None):
@@ -617,6 +656,26 @@ class IVFPQIndex:
                             SearchParams(nprobe=int(np_)))
         if list_ids is not None:
             self.list_access_count[np.asarray(list_ids, np.int64)] += 1
+
+    def attach_host_rerank(self, store, rerank_k: int = 128) -> None:
+        """Enable exact rerank from a host-RAM :class:`HostListStore` when
+        ``keep_raw=False`` (the capacity tier: codes resident on device,
+        raw int8 rows in host RAM). After this, ``use_exact_rerank``
+        searches fetch a top-``rerank_k`` ADC shortlist from the device and
+        rerank it host-side — see ``io_host/host_rerank``."""
+        from cuda_acceleratedvectordatabaseengine_tpu.io_host.host_rerank import (  # noqa: E501
+            HostReranker,
+        )
+
+        if self.raw is not None:
+            raise ValueError(
+                "host rerank is the keep_raw=False path; a resident raw "
+                "arena already reranks on device"
+            )
+        self._host_rr = (
+            store if isinstance(store, HostReranker) else HostReranker(store)
+        )
+        self.host_rerank_k = int(rerank_k)
 
     def evict_list(self, list_id: int) -> None:
         self.list_access_count[list_id] = 0
