@@ -440,6 +440,7 @@ class IVFPQIndex:
         ``ivf_flat_index.h:164-167``) → scatter codes (+ raw) into arenas."""
         if not self.trained:
             raise RuntimeError("index must be trained before add()")
+        self._guard_host_rerank_mutation()
         cfg = self.config
         vectors = np.ascontiguousarray(vectors, np.float32)
         n = vectors.shape[0]
@@ -468,6 +469,7 @@ class IVFPQIndex:
         scatter without staging the vectors through host RAM."""
         if not self.trained:
             raise RuntimeError("index must be trained before add()")
+        self._guard_host_rerank_mutation()
         n = x_dev.shape[0]
         if n == 0:
             return
@@ -650,12 +652,30 @@ class IVFPQIndex:
         if nprobes is None:
             nprobes = (SearchParams().nprobe,)
         dummy = np.zeros((1, self.config.dimension), np.float32)
+        # The rerank path is a DIFFERENT device program (its shortlist
+        # k_dev / rerank_k is shape-static): when an exact-rerank stage
+        # exists (resident raw arena or attached host store), warm both.
+        reranks = (False, True) if (
+            self.raw is not None or self._host_rr is not None
+        ) else (False,)
         for np_ in nprobes:
             for bs in batch_sizes:
-                self.search(np.repeat(dummy, bs, axis=0),
-                            SearchParams(nprobe=int(np_)))
+                for rr in reranks:
+                    self.search(np.repeat(dummy, bs, axis=0),
+                                SearchParams(nprobe=int(np_),
+                                             use_exact_rerank=rr))
         if list_ids is not None:
             self.list_access_count[np.asarray(list_ids, np.int64)] += 1
+
+    def _guard_host_rerank_mutation(self) -> None:
+        """Adding rows the host store doesn't have would make the exact
+        rerank silently DROP them (unknown ids map to no row → FLT_MAX):
+        refuse mutation while a host reranker is attached."""
+        if self._host_rr is not None:
+            raise RuntimeError(
+                "index is serving with an attached host-rerank store "
+                "(read-only); rebuild the epoch to add vectors"
+            )
 
     def attach_host_rerank(self, store, rerank_k: int = 128) -> None:
         """Enable exact rerank from a host-RAM :class:`HostListStore` when

@@ -33,6 +33,9 @@ class ServerConfig:
     # set when it exceeds the slot count; lru degenerates to ~0% hits on
     # cyclic wave scans over a too-large working set.
     streaming_cache_policy: str = "lfu"
+    # PQ capacity tier (tier: pq_capacity): device-side ADC shortlist depth
+    # fed to the host-store exact reranker on rerank_exact searches.
+    pq_rerank_k: int = 128
 
     # rate limiting (configs/production.yaml:32-33)
     rate_limit_rps: float = 10000.0

@@ -172,6 +172,9 @@ class VdbEngine:
                 dimension=cfg["dimension"], nlist=cfg["nlist"], m=cfg["m"],
                 nbits=cfg.get("nbits", 8), metric=cfg["metric"],
                 raw_dtype=cfg.get("dtype", "bfloat16"),
+                # Capacity tier: only codes live on device (~m bytes/row);
+                # exact rerank comes from the epoch's host-RAM row store.
+                keep_raw=cfg.get("tier") != "pq_capacity",
             ))
         return IVFFlatIndex(IVFFlatConfig(
             dimension=cfg["dimension"], nlist=cfg["nlist"],
@@ -230,6 +233,20 @@ class VdbEngine:
                 max_device_bytes=self.config.streaming_cache_bytes or None,
                 capacity=cap,
                 policy=self.config.streaming_cache_policy,
+            )
+        elif (
+            st.config.get("tier") == "pq_capacity" and man.kind == "ivf_pq"
+        ):
+            # Capacity tier: codes rebuild the device arena (~m bytes/row);
+            # raw rows load into an int8 host store serving exact rerank.
+            # Like streaming, epochs far past the HBM wall activate without
+            # a device raw arena — but with no workload-locality premium.
+            from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501
+                load_ivf_pq_capacity,
+            )
+
+            index = load_ivf_pq_capacity(
+                path, rerank_k=self.config.pq_rerank_k
             )
         else:
             index = (
@@ -362,7 +379,15 @@ class VdbEngine:
         job.progress = 0.5
         index.add(x, all_ids)
         job.progress = 0.8
-        index.save(epoch_dir)
+        if cfg.get("tier") == "pq_capacity":
+            # Capacity-tier epoch = codes (device) + raw rows (host rerank).
+            from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501
+                save_ivf_pq,
+            )
+
+            save_ivf_pq(epoch_dir, index, host_rows=(x, all_ids))
+        else:
+            index.save(epoch_dir)
         job.progress = 1.0
 
     # ------------------------------------------------------------------ #
@@ -612,12 +637,16 @@ class AdminServiceImpl:
         except ValueError as e:
             _abort(context, grpc.StatusCode.INVALID_ARGUMENT, str(e))
         tier = getattr(request, "tier", "") or "resident"
-        if tier not in ("resident", "streaming"):
+        if tier not in ("resident", "streaming", "pq_capacity"):
             _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
-                   f"unknown tier {tier!r} (resident|streaming)")
+                   f"unknown tier {tier!r} "
+                   "(resident|streaming|pq_capacity)")
         if tier == "streaming" and request.m:
             _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
                    "streaming tier supports IVF-Flat only (m must be 0)")
+        if tier == "pq_capacity" and not request.m:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "pq_capacity tier is IVF-PQ: m must be > 0")
         try:
             self.engine.create_index(
                 request.name, request.dimension, metric,

@@ -162,7 +162,16 @@ def load_ivf_flat_host(path: str):
 # IVF-PQ
 # ---------------------------------------------------------------------- #
 
-def save_ivf_pq(path: str, index) -> None:
+def save_ivf_pq(path: str, index, host_rows=None) -> None:
+    """Snapshot an IVF-PQ index.
+
+    ``host_rows=(vectors, ids)`` additionally persists the ORIGINAL-frame
+    raw rows (any order; matched to the arena by id) even when
+    ``keep_raw=False`` — the PQ *capacity* tier's epoch format: codes
+    rebuild the device arena, rows feed the host-RAM exact reranker
+    (``load_ivf_pq_capacity``). For cosine the rows are L2-normalized
+    before writing, matching what the index ingested.
+    """
     os.makedirs(path, exist_ok=True)
     state = index.state_arrays()
     counts = state["counts"]
@@ -189,6 +198,22 @@ def save_ivf_pq(path: str, index) -> None:
         ArrowStorage.write_vectors(
             os.path.join(path, VECTORS_FILE), ids, vecs
         )
+    elif host_rows is not None:
+        hx, hids = host_rows
+        hids = np.asarray(hids, np.uint64)
+        order = np.argsort(hids, kind="stable")
+        pos = np.searchsorted(hids[order], ids)
+        pos = np.minimum(pos, len(hids) - 1)
+        if not (hids[order][pos] == ids).all():
+            raise ValueError("host_rows ids do not cover the arena's ids")
+        rows = np.ascontiguousarray(hx, np.float32)[order[pos]]
+        if index.config.metric.value == "Cosine":
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+            )
+        ArrowStorage.write_vectors(
+            os.path.join(path, VECTORS_FILE), ids, rows
+        )
     cfg = index.config
     IndexManifest(
         kind="ivf_pq",
@@ -201,7 +226,10 @@ def save_ivf_pq(path: str, index) -> None:
         capacity_per_list=cap,
         dtype=str(cfg.raw_dtype),
         shards=_shard_table(counts),
-        extra={"keep_raw": "arena" in state},
+        extra={
+            "keep_raw": "arena" in state,
+            "host_rows": "arena" in state or host_rows is not None,
+        },
     ).save(path)
 
 
@@ -259,4 +287,52 @@ def load_ivf_pq(path: str):
         idx._counts = jnp.asarray(counts.astype(np.int32))
         idx._ids = id_table
     idx.trained = True
+    return idx
+
+
+def load_ivf_pq_capacity(path: str, rerank_k: int = 128):
+    """Load a ``keep_raw=False`` IVF-PQ snapshot as the *capacity* tier:
+    codes rebuild the device arena (~m bytes/row), the snapshot's raw rows
+    load into an int8 host-RAM store feeding exact second-stage rerank
+    (``io_host/host_rerank.HostReranker``). This serves corpora past the
+    HBM wall with no workload-locality requirement — the composition of
+    the reference's declared ``rerank_k`` surface
+    (``engine/ivf_flat_index.h:153-157``) with its declared host tier
+    (``format/storage.h:124-173``).
+
+    The returned index is read-only (adds would desynchronize the host
+    store — ``IVFPQIndex.add`` guards this).
+    """
+    from cuda_acceleratedvectordatabaseengine_tpu.io_host.streaming import (
+        HostListStore,
+    )
+
+    man = IndexManifest.load(path)
+    if man.kind != "ivf_pq":
+        raise ValueError(f"snapshot at {path} is kind={man.kind!r}")
+    if man.extra.get("keep_raw", False):
+        raise ValueError(
+            "snapshot has a device-resident raw arena (keep_raw=True); the "
+            "capacity tier expects keep_raw=False codes + host rows"
+        )
+    if not man.extra.get("host_rows", False):
+        raise ValueError(
+            "snapshot has no host rows — save with "
+            "save_ivf_pq(..., host_rows=(vectors, ids))"
+        )
+    idx = load_ivf_pq(path)
+    ids, vecs = ArrowStorage.read_vectors(os.path.join(path, VECTORS_FILE))
+    counts = np.array([s.num_vectors for s in man.shards], np.int64)
+    # Rows are already in (list, slot) order; synthesize assignments so the
+    # store's tested int8 quantization path does the packing. Anchors must
+    # be in the rows' ORIGINAL frame: un-rotate OPQ centroids.
+    assignments = np.repeat(np.arange(man.nlist, dtype=np.int64), counts)
+    centroids = np.asarray(idx.centroids, np.float32)
+    if idx.opq_R is not None:
+        centroids = centroids @ np.asarray(idx.opq_R, np.float32).T
+    store = HostListStore.from_assignments(
+        vecs, ids, assignments, man.nlist, dtype="int8", anchors=centroids
+    )
+    idx.attach_host_rerank(store, rerank_k=rerank_k)
+    idx.read_only = True
     return idx

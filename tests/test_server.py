@@ -541,6 +541,65 @@ def test_streaming_tier_validation(live_server):
             name="stream-pq", dimension=8, m=4, tier="streaming"
         ))
     assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as e:
+        admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+            name="cap-flat", dimension=8, tier="pq_capacity"
+        ))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_pq_capacity_tier_lifecycle(live_server):
+    """`tier: pq_capacity` over gRPC: the epoch activates with only PQ
+    codes on device (no raw arena), and rerank_exact searches run the
+    exact second stage from the epoch's int8 host-RAM row store
+    (io_host/host_rerank). The >HBM tier with no locality requirement."""
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQIndex,
+    )
+
+    rng = np.random.default_rng(13)
+    admin, query = live_server["admin"], live_server["query"]
+    name = "cap-idx"
+    admin.CreateIndex(vdb_pb2.CreateIndexRequest(
+        name=name, dimension=16, metric="L2", nlist=8, m=4,
+        tier="pq_capacity",
+    ))
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index=name, vectors=_vectors(rng, 400, 16)
+    ))
+    _build_and_activate(admin, name)
+
+    st = live_server["engine"].get_state(name)
+    assert isinstance(st.index, IVFPQIndex)
+    assert st.index.raw is None                  # no device raw arena
+    assert st.index._host_rr is not None         # host rerank attached
+    assert getattr(st.index, "read_only", False)
+
+    # rerank_exact search end-to-end: an ingested vector finds itself
+    # with ~zero distance (int8 host-store quantization noise only).
+    v0 = np.asarray(st.index._host_rr.vecs[0], np.float32)
+    if st.index._host_rr.quantized:
+        v0 = v0 * st.index._host_rr.scale[0] + st.index._host_rr.anchors[
+            st.index._host_rr.anchor_row[0]
+        ]
+    id0 = int(st.index._host_rr.ids[0])
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=v0.astype(float))], topk=3,
+        nprobe=8, index=name, rerank_exact=True,
+    ))
+    assert resp.results[0].neighbors[0].id == id0
+    assert resp.results[0].neighbors[0].distance < 0.05
+
+    # AddVectors against the live (read-only) capacity index buffers for
+    # the next epoch; a rebuild serves the new data.
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index=name, vectors=_vectors(rng, 50, 16, id0=1000)
+    ))
+    assert sum(len(v) for v in st.pending_vectors) == 50
+    _build_and_activate(admin, name)
+    stats = admin.GetStats(vdb_pb2.StatsRequest(index=name))
+    assert stats.indexed_vectors == 50
+    assert st.index._host_rr is not None
 
 
 def test_coalescer_cancel_while_queued():

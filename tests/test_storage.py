@@ -163,6 +163,55 @@ def test_ivf_pq_save_load_no_raw(tmp_path, rng):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_ivf_pq_capacity_save_load(tmp_path, rng):
+    """Capacity-tier epoch: save_ivf_pq(host_rows=...) persists raw rows
+    alongside keep_raw=False codes; load_ivf_pq_capacity rebuilds the
+    device code arena + an int8 host store and attaches exact rerank
+    (read-only). Composes the reference's declared rerank surface
+    (``engine/ivf_flat_index.h:153-157``) with its declared host tier
+    (``format/storage.h:124-173``)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
+        load_ivf_pq_capacity,
+        save_ivf_pq,
+    )
+
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    ids = np.arange(2000, dtype=np.uint64) * 7 + 3  # non-trivial id space
+    idx = IVFPQIndex(IVFPQConfig(dimension=32, nlist=8, m=8,
+                                 keep_raw=False, pq_train_sample=1024))
+    idx.train(x)
+    idx.add(x, ids)
+    path = str(tmp_path / "snap_cap")
+    # host_rows in a DIFFERENT order than ingestion: save matches by id.
+    perm = rng.permutation(2000)
+    save_ivf_pq(path, idx, host_rows=(x[perm], ids[perm]))
+
+    idx2 = load_ivf_pq_capacity(path, rerank_k=64)
+    assert idx2.raw is None and idx2._host_rr is not None
+    assert idx2.read_only
+    q = x[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)
+    d_adc, i_adc = idx.search(q, SearchParams(nprobe=8, k=5))
+    d_rr, i_rr = idx2.search(
+        q, SearchParams(nprobe=8, k=5, use_exact_rerank=True)
+    )
+    # rerank from the host store: each query's own row wins, distance ≈ 0
+    # (int8 quantization noise only).
+    assert (i_rr[:, 0] == ids[:16]).all()
+    assert (d_rr[:, 0] < 0.1).all()
+    # plain ADC on the reloaded index still matches the original bit-exact
+    d3, i3 = idx2.search(q, SearchParams(nprobe=8, k=5))
+    np.testing.assert_array_equal(i_adc, i3)
+    # mutation is refused while the host store is attached
+    with pytest.raises(RuntimeError, match="read-only"):
+        idx2.add(x[:4])
+
+    # a keep_raw=False snapshot WITHOUT host rows refuses capacity load
+    path2 = str(tmp_path / "snap_cap_norows")
+    save_ivf_pq(path2, idx)
+    with pytest.raises(ValueError, match="host rows"):
+        load_ivf_pq_capacity(path2)
+
+
 def test_epoch_lifecycle(tmp_path):
     em = EpochManager(str(tmp_path), keep_epochs=2)
     e1, d1 = em.create_epoch("idx")
