@@ -110,7 +110,7 @@ def _scatter_codes(code_arena_t, code_sq, lists, slots, codes, sq_rows):
 
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k",
-                              "scan_impl", "interpret")
+                              "scan_impl", "interpret", "k_inner")
 )
 def _ivf_pq_search_device(
     queries,        # [B, D] fp32
@@ -130,6 +130,8 @@ def _ivf_pq_search_device(
     scan_impl: str = "xla",
     interpret: bool = False,
     opq_R=None,     # [D, D] orthogonal OPQ rotation or None
+    k_inner: int = 0,   # >0: per-list shortlist depth (host-rerank mode;
+                        # Pallas path only — see pallas_scan k_inner)
 ):
     b, dim = queries.shape
     nlist, m, cap = code_arena_t.shape
@@ -177,6 +179,7 @@ def _ivf_pq_search_device(
                 q, code_arena_t, code_sq, counts, centroids, codebooks,
                 probe_ids[:, s:s + step_p].astype(jnp.int32), keep,
                 kernel_metric, interpret=interpret,
+                k_inner=(k_inner or None),
             )
             for s in range(0, nprobe, step_p)
         ]
@@ -301,6 +304,11 @@ class IVFPQIndex:
         # io_host/host_rerank.HostReranker and attach_host_rerank().
         self._host_rr = None
         self.host_rerank_k = 128
+        # Per-(query, list) in-kernel shortlist depth in host-rerank mode
+        # (0 = exact full-k passes): the k-pass top-k epilogue costs
+        # linearly in k, so deep shortlists cap each probed list's
+        # contribution instead (see pallas_scan k_inner).
+        self.host_rerank_k_inner = 32
 
     # ------------------------------------------------------------------ #
 
@@ -556,6 +564,16 @@ class IVFPQIndex:
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
+        return self._search_finalize(*self._search_dispatch(queries, params))
+
+    def _search_dispatch(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Stage 1: dispatch the device scan (async — the returned arrays
+        are unforced JAX values). ``_search_finalize`` forces them and runs
+        the host-side stages; splitting the two lets a caller overlap the
+        device scan of batch i+1 with the host rerank of batch i
+        (``search_batches_pipelined``)."""
         params = params or SearchParams()
         if not self.trained:
             raise RuntimeError("index must be trained before search()")
@@ -615,7 +633,16 @@ class IVFPQIndex:
             scan_impl,
             interpret,
             opq_R=self.opq_R,
+            # Deep host-rerank shortlists cap the in-kernel top-k at a
+            # per-list depth (the exact rerank absorbs the truncation);
+            # exact searches keep the full k-pass.
+            k_inner=(self.host_rerank_k_inner if host_rr else 0),
         )
+        return d, pos, b, host_rr, queries, params
+
+    def _search_finalize(self, d, pos, b, host_rr, queries, params):
+        """Stage 2: force the device results (blocks), map arena positions
+        to ids, and run the host-store exact rerank when attached."""
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
         flat_ids = self.ids.reshape(-1)
@@ -634,6 +661,24 @@ class IVFPQIndex:
                 q_rr, out_ids, self.metric, params.k
             )
         return d, out_ids
+
+    def search_batches_pipelined(
+        self, batches, params: SearchParams | None = None
+    ):
+        """Two-stage pipelined serving loop: the device ADC scan of batch
+        i+1 is dispatched (async XLA) before batch i's host-side stages
+        (id mapping + host-store exact rerank) run, so device and host work
+        overlap — the capacity tier's production loop, where each stage is
+        a comparable fraction of batch time. Yields (dists, ids) per input
+        batch, in order."""
+        pending = None
+        for q in batches:
+            nxt = self._search_dispatch(q, params)
+            if pending is not None:
+                yield self._search_finalize(*pending)
+            pending = nxt
+        if pending is not None:
+            yield self._search_finalize(*pending)
 
     def search_batch(self, queries, params=None):
         return self.search(queries, params)
@@ -677,12 +722,19 @@ class IVFPQIndex:
                 "(read-only); rebuild the epoch to add vectors"
             )
 
-    def attach_host_rerank(self, store, rerank_k: int = 128) -> None:
+    def attach_host_rerank(self, store, rerank_k: int = 128,
+                           k_inner: int = 32) -> None:
         """Enable exact rerank from a host-RAM :class:`HostListStore` when
         ``keep_raw=False`` (the capacity tier: codes resident on device,
         raw int8 rows in host RAM). After this, ``use_exact_rerank``
         searches fetch a top-``rerank_k`` ADC shortlist from the device and
-        rerank it host-side — see ``io_host/host_rerank``."""
+        rerank it host-side — see ``io_host/host_rerank``.
+
+        ``k_inner`` bounds the in-kernel per-(query, probed list) top-k
+        passes (0 = exact full-depth passes; see pallas_scan ``k_inner``):
+        deep shortlists otherwise pay ~rerank_k sequential min-extractions
+        per grid row, which measured 4-8× the whole ADC scan at
+        rerank_k ≥ 128."""
         from cuda_acceleratedvectordatabaseengine_tpu.io_host.host_rerank import (  # noqa: E501
             HostReranker,
         )
@@ -696,6 +748,7 @@ class IVFPQIndex:
             store if isinstance(store, HostReranker) else HostReranker(store)
         )
         self.host_rerank_k = int(rerank_k)
+        self.host_rerank_k_inner = int(k_inner)
 
     def evict_list(self, list_id: int) -> None:
         self.list_access_count[list_id] = 0

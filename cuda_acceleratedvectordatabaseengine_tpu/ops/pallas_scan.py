@@ -424,12 +424,16 @@ def _pack_pairs_into_rows(probe_ids, nlist: int, m: int, n_rows: int):
 
 
 def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
-                      global_cap, slot_stride, slot_offset, approx):
+                      global_cap, slot_stride, slot_offset, approx,
+                      k_inner=None):
     """Per-pair candidate rows back to (b, p) order, then a tiny final
-    top-k over nprobe·k candidates per query (shared by the grouped scan
-    kernels). Local slots map to logical ones under striping."""
+    top-k over nprobe·k_inner candidates per query (shared by the grouped
+    scan kernels). Local slots map to logical ones under striping.
+    ``k_inner`` is the kernel's per-(query, list) candidate count — equal
+    to ``k`` for exact scans, smaller for shortlist mode."""
+    ki = k if k_inner is None else k_inner
     order, key_sorted, row_of_pair, m_of_pair, _, _ = pack
-    pair_d = out_d[row_of_pair, m_of_pair]              # [BP, k] sorted order
+    pair_d = out_d[row_of_pair, m_of_pair]             # [BP, ki] sorted
     pair_s = out_s[row_of_pair, m_of_pair]
     real = (
         (pair_s >= 0) & (key_sorted[:, None] < nlist)
@@ -443,8 +447,8 @@ def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
         -1,
     )
     inv = jnp.argsort(order)
-    d = pair_d[inv].reshape(batch, nprobe * k)
-    pos = pair_pos[inv].reshape(batch, nprobe * k)
+    d = pair_d[inv].reshape(batch, nprobe * ki)
+    pos = pair_pos[inv].reshape(batch, nprobe * ki)
     return topk_smallest(d, k, idx=pos, approx=approx)
 
 
@@ -795,7 +799,7 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
-                     "slot_stride", "global_capacity"),
+                     "slot_stride", "global_capacity", "k_inner"),
 )
 def scan_probed_codes_pallas_grouped(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -813,6 +817,7 @@ def scan_probed_codes_pallas_grouped(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
+    k_inner: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas ADC scan — the TPU IVF-PQ fast path.
 
@@ -823,12 +828,25 @@ def scan_probed_codes_pallas_grouped(
     corpora beyond int8's HBM reach servable from one chip. Distances are
     bit-exact ADC distances (quantized representation, fp32 queries);
     cosine callers convert the L2-space result themselves, as the XLA path
-    does (``models/ivf_pq._ivf_pq_search_device``)."""
+    does (``models/ivf_pq._ivf_pq_search_device``).
+
+    ``k_inner`` (shortlist mode): the in-kernel top-k costs k sequential
+    min-extraction passes per grid row, so a deep shortlist (k=128..512
+    for host-store exact rerank) pays ~k× the epilogue. With ``k_inner``
+    set, each (query, probed list) pair contributes only its top-k_inner
+    candidates and the final top-k runs over nprobe·k_inner — no longer
+    the exact ADC top-k over the probe union (a candidate ranked below
+    k_inner *within its own list* can be lost), which a following exact
+    rerank stage absorbs. Leave ``None`` for exact scans."""
     batch, nprobe = probe_ids.shape
     nlist, m_sub, cap = codes_t.shape
     mq, ks, dsub = codebooks.shape
     assert mq == m_sub
     dim = m_sub * dsub
+    # Effective in-kernel candidate count: the final top-k needs at least
+    # k candidates across nprobe lists, and >cap per list is meaningless.
+    ki = k if k_inner is None else min(max(k_inner, -(-k // nprobe)),
+                                       cap, k)
     global_cap = global_capacity if global_capacity is not None else cap
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
@@ -877,8 +895,8 @@ def scan_probed_codes_pallas_grouped(
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
-            pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
+            pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((dim, cap), jnp.float32),   # decoded block (T)
@@ -886,12 +904,12 @@ def scan_probed_codes_pallas_grouped(
         ],
     )
     run = pl.pallas_call(
-        functools.partial(_grouped_pq_kernel, metric=metric, k=k,
+        functools.partial(_grouped_pq_kernel, metric=metric, k=ki,
                           dsub=dsub, ks=ks),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, m, ki), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, m, ki), jnp.int32),
         ),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
@@ -903,5 +921,5 @@ def scan_probed_codes_pallas_grouped(
     )
     return _grouped_epilogue(
         out_d, out_s, pack, batch, nprobe, k, nlist, global_cap,
-        slot_stride, slot_offset, approx,
+        slot_stride, slot_offset, approx, k_inner=ki,
     )

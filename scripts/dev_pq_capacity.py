@@ -47,8 +47,11 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--n-batches", type=int, default=20)
-    p.add_argument("--rerank", default="0,32,128,256",
+    p.add_argument("--rerank", default="0,128,256,512",
                    help="comma list of host rerank depths (0 = ADC only)")
+    p.add_argument("--k-inner", type=int, default=32,
+                   help="in-kernel per-(query, probed list) shortlist "
+                        "depth for rerank mode (see pallas_scan k_inner)")
     p.add_argument("--store-dir", default="/tmp/streamstore_i8",
                    help="persisted int8 host store from dev_streaming_bench "
                         "(provides centroids + rerank rows)")
@@ -225,7 +228,9 @@ def main():
     points = []
     for r in [int(s) for s in args.rerank.split(",")]:
         if r > 0:
-            idx.attach_host_rerank(reranker, rerank_k=r)
+            idx._host_rr = None
+            idx.attach_host_rerank(reranker, rerank_k=r,
+                                   k_inner=args.k_inner)
             params = SearchParams(
                 nprobe=args.nprobe, k=args.k, use_exact_rerank=True
             )
@@ -241,16 +246,28 @@ def main():
             len(set(a.tolist()) & set(b.tolist())) / args.k
             for a, b in zip(ids.astype(np.int64), truth)
         ])
-        _stage(f"{name}: throughput (recall {recall:.4f})")
+        _stage(f"{name}: sequential throughput (recall {recall:.4f})")
         t1 = time.time()
         for _ in range(args.n_batches):
             idx.search(q_host, params)
         dt = time.time() - t1
+        # Pipelined two-stage loop: device ADC of batch i+1 overlaps the
+        # host rerank of batch i — the capacity tier's production loop.
+        _stage(f"{name}: pipelined throughput")
+        t2 = time.time()
+        for _ in idx.search_batches_pipelined(
+            [q_host] * args.n_batches, params
+        ):
+            pass
+        dt_pipe = time.time() - t2
         points.append({
             "name": name, "rerank_k": r,
+            "k_inner": args.k_inner if r else None,
             "qps": round(args.n_batches * args.batch / dt, 1),
+            "qps_pipelined": round(args.n_batches * args.batch / dt_pipe, 1),
             "recall_at_10": round(float(recall), 4),
             "batch_ms": round(dt / args.n_batches * 1000, 1),
+            "batch_ms_pipelined": round(dt_pipe / args.n_batches * 1000, 1),
             "compile_s": round(compile_s, 1),
         })
         print(json.dumps(points[-1]), flush=True)

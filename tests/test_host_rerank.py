@@ -147,6 +147,31 @@ def test_ivf_pq_host_rerank_recall(rng, oracle, metric):
         assert (np.diff(dv) >= -1e-5).all()
 
 
+def test_pipelined_batches_match_sequential(rng):
+    """search_batches_pipelined (device scan of batch i+1 overlapping host
+    rerank of batch i) must yield exactly what sequential search returns."""
+    n, dim, nlist, m = 3000, 16, 8, 4
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = IVFPQConfig(dimension=dim, nlist=nlist, m=m, keep_raw=False,
+                      pq_train_sample=1024)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    store, _, _ = _int8_store(x, np.arange(n, dtype=np.uint64), nlist, rng)
+    # store lists need not mirror index lists for rerank-by-id correctness
+    idx.attach_host_rerank(store, rerank_k=32)
+
+    params = SearchParams(nprobe=8, k=5, use_exact_rerank=True)
+    batches = [rng.standard_normal((6, dim)).astype(np.float32)
+               for _ in range(4)]
+    seq = [idx.search(q, params) for q in batches]
+    pipe = list(idx.search_batches_pipelined(batches, params))
+    assert len(pipe) == len(seq)
+    for (d1, i1), (d2, i2) in zip(seq, pipe):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
 def test_attach_rejects_resident_raw(rng):
     x = rng.standard_normal((2000, 16)).astype(np.float32)
     cfg = IVFPQConfig(dimension=16, nlist=8, m=4, pq_train_sample=1024)

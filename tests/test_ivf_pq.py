@@ -187,6 +187,69 @@ def test_pallas_pq_scan_matches_xla(rng, metric):
     np.testing.assert_allclose(d3, d4, rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_pq_k_inner_shortlist(rng):
+    """k_inner (per-probed-list shortlist depth) feeds the host-rerank
+    capacity tier: k_inner >= cap must be EXACT, and a truncated k_inner
+    must return per-list-bounded, correctly ordered candidates whose
+    global best matches the exact scan (rank 1 within its list is never
+    truncated)."""
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQConfig,
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+        Metric,
+    )
+
+    n, dim, nlist, m = 4000, 32, 8, 4
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((8, dim)).astype(np.float32)
+    idx = IVFPQIndex(IVFPQConfig(dimension=dim, nlist=nlist, m=m))
+    idx.train(x)
+    idx.add(x)
+    probe = jnp.tile(jnp.arange(nlist, dtype=jnp.int32), (8, 1))
+    args = (jnp.asarray(q), idx.code_arena_t, idx.code_sq,
+            idx.counts.astype(jnp.int32), idx.centroids, idx.codebooks,
+            probe)
+    R = 64
+    d_exact, p_exact = pallas_scan.scan_probed_codes_pallas_grouped(
+        *args, R, Metric.L2, interpret=True
+    )
+    # full-depth k_inner == exact
+    d_full, p_full = pallas_scan.scan_probed_codes_pallas_grouped(
+        *args, R, Metric.L2, interpret=True, k_inner=idx.capacity
+    )
+    np.testing.assert_array_equal(p_exact, p_full)
+    np.testing.assert_allclose(d_exact, d_full, rtol=1e-6)
+
+    d_tr, p_tr = pallas_scan.scan_probed_codes_pallas_grouped(
+        *args, R, Metric.L2, interpret=True, k_inner=8
+    )
+    cap = idx.capacity
+    for b in range(8):
+        # global best always survives (its in-list rank is 1)
+        assert p_tr[b, 0] == p_exact[b, 0]
+        assert abs(float(d_tr[b, 0] - d_exact[b, 0])) < 1e-5
+        # distances ascend
+        dv = np.asarray(d_tr[b])
+        fin = np.isfinite(dv)
+        assert (np.diff(dv[fin]) >= -1e-6).all()
+        # per-list contribution bounded by k_inner
+        lists, cnts = np.unique(
+            np.asarray(p_tr[b])[np.asarray(p_tr[b]) >= 0] // cap,
+            return_counts=True,
+        )
+        assert (cnts <= 8).all()
+        # every truncated candidate is a real exact-ADC candidate: its
+        # distance appears in a full-depth scan of its own list
+        sub = set(np.asarray(p_exact[b]).tolist())
+        overlap = len(sub & set(np.asarray(p_tr[b]).tolist()))
+        assert overlap >= R // 2  # shortlist stays close to exact top-R
+
+
 # ---------------------------------------------------------------------- #
 # OPQ (rotation-optimized PQ — ops/pq.opq_fit; beyond the reference)
 # ---------------------------------------------------------------------- #
