@@ -730,9 +730,9 @@ def scan_probed_lists_pallas(
 
 
 def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
-                       codesq_ref, cbt_ref, anchor_ref, out_d_ref,
-                       out_s_ref, decode_ref, last_ref,
-                       *, metric: Metric, k: int, dsub: int, ks: int):
+                       codesq_ref, cbt_ref, anchor_ref, *rest,
+                       metric: Metric, k: int, dsub: int, ks: int,
+                       emit_full: bool = False):
     """Grouped ADC scan: PQ decode-staging instead of dtype cast-staging.
 
     The insight that makes ADC TPU-native: ADC over a list's codes is
@@ -744,7 +744,18 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
     the same [M, D] × [D, cap] dot as the int8 grouped kernel — the decode
     (the expensive part of the reference's per-code shared-memory lookup
     loop, ``engine/kernels.cuh:281-288``) amortizes over every query
-    probing the list."""
+    probing the list.
+
+    ``emit_full``: write the masked full [M, cap] distance row instead of
+    running the k-pass top-k (whose cost is linear in k — prohibitive for
+    the deep shortlists host-store rerank wants); the caller does ONE
+    top-k over the materialized rows (measured ~0.1 ms for top-512 of 82K
+    columns on v5e — the k-pass tax was the whole bottleneck)."""
+    if emit_full:
+        out_d_ref, decode_ref, last_ref = rest
+        out_s_ref = None
+    else:
+        out_d_ref, out_s_ref, decode_ref, last_ref = rest
     i = pl.program_id(0)
     list_id = row_list_ref[i]
     nlist = counts_ref.shape[0]
@@ -793,13 +804,18 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
             d = -qx
         else:
             d = 1.0 - qx
-        _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+        if emit_full:
+            slot = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            out_d_ref[0] = jnp.where(slot < counts_ref[safe_l], d, jnp.inf)
+        else:
+            _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
-                     "slot_stride", "global_capacity", "k_inner"),
+                     "slot_stride", "global_capacity", "k_inner",
+                     "emit_full"),
 )
 def scan_probed_codes_pallas_grouped(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -818,6 +834,7 @@ def scan_probed_codes_pallas_grouped(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     k_inner: int | None = None,
+    emit_full: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas ADC scan — the TPU IVF-PQ fast path.
 
@@ -837,7 +854,17 @@ def scan_probed_codes_pallas_grouped(
     candidates and the final top-k runs over nprobe·k_inner — no longer
     the exact ADC top-k over the probe union (a candidate ranked below
     k_inner *within its own list* can be lost), which a following exact
-    rerank stage absorbs. Leave ``None`` for exact scans."""
+    rerank stage absorbs. Leave ``None`` for exact scans. Measured at 20M
+    (nlist=8192, uniform queries) the truncation CAPPED recall at the
+    k_inner-deep value — clustered corpora put every true neighbor in the
+    query's home list, so per-list truncation ≡ global truncation there.
+
+    ``emit_full`` is the deep-shortlist mode that stays EXACT: the kernel
+    writes full masked distance rows ([n_rows, m, cap] fp32 transient —
+    ~0.8 GB at b=512, nprobe=32, cap=2560) and ONE top-k runs over the
+    nprobe·cap union per query (top-512 of 82K columns measured ~0.1 ms
+    on v5e; the per-row k-pass, linear in k, was the deep-k bottleneck).
+    Overrides ``k_inner``."""
     batch, nprobe = probe_ids.shape
     nlist, m_sub, cap = codes_t.shape
     mq, ks, dsub = codebooks.shape
@@ -895,8 +922,11 @@ def scan_probed_codes_pallas_grouped(
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
-            pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
+            (pl.BlockSpec((1, m, cap), lambda i, rl, cnt: (i, 0, 0)),)
+            if emit_full else (
+                pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
+                pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
+            )
         ),
         scratch_shapes=[
             pltpu.VMEM((dim, cap), jnp.float32),   # decoded block (T)
@@ -905,20 +935,46 @@ def scan_probed_codes_pallas_grouped(
     )
     run = pl.pallas_call(
         functools.partial(_grouped_pq_kernel, metric=metric, k=ki,
-                          dsub=dsub, ks=ks),
+                          dsub=dsub, ks=ks, emit_full=emit_full),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_rows, m, ki), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, m, ki), jnp.int32),
+            (jax.ShapeDtypeStruct((n_rows, m, cap), jnp.float32),)
+            if emit_full else (
+                jax.ShapeDtypeStruct((n_rows, m, ki), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows, m, ki), jnp.int32),
+            )
         ),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
     )
-    out_d, out_s = run(
+    outs = run(
         row_list, kernel_counts, q_rows, codes_t,
         _pad_rows8(code_sq), cbt,
         centroids.astype(jnp.float32)[:, None, :],
     )
+    if emit_full:
+        # Gather each pair's full distance row, map (list, slot) to global
+        # positions, ONE exact top-k over the whole probe union.
+        order, key_sorted, row_of_pair, m_of_pair, _, _ = pack
+        pair_d = outs[0][row_of_pair, m_of_pair]       # [BP, cap]
+        real = (key_sorted[:, None] < nlist) & jnp.isfinite(pair_d)
+        pair_d = jnp.where(real, pair_d, jnp.inf)
+        slot_logical = (
+            jnp.arange(cap, dtype=jnp.int32) * slot_stride + slot_offset
+        )
+        pair_pos = jnp.where(
+            real,
+            key_sorted[:, None] * global_cap + slot_logical[None, :],
+            -1,
+        )
+        inv = jnp.argsort(order)
+        return topk_smallest(
+            pair_d[inv].reshape(batch, nprobe * cap),
+            k,
+            idx=pair_pos[inv].reshape(batch, nprobe * cap),
+            approx=approx,
+        )
+    out_d, out_s = outs
     return _grouped_epilogue(
         out_d, out_s, pack, batch, nprobe, k, nlist, global_cap,
         slot_stride, slot_offset, approx, k_inner=ki,

@@ -225,6 +225,14 @@ def test_pallas_pq_k_inner_shortlist(rng):
     np.testing.assert_array_equal(p_exact, p_full)
     np.testing.assert_allclose(d_exact, d_full, rtol=1e-6)
 
+    # emit_full (full rows + one top-R) must ALSO be exact — it's the
+    # default deep-shortlist path (k-pass cost is linear in R).
+    d_ef, p_ef = pallas_scan.scan_probed_codes_pallas_grouped(
+        *args, R, Metric.L2, interpret=True, emit_full=True
+    )
+    np.testing.assert_array_equal(p_exact, p_ef)
+    np.testing.assert_allclose(d_exact, d_ef, rtol=1e-6)
+
     d_tr, p_tr = pallas_scan.scan_probed_codes_pallas_grouped(
         *args, R, Metric.L2, interpret=True, k_inner=8
     )
