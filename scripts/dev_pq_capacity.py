@@ -56,6 +56,10 @@ def main():
                    help="persisted int8 host store from dev_streaming_bench "
                         "(provides centroids + rerank rows)")
     p.add_argument("--opq", action="store_true")
+    p.add_argument("--preload", action="store_true",
+                   help="sequentially page the zero-copy host store into "
+                        "RAM before measuring (cold random 4K faults are "
+                        "seek-bound on this harness's disk)")
     args = p.parse_args()
 
     import jax
@@ -220,8 +224,11 @@ def main():
         o += c
     tr = time.time()
     reranker = HostReranker(store)
+    if args.preload:
+        reranker.preload()
     _stage(f"reranker flat arrays built in {time.time()-tr:.0f}s "
-           f"({reranker.nbytes() / (1 << 30):.1f} GB host)")
+           f"({reranker.nbytes() / (1 << 30):.1f} GB host"
+           f"{', preloaded' if args.preload else ''})")
 
     # ---------------- measure ----------------
     q_host = np.asarray(queries)
@@ -246,6 +253,10 @@ def main():
             len(set(a.tolist()) & set(b.tolist())) / args.k
             for a, b in zip(ids.astype(np.int64), truth)
         ])
+        # Two untimed warm batches: page in this point's candidate rows
+        # (cold random faults are seek-bound) and settle executables.
+        idx.search(q_host, params)
+        idx.search(q_host, params)
         _stage(f"{name}: sequential throughput (recall {recall:.4f})")
         t1 = time.time()
         for _ in range(args.n_batches):
