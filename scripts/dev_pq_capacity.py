@@ -49,9 +49,10 @@ def main():
     p.add_argument("--n-batches", type=int, default=20)
     p.add_argument("--rerank", default="0,128,256,512",
                    help="comma list of host rerank depths (0 = ADC only)")
-    p.add_argument("--k-inner", type=int, default=32,
-                   help="in-kernel per-(query, probed list) shortlist "
-                        "depth for rerank mode (see pallas_scan k_inner)")
+    p.add_argument("--k-inner", type=int, default=0,
+                   help="0 (default) = exact emit_full deep-shortlist scan; "
+                        ">0 opts into per-list k_inner truncation, which "
+                        "CAPS recall on clustered corpora (see pallas_scan)")
     p.add_argument("--store-dir", default="/tmp/streamstore_i8",
                    help="persisted int8 host store from dev_streaming_bench "
                         "(provides centroids + rerank rows)")
