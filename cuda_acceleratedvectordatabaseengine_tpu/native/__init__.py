@@ -32,14 +32,20 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
+        src = os.path.join(_DIR, "vdbhost.cc")
+        stale = not os.path.exists(_SO) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO)
+        )
+        if stale:
             try:
                 subprocess.run(
-                    ["make", "-C", _DIR, "-s"], check=True,
+                    ["make", "-C", _DIR, "-s", "-B"], check=True,
                     capture_output=True, timeout=120,
                 )
             except Exception:  # noqa: BLE001 — fall back to numpy
-                return None
+                if not os.path.exists(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -64,6 +70,18 @@ def _load():
         ]
         lib.vdb_readahead.restype = ctypes.c_int32
         lib.vdb_hardware_concurrency.restype = ctypes.c_int32
+        if hasattr(lib, "vdb_rerank"):
+            lib.vdb_rerank.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
         _lib = lib
         return _lib
 
@@ -140,6 +158,62 @@ def f32_to_bf16(src: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
     return out
+
+
+def rerank(
+    vecs: np.ndarray,            # [n_rows, dim] int8 or fp32, C-contiguous
+    rows: np.ndarray,            # [b, r] int64, -1 = invalid candidate
+    cand_ids: np.ndarray,        # [b, r] uint64
+    queries: np.ndarray,         # [b, dim] fp32
+    q_sq: np.ndarray | None,     # [b] fp32 (L2 only)
+    metric_code: int,            # 0=L2, 1=IP, 2=cosine
+    k: int,
+    scale: np.ndarray | None = None,       # [n_rows] fp32 (int8 store)
+    sq: np.ndarray | None = None,          # [n_rows] fp32 (L2 only)
+    anchor_row: np.ndarray | None = None,  # [n_rows] int32 (int8 store)
+    qa: np.ndarray | None = None,          # [b, nlist] fp32 (int8 store)
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused gather+dequant+dot+top-k shortlist rerank (``vdb_rerank``).
+
+    Returns None when the native library is unavailable — the caller
+    (``io_host/host_rerank.HostReranker``) falls back to its NumPy path.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "vdb_rerank"):
+        return None
+    is_int8 = vecs.dtype == np.int8
+    if not vecs.flags["C_CONTIGUOUS"]:
+        return None  # never copy the (multi-GB) row store
+    b, r = rows.shape
+    dim = vecs.shape[1]
+    rows = np.ascontiguousarray(rows, np.int64)
+    cand_ids = np.ascontiguousarray(cand_ids, np.uint64)
+    queries = np.ascontiguousarray(queries, np.float32)
+    out_d = np.empty((b, k), np.float32)
+    out_i = np.empty((b, k), np.uint64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    if q_sq is not None:
+        q_sq = np.ascontiguousarray(q_sq, np.float32)
+    if scale is not None:
+        scale = np.ascontiguousarray(scale, np.float32)
+    if sq is not None:
+        sq = np.ascontiguousarray(sq, np.float32)
+    if anchor_row is not None:
+        anchor_row = np.ascontiguousarray(anchor_row, np.int32)
+    if qa is not None:
+        qa = np.ascontiguousarray(qa, np.float32)
+    lib.vdb_rerank(
+        ptr(vecs), 1 if is_int8 else 0, vecs.shape[0], dim,
+        ptr(scale), ptr(sq), ptr(anchor_row),
+        ptr(qa), qa.shape[1] if qa is not None else 0,
+        ptr(queries), ptr(q_sq), b, r,
+        ptr(rows), ptr(cand_ids), metric_code, k,
+        ptr(out_d), ptr(out_i),
+    )
+    return out_d, out_i
 
 
 def readahead(path: str, offset: int = 0, length: int = 0,

@@ -11,6 +11,7 @@
 // Build: make -C cuda_acceleratedvectordatabaseengine_tpu/native
 // API is extern "C" + raw pointers so ctypes/cffi bind without pybind11.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
@@ -19,6 +20,10 @@
 #include <thread>
 #include <unistd.h>
 #include <vector>
+
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -147,6 +152,192 @@ int32_t vdb_readahead(const char* path, int64_t offset, int64_t length,
 
 int32_t vdb_hardware_concurrency() {
   return static_cast<int32_t>(std::thread::hardware_concurrency());
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused shortlist rerank (the capacity tier's host stage).
+//
+// The Python path (io_host/host_rerank.py) gathers B×R int8 rows, casts them
+// to a [c, R, D] fp32 transient, and runs a batched GEMV — ~4× the candidate
+// bytes in pure cast traffic before BLAS even starts. Here the gather,
+// dequantized dot (factored as q·x̂ = qa[anchor] + scale·(q·code)) and top-k
+// selection fuse into one pass per candidate row: each int8 row is read once
+// and never materialized in fp32. Role-wise this is the host half of the
+// reference's declared exact-rerank surface (engine/ivf_flat_index.h:153-157)
+// composed with its declared host tier (format/storage.h:124-173).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr float kFltMax = 3.4028235e38f;
+constexpr uint64_t kInvalidId = 0xFFFFFFFFFFFFFFFFull;
+
+float dot_i8_scalar(const float* q, const int8_t* v, int32_t dim) {
+  float acc = 0.f;
+  for (int32_t d = 0; d < dim; ++d) acc += q[d] * static_cast<float>(v[d]);
+  return acc;
+}
+
+float dot_f32_scalar(const float* q, const float* v, int32_t dim) {
+  float acc = 0.f;
+  for (int32_t d = 0; d < dim; ++d) acc += q[d] * v[d];
+  return acc;
+}
+
+#if defined(__x86_64__) || defined(__i386__)
+
+__attribute__((target("avx2,fma")))
+float hsum8(__m256 v) {
+  __m128 lo = _mm256_castps256_ps128(v);
+  __m128 hi = _mm256_extractf128_ps(v, 1);
+  lo = _mm_add_ps(lo, hi);
+  lo = _mm_hadd_ps(lo, lo);
+  lo = _mm_hadd_ps(lo, lo);
+  return _mm_cvtss_f32(lo);
+}
+
+__attribute__((target("avx2,fma")))
+float dot_i8_avx2(const float* q, const int8_t* v, int32_t dim) {
+  __m256 acc0 = _mm256_setzero_ps();
+  __m256 acc1 = _mm256_setzero_ps();
+  int32_t d = 0;
+  for (; d + 16 <= dim; d += 16) {
+    __m128i bytes = _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(v + d));
+    __m256i w = _mm256_cvtepi8_epi16(bytes);
+    __m256i i0 = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(w));
+    __m256i i1 = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(w, 1));
+    acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(q + d),
+                           _mm256_cvtepi32_ps(i0), acc0);
+    acc1 = _mm256_fmadd_ps(_mm256_loadu_ps(q + d + 8),
+                           _mm256_cvtepi32_ps(i1), acc1);
+  }
+  float acc = hsum8(_mm256_add_ps(acc0, acc1));
+  for (; d < dim; ++d) acc += q[d] * static_cast<float>(v[d]);
+  return acc;
+}
+
+__attribute__((target("avx2,fma")))
+float dot_f32_avx2(const float* q, const float* v, int32_t dim) {
+  __m256 acc0 = _mm256_setzero_ps();
+  __m256 acc1 = _mm256_setzero_ps();
+  int32_t d = 0;
+  for (; d + 16 <= dim; d += 16) {
+    acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(q + d),
+                           _mm256_loadu_ps(v + d), acc0);
+    acc1 = _mm256_fmadd_ps(_mm256_loadu_ps(q + d + 8),
+                           _mm256_loadu_ps(v + d + 8), acc1);
+  }
+  float acc = hsum8(_mm256_add_ps(acc0, acc1));
+  for (; d < dim; ++d) acc += q[d] * v[d];
+  return acc;
+}
+
+bool cpu_has_avx2_fma() {
+  return __builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma");
+}
+#else
+bool cpu_has_avx2_fma() { return false; }
+float dot_i8_avx2(const float*, const int8_t*, int32_t) { return 0.f; }
+float dot_f32_avx2(const float*, const float*, int32_t) { return 0.f; }
+#endif
+
+}  // namespace
+
+extern "C" {
+
+// Exact rerank of per-query candidate shortlists against the flat host row
+// store. vecs is [n_rows, dim] int8 (is_int8=1, factored dequant via
+// scale/anchor_row/qa) or fp32 (is_int8=0). rows[i*r+j] < 0 marks an
+// invalid candidate. metric: 0=L2 (needs sq, q_sq), 1=IP, 2=cosine.
+// Writes out_d/out_i [b, k] ascending by distance, FLT_MAX/UINT64_MAX
+// padding — the same output contract as the NumPy path it replaces.
+void vdb_rerank(const void* vecs, int32_t is_int8, int64_t n_rows,
+                int32_t dim, const float* scale, const float* sq,
+                const int32_t* anchor_row, const float* qa, int32_t nlist,
+                const float* queries, const float* q_sq, int32_t b,
+                int32_t r, const int64_t* rows, const uint64_t* cand_ids,
+                int32_t metric, int32_t k, float* out_d, uint64_t* out_i) {
+  const bool simd = cpu_has_avx2_fma();
+  const int8_t* v8 = static_cast<const int8_t*>(vecs);
+  const float* vf = static_cast<const float*>(vecs);
+  parallel_for(b, [&](int64_t qi) {
+    const float* q = queries + qi * static_cast<int64_t>(dim);
+    const float* qa_row =
+        (qa != nullptr) ? qa + qi * static_cast<int64_t>(nlist) : nullptr;
+    const float qs = (q_sq != nullptr) ? q_sq[qi] : 0.f;
+    // Bounded top-k: unsorted heap-less buffer with tracked current max.
+    std::vector<float> best_d(static_cast<size_t>(k), kFltMax);
+    std::vector<int32_t> best_j(static_cast<size_t>(k), -1);
+    int32_t filled = 0;
+    int32_t max_at = 0;
+    float max_d = kFltMax;
+    const int64_t* row_q = rows + qi * static_cast<int64_t>(r);
+    for (int32_t j = 0; j < r; ++j) {
+      const int64_t row = row_q[j];
+      if (row < 0 || row >= n_rows) continue;
+      float dot;
+      if (is_int8) {
+        const int8_t* vrow = v8 + row * static_cast<int64_t>(dim);
+        dot = simd ? dot_i8_avx2(q, vrow, dim) : dot_i8_scalar(q, vrow, dim);
+        dot *= scale[row];
+        if (qa_row != nullptr) dot += qa_row[anchor_row[row]];
+      } else {
+        const float* vrow = vf + row * static_cast<int64_t>(dim);
+        dot = simd ? dot_f32_avx2(q, vrow, dim)
+                   : dot_f32_scalar(q, vrow, dim);
+      }
+      float d;
+      if (metric == 1) {
+        d = -dot;
+      } else if (metric == 2) {
+        d = 1.f - dot;
+      } else {
+        d = qs - 2.f * dot + sq[row];
+        if (d < 0.f) d = 0.f;
+      }
+      if (filled < k) {
+        best_d[filled] = d;
+        best_j[filled] = j;
+        ++filled;
+        if (filled == k) {
+          max_at = 0;
+          max_d = best_d[0];
+          for (int32_t t = 1; t < k; ++t)
+            if (best_d[t] > max_d) { max_d = best_d[t]; max_at = t; }
+        }
+      } else if (d < max_d) {
+        best_d[max_at] = d;
+        best_j[max_at] = j;
+        max_d = best_d[0];
+        max_at = 0;
+        for (int32_t t = 1; t < k; ++t)
+          if (best_d[t] > max_d) { max_d = best_d[t]; max_at = t; }
+      }
+    }
+    // Ascending sort, ties by candidate position (matches the stable
+    // argsort in the NumPy path).
+    std::vector<int32_t> order(static_cast<size_t>(filled));
+    for (int32_t t = 0; t < filled; ++t) order[t] = t;
+    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t c) {
+      if (best_d[a] != best_d[c]) return best_d[a] < best_d[c];
+      return best_j[a] < best_j[c];
+    });
+    float* od = out_d + qi * static_cast<int64_t>(k);
+    uint64_t* oi = out_i + qi * static_cast<int64_t>(k);
+    const uint64_t* cid = cand_ids + qi * static_cast<int64_t>(r);
+    int32_t t = 0;
+    for (; t < filled; ++t) {
+      od[t] = best_d[order[t]];
+      oi[t] = cid[best_j[order[t]]];
+    }
+    for (; t < k; ++t) {
+      od[t] = kFltMax;
+      oi[t] = kInvalidId;
+    }
+  });
 }
 
 }  // extern "C"

@@ -172,6 +172,49 @@ def test_pipelined_batches_match_sequential(rng):
         np.testing.assert_allclose(d1, d2, rtol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "metric", [Metric.L2, Metric.INNER_PRODUCT, Metric.COSINE]
+)
+@pytest.mark.parametrize("store_dtype", ["int8", "float32"])
+def test_native_rerank_matches_numpy(rng, metric, store_dtype):
+    """The fused C++ rerank (native.vdb_rerank) must match the NumPy path
+    on every metric and store dtype — including INVALID_ID padding,
+    unknown ids, and shortlists shorter than k."""
+    from cuda_acceleratedvectordatabaseengine_tpu import native
+
+    if not native.available():
+        pytest.skip("native host runtime unavailable")
+    n, dim, nlist = 400, 24, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.uint64)
+    if store_dtype == "int8":
+        store, _, _ = _int8_store(x, ids, nlist, rng)
+    else:
+        assigns = rng.integers(0, nlist, n).astype(np.int64)
+        store = HostListStore.from_assignments(
+            x, ids, assigns, nlist, dtype="float32"
+        )
+    rr_nat = HostReranker(store)
+    rr_np = HostReranker(store, use_native=False)
+    assert rr_nat.use_native and not rr_np.use_native
+
+    q = rng.standard_normal((9, dim)).astype(np.float32)
+    cand = rng.integers(0, n, (9, 17)).astype(np.uint64)
+    cand[0, 2] = INVALID_ID           # padding
+    cand[1, :] = INVALID_ID           # fully padded row
+    cand[2, 5] = np.uint64(10**9)     # unknown id
+    for k in (5, 17, 20):             # k < r, k == r, k > r
+        d_nat, i_nat = rr_nat.rerank(q, cand, metric, k)
+        d_np, i_np = rr_np.rerank(q, cand, metric, k)
+        np.testing.assert_allclose(d_nat, d_np, rtol=1e-4, atol=1e-4)
+        for b in range(9):
+            # ids match as sets (near-tie distances may swap order
+            # between BLAS and AVX2 accumulation)
+            assert set(i_nat[b].tolist()) == set(i_np[b].tolist()), (
+                metric, store_dtype, k, b
+            )
+
+
 def test_attach_rejects_resident_raw(rng):
     x = rng.standard_normal((2000, 16)).astype(np.float32)
     cfg = IVFPQConfig(dimension=16, nlist=8, m=4, pq_train_sample=1024)
