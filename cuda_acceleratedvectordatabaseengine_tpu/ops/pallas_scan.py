@@ -453,7 +453,8 @@ def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
 
 
 def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
-                    has_anchor: bool, stage_bf16: bool = False):
+                    has_anchor: bool, stage_bf16: bool = False,
+                    stage_inline: bool = False):
     # Mosaic note: every intermediate is born 2-D (keepdims reductions) —
     # 1-D→2-D vector reshapes don't lower.
     (row_list_ref, counts_ref, qrows_ref, block_ref, blocksq_ref) = refs[:5]
@@ -465,7 +466,11 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
     if has_anchor:
         anchor_ref = refs[pos]
         pos += 1
-    out_d_ref, out_s_ref, cast_ref, last_ref = refs[pos:pos + 4]
+    if stage_inline:
+        out_d_ref, out_s_ref = refs[pos:pos + 2]
+        cast_ref = last_ref = None
+    else:
+        out_d_ref, out_s_ref, cast_ref, last_ref = refs[pos:pos + 4]
 
     i = pl.program_id(0)
     list_id = row_list_ref[i]
@@ -489,10 +494,11 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
         # at single-pass MXU rate with only the query's bf16 rounding
         # (~2e-4 relative) as error; a per-query-constant norm mismatch
         # cancels in ranking.
-        @pl.when((i == 0) | (last_ref[0] != list_id))
-        def _():
-            cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
-            last_ref[0] = list_id
+        if not stage_inline:
+            @pl.when((i == 0) | (last_ref[0] != list_id))
+            def _():
+                cast_ref[...] = block_ref[0].astype(cast_ref.dtype)
+                last_ref[0] = list_id
 
         # This row's M query vectors arrive pre-gathered by XLA
         # ([n_rows, M, D] blocks): a fixed ~M·D·4 bytes/step of HBM
@@ -500,8 +506,14 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
         # batch × steps.
         q_sub = qrows_ref[0]                            # [M, D] fp32
         q_op = q_sub.astype(jnp.bfloat16) if stage_bf16 else q_sub
+        if stage_inline:
+            blk_op = block_ref[0].astype(
+                jnp.bfloat16 if stage_bf16 else jnp.float32
+            )
+        else:
+            blk_op = cast_ref[...]
         dots = jax.lax.dot_general(                     # [M, cap] MXU
-            q_op, cast_ref[...],
+            q_op, blk_op,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -530,7 +542,7 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
-                     "stage_bf16",
+                     "stage_bf16", "stage_inline",
                      "slot_stride", "global_capacity"),
 )
 def scan_probed_lists_pallas_grouped(
@@ -550,6 +562,7 @@ def scan_probed_lists_pallas_grouped(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     stage_bf16: bool = False,
+    stage_inline: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas scan — the fastest single-chip path.
 
@@ -628,6 +641,17 @@ def scan_probed_lists_pallas_grouped(
 
     # fp32 staging default — see scan_probed_lists_pallas_sorted.
     stage_bf16 = stage_bf16 and arena.dtype == jnp.int8
+    # stage_inline (experimental): skip the per-list VMEM staging sweep and
+    # widen the raw block inside the dot — re-runs the cast per grid row of
+    # the same list, so it only pays off when rows-per-list ≈ 1 and Mosaic
+    # can fuse the widen into the MXU operand pipeline.
+    scratch_shapes = [] if stage_inline else [
+        pltpu.VMEM(                     # cast cache (see _grouped_kernel)
+            (cap, dim),
+            jnp.bfloat16 if stage_bf16 else jnp.float32,
+        ),
+        pltpu.SMEM((1,), jnp.int32),               # last cast list id
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # row→list, counts
         grid=(n_rows,),
@@ -636,18 +660,12 @@ def scan_probed_lists_pallas_grouped(
             pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
             pl.BlockSpec((1, m, k), lambda i, rl, cnt: (i, 0, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(                 # cast cache (see _grouped_kernel)
-                (cap, dim),
-                jnp.bfloat16 if stage_bf16 else jnp.float32,
-            ),
-            pltpu.SMEM((1,), jnp.int32),           # last cast list id
-        ],
+        scratch_shapes=scratch_shapes,
     )
     run = pl.pallas_call(
         functools.partial(_grouped_kernel, metric=metric, k=k,
                           has_scale=has_scale, has_anchor=has_anchor,
-                          stage_bf16=stage_bf16),
+                          stage_bf16=stage_bf16, stage_inline=stage_inline),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),

@@ -36,7 +36,9 @@ def main():
         "--config", action="append", default=[],
         help="impl:batch[:m_budget[:flags]], e.g. pallas_grouped:512:16 or "
              "pallas_grouped:512:16:bf16,k1,p16 (flags: bf16 = stage_bf16, "
-             "kN = override k for timing isolation, pN = override nprobe)",
+             "kN = override k for timing isolation, pN = override nprobe, "
+             "ip = inner-product metric for timing isolation, inline = "
+             "stage_inline experimental kernel variant)",
     )
     args = p.parse_args()
     if not args.config:
@@ -143,6 +145,8 @@ def main():
         m_budget = int(parts[2]) if len(parts) > 2 and parts[2] else None
         flags = set(parts[3].split(",")) if len(parts) > 3 else set()
         stage_bf16 = "bf16" in flags
+        stage_inline = "inline" in flags
+        metric_run = Metric.INNER_PRODUCT if "ip" in flags else Metric.L2
         k_run = args.k
         nprobe_run = args.nprobe
         for f in flags:
@@ -154,15 +158,17 @@ def main():
 
         if impl == "pallas_grouped" and (m_budget is not None or flags):
             def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
-                           _np=nprobe_run):
+                           _np=nprobe_run, _met=metric_run,
+                           _inl=stage_inline):
                 qf = qq.astype(jnp.float32)
                 coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
                 _, probe = topk_smallest(coarse, _np)
                 return pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena.arena, arena.arena_sq, arena.counts,
-                    probe.astype(jnp.int32), _k, Metric.L2,
+                    probe.astype(jnp.int32), _k, _met,
                     m_budget=_m, arena_scale=arena.arena_scale,
                     arena_anchors=arena.anchors, stage_bf16=_bf,
+                    stage_inline=_inl,
                 )
         else:
             def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run,

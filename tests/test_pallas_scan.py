@@ -237,6 +237,18 @@ def test_int8_per_row_scale_paths(rng, impl, use_anchors):
             d2, pos2 = scan_probed_lists_pallas_grouped(
                 *args, interpret=True, stage_bf16=True, m_budget=8, **kw
             )
+            # stage_inline folds the widening cast into the dot instead of
+            # the per-list staging sweep — identical fp32 math, so it must
+            # match the exact reference bit-for-bit in semantics.
+            d3, pos3 = scan_probed_lists_pallas_grouped(
+                *args, interpret=True, stage_inline=True, m_budget=8, **kw
+            )
+            d3, pos3 = np.asarray(d3), np.asarray(pos3)
+            for b in range(B):
+                np.testing.assert_allclose(
+                    d3[b], ref_d[b], rtol=1e-4, atol=1e-4
+                )
+                assert set(pos3[b].tolist()) == set(ref_p[b].tolist())
         d2 = np.asarray(d2)
         bq_d, bq_p = _numpy_int8_reference(
             q, arena_i8, scale, arena_sq, probe, cap, k, anchors,
