@@ -75,7 +75,10 @@ def main():
         train_sample_per_list=128, max_capacity_factor=4.0,
     )
     idx = IVFFlatIndex(cfg)
-    nq = args.max_batch
+    # Size the query pool to the LARGEST configured batch — slicing a
+    # smaller pool silently shrinks the actual batch while QPS still
+    # multiplies by the nominal one (measured: an 8× inflation).
+    nq = max([args.max_batch] + [int(c.split(":")[1]) for c in args.config])
 
     chunk_n = 500_000
     mean = args.n // args.nlist
