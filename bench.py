@@ -477,6 +477,7 @@ def main():
             q, *search_args, min(args.nprobe, args.nlist), args.k,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
             idx.arena.anchors, args.m_budget or None,
+            scan_capacity=idx.arena.scan_capacity_hint(),
         )
         return d, pos, probes
 

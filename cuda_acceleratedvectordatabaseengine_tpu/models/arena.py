@@ -118,6 +118,13 @@ class PackedListArena:
     # ``x̂ = anchor[l] + scale[l, slot] · code``; scans recover ``q·x̂`` as
     # ``q·anchor[l] + scale · (q·code)`` — one extra [1, D] dot per list.
     anchors: jax.Array | None = None
+    # Host-tracked upper bound on max(counts) — maintained for free on every
+    # ingest path (they all see counts host-side). Lets searches scan only
+    # the OCCUPIED slot prefix (``scan_capacity``): on balanced builds the
+    # fill is ~mean while capacity carries 1.35×+ headroom, so per-list DMA,
+    # staging, dots and top-k sweeps all shrink by the slack. None = unknown
+    # (fall back to full capacity).
+    counts_max: int | None = None
 
     # Slot-granularity for capacity growth; multiple of the fp32 sublane
     # tile so every list's block keeps MXU/VPU-friendly shapes.
@@ -144,11 +151,24 @@ class PackedListArena:
             counts=jnp.zeros((nlist,), jnp.int32),
             ids=np.full((nlist, capacity), INVALID_ID, np.uint64),
             arena_lo=lo,
+            counts_max=0,
         )
 
     @property
     def total_vectors(self) -> int:
         return int(np.asarray(self.counts).sum())
+
+    def scan_capacity_hint(self) -> int | None:
+        """Static slot-prefix bound for the scan kernels (see
+        ``ops/pallas_scan._effective_cap``): the 128-rounded occupancy when
+        it is known AND smaller than the allocation, else None (scan the
+        full capacity). Rounding here keeps the jit cache key stable across
+        small count drifts — recompiles happen only when the max fill
+        crosses a 128-slot tile."""
+        if self.counts_max is None:
+            return None
+        occ = _round_up(max(int(self.counts_max), 1), self.SLOT_ALIGN)
+        return occ if occ < self.capacity else None
 
     def nbytes_device(self) -> int:
         return (
@@ -214,7 +234,7 @@ class PackedListArena:
         new_ids[assignments, slots] = ids.astype(np.uint64)
         return dataclasses.replace(
             out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids,
-            arena_lo=arena_lo, arena_scale=scale,
+            arena_lo=arena_lo, arena_scale=scale, counts_max=max_needed,
         )
 
     def grow(self, new_capacity: int) -> "PackedListArena":
@@ -341,4 +361,5 @@ class PackedListArena:
             ids=ids.astype(np.uint64),
             arena_scale=arena_scale,
             anchors=anchors_d,
+            counts_max=int(counts.max()) if counts.size else 0,
         )

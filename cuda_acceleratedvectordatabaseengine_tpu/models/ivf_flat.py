@@ -271,13 +271,14 @@ def _bulk_pack_device(x, assignments, nlist, cap, out_dtype, store_lo=False,
     jax.jit,
     static_argnames=(
         "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
-        "m_budget", "stage_bf16",
+        "m_budget", "stage_bf16", "scan_capacity",
     ),
 )
 def _ivf_search_device(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
     arena_scale=None, arena_anchors=None, m_budget=None, stage_bf16=False,
+    scan_capacity=None,
 ):
     """The whole search for a query batch as one traced program.
 
@@ -320,7 +321,7 @@ def _ivf_search_device(
                     probe_ids[:, s:s + step], keep, metric,
                     approx=approx_topk, arena_scale=arena_scale,
                     arena_anchors=arena_anchors, m_budget=m_budget,
-                    stage_bf16=stage_bf16,
+                    stage_bf16=stage_bf16, scan_capacity=scan_capacity,
                 )
                 for s in range(0, nprobe, step)
             ]
@@ -337,11 +338,12 @@ def _ivf_search_device(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
                 approx=approx_topk, arena_scale=arena_scale,
                 arena_anchors=arena_anchors, stage_bf16=stage_bf16,
+                scan_capacity=scan_capacity,
             )
         else:
             d, pos = pallas_scan.scan_probed_lists_pallas(
                 q, arena, arena_sq, counts, probe_ids, keep, metric,
-                approx=approx_topk,
+                approx=approx_topk, scan_capacity=scan_capacity,
             )
     else:
         d, pos = scan_probed_lists(
@@ -382,13 +384,14 @@ def _ivf_search_device(
     jax.jit,
     static_argnames=(
         "nprobe", "k", "metric", "scan_impl", "approx_topk", "rerank_k",
-        "m_budget", "stage_bf16",
+        "m_budget", "stage_bf16", "scan_capacity",
     ),
 )
 def _ivf_search_device_packed(
     queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
     scan_impl="ragged", approx_topk=False, rerank_k=0, arena_lo=None,
     arena_scale=None, arena_anchors=None, m_budget=None, stage_bf16=False,
+    scan_capacity=None,
 ):
     """``_ivf_search_device`` with its three outputs packed into ONE int32
     array ``[B, 2k + nprobe]`` (dists bitcast f32→i32 | positions |
@@ -401,7 +404,7 @@ def _ivf_search_device_packed(
     d, pos, probe_ids = _ivf_search_device(
         queries, centroids, arena, arena_sq, counts, nprobe, k, metric,
         scan_impl, approx_topk, rerank_k, arena_lo, arena_scale,
-        arena_anchors, m_budget, stage_bf16,
+        arena_anchors, m_budget, stage_bf16, scan_capacity,
     )
     return jnp.concatenate(
         [
@@ -598,6 +601,9 @@ class IVFFlatIndex:
             capacity=cap, arena=arena, arena_sq=arena_sq, counts=counts_d,
             ids=ids_table, arena_lo=arena_lo, arena_scale=arena_scale,
             anchors=anchors,
+            counts_max=int(
+                np.bincount(assignments_np, minlength=cfg.nlist).max()
+            ),
         )
 
     def append_balanced(
@@ -708,6 +714,7 @@ class IVFFlatIndex:
             arena.anchors,
             self.config.m_budget,
             self.config.stage_bf16,
+            arena.scan_capacity_hint(),
         ))[:b]
         k = params.k
         # explicit copy: np.asarray of a device array is read-only, and a

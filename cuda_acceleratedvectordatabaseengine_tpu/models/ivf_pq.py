@@ -110,7 +110,8 @@ def _scatter_codes(code_arena_t, code_sq, lists, slots, codes, sq_rows):
 
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k",
-                              "scan_impl", "interpret", "k_inner")
+                              "scan_impl", "interpret", "k_inner",
+                              "scan_capacity")
 )
 def _ivf_pq_search_device(
     queries,        # [B, D] fp32
@@ -132,6 +133,8 @@ def _ivf_pq_search_device(
     opq_R=None,     # [D, D] orthogonal OPQ rotation or None
     k_inner: int = 0,   # >0: per-list shortlist depth (host-rerank mode;
                         # Pallas path only — see pallas_scan k_inner)
+    scan_capacity: int | None = None,  # occupied-prefix bound, see
+                        # pallas_scan._effective_cap
 ):
     b, dim = queries.shape
     nlist, m, cap = code_arena_t.shape
@@ -182,6 +185,8 @@ def _ivf_pq_search_device(
         emit_full = keep > 32 and not k_inner
         if emit_full:
             cap_b = code_arena_t.shape[2]
+            if scan_capacity is not None:
+                cap_b = min(cap_b, -(-scan_capacity // 128) * 128)
             while b * step_p * cap_b * 4 > (2 << 30) and step_p > 1:
                 n_chunks += 1
                 step_p = -(-nprobe // n_chunks)
@@ -191,6 +196,7 @@ def _ivf_pq_search_device(
                 probe_ids[:, s:s + step_p].astype(jnp.int32), keep,
                 kernel_metric, interpret=interpret,
                 k_inner=(k_inner or None), emit_full=emit_full,
+                scan_capacity=scan_capacity,
             )
             for s in range(0, nprobe, step_p)
         ]
@@ -315,6 +321,10 @@ class IVFPQIndex:
         # io_host/host_rerank.HostReranker and attach_host_rerank().
         self._host_rr = None
         self.host_rerank_k = 128
+        # Occupied-prefix hint cache: (counts array identity, hint). One
+        # tiny D2H max() per arena version keeps scans reading only the
+        # filled slot prefix (see pallas_scan._effective_cap).
+        self._scan_cap_cache = (None, None)
         # Per-(query, list) in-kernel shortlist depth in host-rerank mode.
         # 0 (default) = the exact emit_full path: full distance rows + one
         # top-R (see pallas_scan emit_full). >0 opts into per-list k_inner
@@ -368,6 +378,21 @@ class IVFPQIndex:
     @property
     def ntotal(self) -> int:
         return int(np.asarray(self.counts).sum())
+
+    def _scan_capacity_hint(self) -> int | None:
+        """Static occupied-prefix bound for the ADC kernel — max(counts)
+        rounded to the slot tile, None when the arena is filled to
+        capacity. Cached per counts-array identity so the device sync runs
+        once per ingest, not per search."""
+        c = self.counts
+        cached_for, val = self._scan_cap_cache
+        if cached_for is not c:
+            mx = int(np.asarray(jnp.max(c))) if c.shape[0] else 0
+            align = PackedListArena.SLOT_ALIGN
+            occ = -(-max(mx, 1) // align) * align
+            val = occ if occ < self.capacity else None
+            self._scan_cap_cache = (c, val)
+        return val
 
     # ------------------------------------------------------------------ #
     # build
@@ -650,6 +675,7 @@ class IVFPQIndex:
             # per-list depth (the exact rerank absorbs the truncation);
             # exact searches keep the full k-pass.
             k_inner=(self.host_rerank_k_inner if host_rr else 0),
+            scan_capacity=self._scan_capacity_hint(),
         )
         return d, pos, b, host_rr, queries, params
 

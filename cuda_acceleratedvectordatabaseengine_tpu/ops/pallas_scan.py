@@ -92,6 +92,20 @@ def _pad_rows8(a):
     return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad else a
 
 
+def _effective_cap(cap: int, scan_capacity: int | None) -> int:
+    """Slot-prefix width the kernels actually scan. ``scan_capacity`` is the
+    caller's bound on ``max(counts)`` (see ``PackedListArena.counts_max``);
+    rounded up to the 128-slot tile so blocks stay Mosaic-legal. Every
+    BlockSpec then reads only ``[*, :cap_s, *]`` of the arena — allocation
+    headroom above the fill costs no DMA, staging, dots or top-k sweeps.
+    Results are exact as long as ``scan_capacity >= max(counts)`` (the
+    callers derive it from true counts; violating it silently drops the
+    overflow slots)."""
+    if scan_capacity is None or scan_capacity >= cap:
+        return cap
+    return min(cap, max(128, -(-scan_capacity // 128) * 128))
+
+
 def _kernel(probe_ref, counts_ref, q_ref, block_ref, out_ref,
             *, metric: Metric):
     b = pl.program_id(0)
@@ -188,7 +202,7 @@ def _sorted_kernel(*refs, metric: Metric, has_scale: bool, has_anchor: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "slot_stride",
-                     "global_capacity", "stage_bf16"),
+                     "global_capacity", "stage_bf16", "scan_capacity"),
 )
 def scan_probed_lists_pallas_sorted(
     queries: jax.Array,
@@ -206,6 +220,7 @@ def scan_probed_lists_pallas_sorted(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     stage_bf16: bool = False,
+    scan_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Probe-deduplicated Pallas scan.
 
@@ -226,6 +241,7 @@ def scan_probed_lists_pallas_sorted(
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     global_cap = global_capacity if global_capacity is not None else cap
+    cap_s = _effective_cap(cap, scan_capacity)
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     q = queries.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
@@ -241,19 +257,21 @@ def scan_probed_lists_pallas_sorted(
         flat[order] >= 0, (order // nprobe).astype(jnp.int32), -1
     )
 
-    out_shape = jax.ShapeDtypeStruct((-(-n_rows // 8) * 8, cap), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(
+        (-(-n_rows // 8) * 8, cap_s), jnp.float32
+    )
 
     in_specs = [
         pl.BlockSpec((batch, dim), lambda i, r, l, c, qs: (0, 0)),
         pl.BlockSpec(
-            (1, cap, dim), lambda i, r, l, c, qs: (l[i], 0, 0)
+            (1, cap_s, dim), lambda i, r, l, c, qs: (l[i], 0, 0)
         ),
-        pl.BlockSpec((8, cap), lambda i, r, l, c, qs: (l[i] // 8, 0)),
+        pl.BlockSpec((8, cap_s), lambda i, r, l, c, qs: (l[i] // 8, 0)),
     ]
     operands = [q, arena, _pad_rows8(arena_sq)]
     if has_scale:
         in_specs.append(
-            pl.BlockSpec((8, cap), lambda i, r, l, c, qs: (l[i] // 8, 0))
+            pl.BlockSpec((8, cap_s), lambda i, r, l, c, qs: (l[i] // 8, 0))
         )
         operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
     if has_anchor:
@@ -276,11 +294,11 @@ def scan_probed_lists_pallas_sorted(
         grid=(n_rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (8, cap), lambda i, r, l, c, qs: (i // 8, 0)
+            (8, cap_s), lambda i, r, l, c, qs: (i // 8, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM(                 # cast cache (see _sorted_kernel)
-                (cap, dim),
+                (cap_s, dim),
                 jnp.bfloat16 if stage_bf16 else jnp.float32,
             ),
             pltpu.SMEM((1,), jnp.int32),           # last cast list id
@@ -298,15 +316,15 @@ def scan_probed_lists_pallas_sorted(
     d_sorted = run(rows, sorted_lists, kernel_counts, q_sq, *operands)[:n_rows]
 
     inv = jnp.argsort(order)
-    d = d_sorted[inv].reshape(batch, nprobe, cap)       # back to (b, p)
+    d = d_sorted[inv].reshape(batch, nprobe, cap_s)     # back to (b, p)
 
     pos = _striped_positions(
-        probe_ids, counts, cap, slot_stride, slot_offset, global_cap
+        probe_ids, counts, cap_s, slot_stride, slot_offset, global_cap
     )
     return topk_smallest(
-        d.reshape(batch, nprobe * cap),
+        d.reshape(batch, nprobe * cap_s),
         k,
-        idx=pos.reshape(batch, nprobe * cap),
+        idx=pos.reshape(batch, nprobe * cap_s),
         approx=approx,
     )
 
@@ -343,6 +361,96 @@ def _emit_row_topk(d, cnt, k: int, out_d_ref, out_s_ref):
     )
     out_d_ref[0] = best_d
     out_s_ref[0] = best_s
+
+
+def _emit_row_topk_t4(d, cnt, k: int, out_d_ref, out_s_ref):
+    """Tournament variant of ``_emit_row_topk``: fold the row into four
+    quarter-width (value, slot) lanes sorted per column (5 compare-swap
+    stages), then run the k min-extraction passes at QUARTER width with a
+    loser-promotion shift on extraction. Exact values/slots (tie ORDER
+    among equal distances may differ from the k-pass variant — any
+    consistent tie-break is valid for the epilogue merge). Per-pass VPU
+    work drops from ~6 full-row sweeps to ~14 quarter-row ops; the one-time
+    sort costs ~6 full-row equivalents, so it wins for k ≳ 3. Requires
+    ``cap % 512 == 0`` so quarter slices stay lane-tile aligned (the
+    caller's auto gate checks this)."""
+    m, cap = d.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (m, cap), 1)
+    d = jnp.where(slot < cnt, d, jnp.inf)
+    qw = cap // 4
+    # Born-2D quarters via iota arithmetic instead of lane-offset slices of
+    # the full row (offset slices of [M, cap] trip a Mosaic lowering check
+    # at M > 8: ``limits[i] <= dim(i)``).
+    qslot0 = jax.lax.broadcasted_iota(jnp.int32, (m, qw), 1)
+    vals = [d[:, i * qw:(i + 1) * qw] for i in range(4)]
+    slots = [qslot0 + i * qw for i in range(4)]
+
+    def _cas(i, j):
+        c = vals[j] < vals[i]
+        vals[i], vals[j] = (
+            jnp.where(c, vals[j], vals[i]), jnp.where(c, vals[i], vals[j])
+        )
+        slots[i], slots[j] = (
+            jnp.where(c, slots[j], slots[i]),
+            jnp.where(c, slots[i], slots[j]),
+        )
+
+    _cas(0, 1)
+    _cas(2, 3)
+    _cas(0, 2)
+    _cas(1, 3)
+    _cas(1, 2)
+
+    qslot = jax.lax.broadcasted_iota(jnp.int32, (m, qw), 1)
+    big = jnp.int32(cap + 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1)
+
+    def extract(j, carry):
+        (w, x1, x2, x3, sw, s1, s2, s3, best_d, best_s) = carry
+        val = jnp.min(w, axis=1, keepdims=True)             # [M, 1]
+        qidx = jnp.min(
+            jnp.where(w == val, qslot, big), axis=1, keepdims=True
+        )
+        mask = qslot == qidx
+        sout = jnp.min(jnp.where(mask, sw, big), axis=1, keepdims=True)
+        write = col == j
+        best_d = jnp.where(write, val, best_d)
+        best_s = jnp.where(write, sout, best_s)
+        # Promote the column's loser chain one step; the tail dies to inf.
+        w = jnp.where(mask, x1, w)
+        sw = jnp.where(mask, s1, sw)
+        x1 = jnp.where(mask, x2, x1)
+        s1 = jnp.where(mask, s2, s1)
+        x2 = jnp.where(mask, x3, x2)
+        s2 = jnp.where(mask, s3, s2)
+        x3 = jnp.where(mask, jnp.inf, x3)
+        return (w, x1, x2, x3, sw, s1, s2, s3, best_d, best_s)
+
+    # Static unroll (k is small): fori_loop's 10-buffer loop carry trips
+    # the Mosaic lowering here, an unrolled chain does not.
+    carry = tuple(vals) + tuple(slots) + (
+        jnp.full((m, k), jnp.inf, jnp.float32),
+        jnp.full((m, k), -1, jnp.int32),
+    )
+    for j in range(k):
+        carry = extract(j, carry)
+    out_d_ref[0] = carry[8]
+    out_s_ref[0] = carry[9]
+
+
+def _row_topk(d, cnt, k, out_d_ref, out_s_ref, topk_impl: str = "auto"):
+    """Dispatch between the k-pass and tournament row top-k emitters.
+
+    auto picks the tournament when quarters stay lane-tile aligned
+    (cap % 512 == 0) and k is big enough to amortize the one-time
+    4-way sort (k ≥ 3); the k-pass otherwise."""
+    cap = d.shape[1]
+    if topk_impl == "t4" or (
+        topk_impl == "auto" and cap % 512 == 0 and k >= 3
+    ):
+        _emit_row_topk_t4(d, cnt, k, out_d_ref, out_s_ref)
+    else:
+        _emit_row_topk(d, cnt, k, out_d_ref, out_s_ref)
 
 
 # SMEM budget (in rows) for the grouped kernels' scalar-prefetch row
@@ -454,7 +562,7 @@ def _grouped_epilogue(out_d, out_s, pack, batch, nprobe, k, nlist,
 
 def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
                     has_anchor: bool, stage_bf16: bool = False,
-                    stage_inline: bool = False):
+                    stage_inline: bool = False, topk_impl: str = "auto"):
     # Mosaic note: every intermediate is born 2-D (keepdims reductions) —
     # 1-D→2-D vector reshapes don't lower.
     (row_list_ref, counts_ref, qrows_ref, block_ref, blocksq_ref) = refs[:5]
@@ -536,14 +644,16 @@ def _grouped_kernel(*refs, metric: Metric, k: int, has_scale: bool,
             d = -qx
         else:
             d = 1.0 - qx
-        _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+        _row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref,
+                  topk_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
                      "stage_bf16", "stage_inline",
-                     "slot_stride", "global_capacity"),
+                     "slot_stride", "global_capacity", "scan_capacity",
+                     "topk_impl"),
 )
 def scan_probed_lists_pallas_grouped(
     queries: jax.Array,
@@ -562,7 +672,9 @@ def scan_probed_lists_pallas_grouped(
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
     stage_bf16: bool = False,
-    stage_inline: bool = False,
+    stage_inline: bool | None = None,
+    scan_capacity: int | None = None,
+    topk_impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas scan — the fastest single-chip path.
 
@@ -578,6 +690,7 @@ def scan_probed_lists_pallas_grouped(
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     global_cap = global_capacity if global_capacity is not None else cap
+    cap_s = _effective_cap(cap, scan_capacity)
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
@@ -618,16 +731,16 @@ def scan_probed_lists_pallas_grouped(
     in_specs = [
         pl.BlockSpec((1, m, dim), lambda i, rl, cnt: (_qblk(i, rl, cnt), 0, 0)),
         pl.BlockSpec(
-            (1, cap, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
+            (1, cap_s, dim), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
         ),
         pl.BlockSpec(
-            (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+            (8, cap_s), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
         ),
     ]
     operands = [q_rows, arena, _pad_rows8(arena_sq)]
     if has_scale:
         in_specs.append(pl.BlockSpec(
-            (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+            (8, cap_s), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
         ))
         operands.append(_pad_rows8(arena_scale.astype(jnp.float32)))
     if has_anchor:
@@ -641,13 +754,19 @@ def scan_probed_lists_pallas_grouped(
 
     # fp32 staging default — see scan_probed_lists_pallas_sorted.
     stage_bf16 = stage_bf16 and arena.dtype == jnp.int8
-    # stage_inline (experimental): skip the per-list VMEM staging sweep and
-    # widen the raw block inside the dot — re-runs the cast per grid row of
-    # the same list, so it only pays off when rows-per-list ≈ 1 and Mosaic
-    # can fuse the widen into the MXU operand pipeline.
+    # stage_inline: skip the per-list VMEM staging sweep and widen the raw
+    # block inside the dot operand instead — identical fp32 math, but the
+    # cast re-runs on every grid row of the same list. Auto (None): enable
+    # exactly when the mean pairs-per-list fits one row (n_pairs ≤
+    # nlist·m), i.e. the staging sweep could not have amortized anyway —
+    # measured 74.4→68.3 ms/batch at the 10M×768 b8192 nprobe=16 point
+    # (decomposition sweep, round 3). With multiple rows per list the
+    # staged copy is read m-row times and wins; keep it there.
+    if stage_inline is None:
+        stage_inline = n_pairs <= nlist * m
     scratch_shapes = [] if stage_inline else [
         pltpu.VMEM(                     # cast cache (see _grouped_kernel)
-            (cap, dim),
+            (cap_s, dim),
             jnp.bfloat16 if stage_bf16 else jnp.float32,
         ),
         pltpu.SMEM((1,), jnp.int32),               # last cast list id
@@ -665,7 +784,8 @@ def scan_probed_lists_pallas_grouped(
     run = pl.pallas_call(
         functools.partial(_grouped_kernel, metric=metric, k=k,
                           has_scale=has_scale, has_anchor=has_anchor,
-                          stage_bf16=stage_bf16, stage_inline=stage_inline),
+                          stage_bf16=stage_bf16, stage_inline=stage_inline,
+                          topk_impl=topk_impl),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, m, k), jnp.float32),
@@ -684,7 +804,7 @@ def scan_probed_lists_pallas_grouped(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "slot_stride",
-                     "global_capacity"),
+                     "global_capacity", "scan_capacity"),
 )
 def scan_probed_lists_pallas(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -699,11 +819,13 @@ def scan_probed_lists_pallas(
     slot_stride: int = 1,
     slot_offset: jax.Array | int = 0,
     global_capacity: int | None = None,
+    scan_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     del arena_sq  # norms are recomputed from the stored block in-kernel
     batch, nprobe = probe_ids.shape
     nlist, cap, dim = arena.shape
     global_cap = global_capacity if global_capacity is not None else cap
+    cap_s = _effective_cap(cap, scan_capacity)
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     q = queries.astype(jnp.float32)
 
@@ -715,7 +837,7 @@ def scan_probed_lists_pallas(
             pl.BlockSpec((batch, dim), lambda b, p, probe, cnt: (0, 0)),
             # arena block selected BY PROBE ID (the scalar-prefetch trick)
             pl.BlockSpec(
-                (1, cap, dim),
+                (1, cap_s, dim),
                 lambda b, p, probe, cnt: (
                     jnp.maximum(probe[b, p], 0), 0, 0
                 ),
@@ -724,25 +846,25 @@ def scan_probed_lists_pallas(
         # query b's whole [P, cap] output group; revisited over p, flushed
         # when b advances
         out_specs=pl.BlockSpec(
-            (1, nprobe, cap), lambda b, p, probe, cnt: (b, 0, 0)
+            (1, nprobe, cap_s), lambda b, p, probe, cnt: (b, 0, 0)
         ),
     )
     run = pl.pallas_call(
         functools.partial(_kernel, metric=metric),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, nprobe, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, nprobe, cap_s), jnp.float32),
         interpret=interpret,
         compiler_params=_VMEM_PARAMS,
     )
-    d = run(probe_ids, kernel_counts, q, arena)         # [B, P, cap]
+    d = run(probe_ids, kernel_counts, q, arena)         # [B, P, cap_s]
 
     pos = _striped_positions(
-        probe_ids, counts, cap, slot_stride, slot_offset, global_cap
+        probe_ids, counts, cap_s, slot_stride, slot_offset, global_cap
     )
     return topk_smallest(
-        d.reshape(batch, nprobe * cap),
+        d.reshape(batch, nprobe * cap_s),
         k,
-        idx=pos.reshape(batch, nprobe * cap),
+        idx=pos.reshape(batch, nprobe * cap_s),
         approx=approx,
     )
 
@@ -833,7 +955,7 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
                      "slot_stride", "global_capacity", "k_inner",
-                     "emit_full"),
+                     "emit_full", "scan_capacity"),
 )
 def scan_probed_codes_pallas_grouped(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -853,6 +975,7 @@ def scan_probed_codes_pallas_grouped(
     global_capacity: int | None = None,
     k_inner: int | None = None,
     emit_full: bool = False,
+    scan_capacity: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas ADC scan — the TPU IVF-PQ fast path.
 
@@ -888,10 +1011,11 @@ def scan_probed_codes_pallas_grouped(
     mq, ks, dsub = codebooks.shape
     assert mq == m_sub
     dim = m_sub * dsub
+    cap_s = _effective_cap(cap, scan_capacity)
     # Effective in-kernel candidate count: the final top-k needs at least
     # k candidates across nprobe lists, and >cap per list is meaningless.
     ki = k if k_inner is None else min(max(k_inner, -(-k // nprobe)),
-                                       cap, k)
+                                       cap_s, k)
     global_cap = global_capacity if global_capacity is not None else cap
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
@@ -929,10 +1053,11 @@ def scan_probed_codes_pallas_grouped(
                 (1, m, dim), lambda i, rl, cnt: (_qblk(i, rl, cnt), 0, 0)
             ),
             pl.BlockSpec(
-                (1, m_sub, cap), lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
+                (1, m_sub, cap_s),
+                lambda i, rl, cnt: (_blk(i, rl, cnt), 0, 0)
             ),
             pl.BlockSpec(
-                (8, cap), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
+                (8, cap_s), lambda i, rl, cnt: (_blk(i, rl, cnt) // 8, 0)
             ),
             pl.BlockSpec((dim, ks), lambda i, rl, cnt: (0, 0)),
             pl.BlockSpec(
@@ -940,14 +1065,14 @@ def scan_probed_codes_pallas_grouped(
             ),
         ],
         out_specs=(
-            (pl.BlockSpec((1, m, cap), lambda i, rl, cnt: (i, 0, 0)),)
+            (pl.BlockSpec((1, m, cap_s), lambda i, rl, cnt: (i, 0, 0)),)
             if emit_full else (
                 pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
                 pl.BlockSpec((1, m, ki), lambda i, rl, cnt: (i, 0, 0)),
             )
         ),
         scratch_shapes=[
-            pltpu.VMEM((dim, cap), jnp.float32),   # decoded block (T)
+            pltpu.VMEM((dim, cap_s), jnp.float32),  # decoded block (T)
             pltpu.SMEM((1,), jnp.int32),           # last decoded list id
         ],
     )
@@ -956,7 +1081,7 @@ def scan_probed_codes_pallas_grouped(
                           dsub=dsub, ks=ks, emit_full=emit_full),
         grid_spec=grid_spec,
         out_shape=(
-            (jax.ShapeDtypeStruct((n_rows, m, cap), jnp.float32),)
+            (jax.ShapeDtypeStruct((n_rows, m, cap_s), jnp.float32),)
             if emit_full else (
                 jax.ShapeDtypeStruct((n_rows, m, ki), jnp.float32),
                 jax.ShapeDtypeStruct((n_rows, m, ki), jnp.int32),
@@ -974,11 +1099,11 @@ def scan_probed_codes_pallas_grouped(
         # Gather each pair's full distance row, map (list, slot) to global
         # positions, ONE exact top-k over the whole probe union.
         order, key_sorted, row_of_pair, m_of_pair, _, _ = pack
-        pair_d = outs[0][row_of_pair, m_of_pair]       # [BP, cap]
+        pair_d = outs[0][row_of_pair, m_of_pair]       # [BP, cap_s]
         real = (key_sorted[:, None] < nlist) & jnp.isfinite(pair_d)
         pair_d = jnp.where(real, pair_d, jnp.inf)
         slot_logical = (
-            jnp.arange(cap, dtype=jnp.int32) * slot_stride + slot_offset
+            jnp.arange(cap_s, dtype=jnp.int32) * slot_stride + slot_offset
         )
         pair_pos = jnp.where(
             real,
@@ -987,9 +1112,9 @@ def scan_probed_codes_pallas_grouped(
         )
         inv = jnp.argsort(order)
         return topk_smallest(
-            pair_d[inv].reshape(batch, nprobe * cap),
+            pair_d[inv].reshape(batch, nprobe * cap_s),
             k,
-            idx=pair_pos[inv].reshape(batch, nprobe * cap),
+            idx=pair_pos[inv].reshape(batch, nprobe * cap_s),
             approx=approx,
         )
     out_d, out_s = outs

@@ -137,6 +137,8 @@ def main():
         del xc
     truth = np.concatenate([np.asarray(g) for g in gt_i])
     _stage(f"build done in {time.time()-t0:.0f}s cap={idx.arena.capacity} "
+           f"counts_max={idx.arena.counts_max} "
+           f"scan_cap={idx.arena.scan_capacity_hint()} "
            f"arena_gb={idx.arena.nbytes_device()/(1<<30):.2f}")
 
     arena = idx.arena
@@ -160,9 +162,20 @@ def main():
         q = chunk_queries[:batch]
 
         if impl == "pallas_grouped" and (m_budget is not None or flags):
+            # stage_inline: explicit flag wins; otherwise the kernel's
+            # auto gate decides. fullcap disables the occupied-prefix
+            # bound for A/B against the full-capacity scan.
+            inline_opt = True if stage_inline else (
+                False if "noinline" in flags else None
+            )
+            scan_cap = None if "fullcap" in flags else \
+                arena.scan_capacity_hint()
+            topk_impl = ("t4" if "t4" in flags
+                         else "passes" if "passes" in flags else "auto")
+
             def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
                            _np=nprobe_run, _met=metric_run,
-                           _inl=stage_inline):
+                           _inl=inline_opt, _sc=scan_cap, _tk=topk_impl):
                 qf = qq.astype(jnp.float32)
                 coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
                 _, probe = topk_smallest(coarse, _np)
@@ -171,7 +184,7 @@ def main():
                     probe.astype(jnp.int32), _k, _met,
                     m_budget=_m, arena_scale=arena.arena_scale,
                     arena_anchors=arena.anchors, stage_bf16=_bf,
-                    stage_inline=_inl,
+                    stage_inline=_inl, scan_capacity=_sc, topk_impl=_tk,
                 )
         else:
             def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run,

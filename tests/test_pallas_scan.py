@@ -262,6 +262,85 @@ def test_int8_per_row_scale_paths(rng, impl, use_anchors):
         np.testing.assert_allclose(d2, ref_d, rtol=3e-3, atol=3e-3)
 
 
+def test_scan_capacity_prefix_parity(rng):
+    """scan_capacity (the occupied-prefix bound) must not change results:
+    kernels read only [:, :cap_s, :] blocks, which covers every live slot
+    when cap_s >= max(counts). Exercises all three Pallas entry points and
+    the PQ ADC kernel against their full-capacity outputs."""
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
+        scan_probed_lists_pallas,
+        scan_probed_lists_pallas_grouped,
+        scan_probed_lists_pallas_sorted,
+    )
+
+    nlist, cap, dim, B, P, k = 8, 384, 32, 4, 3, 5
+    fill = 200                      # occupied prefix; cap_s rounds to 256
+    arena_f = rng.standard_normal((nlist, cap, dim)).astype(np.float32)
+    arena_f[:, fill:] = 0.0
+    counts = rng.integers(64, fill + 1, (nlist,)).astype(np.int32)
+    arena_sq = (arena_f ** 2).sum(-1).astype(np.float32)
+    q = rng.standard_normal((B, dim)).astype(np.float32)
+    probe = np.stack([
+        rng.choice(nlist, P, replace=False) for _ in range(B)
+    ]).astype(np.int32)
+    args = (
+        jnp.asarray(q), jnp.asarray(arena_f), jnp.asarray(arena_sq),
+        jnp.asarray(counts), jnp.asarray(probe), k, Metric.L2,
+    )
+    for fn, kw in (
+        (scan_probed_lists_pallas, {}),
+        (scan_probed_lists_pallas_sorted, {}),
+        (scan_probed_lists_pallas_grouped, {"m_budget": 8}),
+    ):
+        d_full, p_full = fn(*args, interpret=True, **kw)
+        d_pre, p_pre = fn(
+            *args, interpret=True, scan_capacity=int(counts.max()), **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_pre), np.asarray(d_full), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(p_pre), np.asarray(p_full))
+
+
+@pytest.mark.parametrize("topk_impl", ["passes", "t4"])
+def test_grouped_topk_impls_parity(rng, topk_impl):
+    """Both row top-k emitters (k-pass and quarter-width tournament) must
+    reproduce the exact scan, including underfull rows (fewer valid slots
+    than k → inf/-1 sentinels)."""
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
+        scan_probed_lists_pallas_grouped,
+    )
+
+    nlist, cap, dim, B, P, k = 8, 512, 32, 6, 4, 10
+    arena = rng.standard_normal((nlist, cap, dim)).astype(np.float32)
+    arena_sq = (arena ** 2).sum(-1).astype(np.float32)
+    q = rng.standard_normal((B, dim)).astype(np.float32)
+    probe = np.stack([
+        rng.choice(nlist, P, replace=False) for _ in range(B)
+    ]).astype(np.int32)
+    for counts in (
+        rng.integers(1, cap + 1, (nlist,)).astype(np.int32),
+        np.full(nlist, 2, np.int32),            # underfull: valid < k
+    ):
+        args = (
+            jnp.asarray(q), jnp.asarray(arena), jnp.asarray(arena_sq),
+            jnp.asarray(counts), jnp.asarray(probe), k, Metric.L2,
+        )
+        rd, rp = scan_probed_lists(*args)
+        d, p = scan_probed_lists_pallas_grouped(
+            *args, interpret=True, m_budget=8, topk_impl=topk_impl,
+        )
+        rd, rp = np.asarray(rd), np.asarray(rp)
+        d, p = np.asarray(d), np.asarray(p)
+        fin = np.isfinite(rd)
+        np.testing.assert_allclose(d[fin], rd[fin], rtol=1e-5, atol=1e-5)
+        assert ((p >= 0) == fin).all()
+        for b in range(B):
+            assert set(p[b][fin[b]].tolist()) == set(
+                rp[b][fin[b]].tolist()
+            )
+
+
 def test_residual_quantization_is_finer(rng):
     """Residual (anchored) int8 encoding reconstructs clustered data much
     more accurately than raw-value encoding — the recall lever."""
