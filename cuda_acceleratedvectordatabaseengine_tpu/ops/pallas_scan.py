@@ -696,12 +696,14 @@ def scan_probed_lists_pallas_grouped(
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
-        # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
-        # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
-        # 64@b8192 (nprobe=32, nlist=4096); re-validated at nprobe=16
-        # (r3 latency sweep, LATENCY_r03.json) where the formula's picks
-        # (8@b512, 64@b8192) match the measured bests.
-        m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
+        # m* ≈ 8·√(mean pairs-per-list), rounded to a multiple of 8 and
+        # clamped to [8, 64]. Fits every measured optimum at 10M×768 int8
+        # (nlist=4096; r2 dev sweep + r3 latency/kernel sweeps): mean→m*
+        # of 2→8, 4→16, 16→32, 32→48, 64→64. The earlier 2×-mean law
+        # matched all but the mean=32 point (picked 64 where 48 measures
+        # ~4% faster with the t4 epilogue, KERNEL_r03.json).
+        mean_ppl = n_pairs / nlist
+        m_budget = max(8, min(64, int(8.0 * mean_ppl ** 0.5 / 8 + 0.5) * 8))
     m = m_budget
     # Static row bound: full rows + one partial row per list (+ the
     # invalid-probe group). Also bounded by n_pairs — every used row holds
