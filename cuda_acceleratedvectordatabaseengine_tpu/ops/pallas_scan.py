@@ -876,7 +876,7 @@ def scan_probed_lists_pallas(
 def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
                        codesq_ref, cbt_ref, anchor_ref, *rest,
                        metric: Metric, k: int, dsub: int, ks: int,
-                       emit_full: bool = False):
+                       emit_full: bool = False, topk_impl: str = "auto"):
     """Grouped ADC scan: PQ decode-staging instead of dtype cast-staging.
 
     The insight that makes ADC TPU-native: ADC over a list's codes is
@@ -952,14 +952,15 @@ def _grouped_pq_kernel(row_list_ref, counts_ref, qrows_ref, codes_ref,
             slot = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
             out_d_ref[0] = jnp.where(slot < counts_ref[safe_l], d, jnp.inf)
         else:
-            _emit_row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref)
+            _row_topk(d, counts_ref[safe_l], k, out_d_ref, out_s_ref,
+                      topk_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "approx", "interpret", "m_budget",
                      "slot_stride", "global_capacity", "k_inner",
-                     "emit_full", "scan_capacity"),
+                     "emit_full", "scan_capacity", "topk_impl"),
 )
 def scan_probed_codes_pallas_grouped(
     queries: jax.Array,     # [B, D] fp32 (pre-normalized if cosine)
@@ -980,6 +981,7 @@ def scan_probed_codes_pallas_grouped(
     k_inner: int | None = None,
     emit_full: bool = False,
     scan_capacity: int | None = None,
+    topk_impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """List-centric grouped Pallas ADC scan — the TPU IVF-PQ fast path.
 
@@ -1009,7 +1011,15 @@ def scan_probed_codes_pallas_grouped(
     ~0.8 GB at b=512, nprobe=32, cap=2560) and ONE top-k runs over the
     nprobe·cap union per query (top-512 of 82K columns measured ~0.1 ms
     on v5e; the per-row k-pass, linear in k, was the deep-k bottleneck).
-    Overrides ``k_inner``."""
+    Overrides ``k_inner``.
+
+    ``topk_impl`` selects the in-kernel row top-k (``_row_topk``), same
+    semantics as the flat grouped kernel. The ``auto`` t4 gate rarely
+    fires for PQ in practice (list capacities like 384/3200 fail the
+    cap%512 alignment), and the tiny-arena probe shows t4 LOSING on
+    small grids (nlist=16: 4.1 vs 0.04 ms/call) — bit-exact either way
+    (verified on-device), so this is an opt-in perf knob for measured
+    cap%512==0 deployments, not a default win."""
     batch, nprobe = probe_ids.shape
     nlist, m_sub, cap = codes_t.shape
     mq, ks, dsub = codebooks.shape
@@ -1082,7 +1092,8 @@ def scan_probed_codes_pallas_grouped(
     )
     run = pl.pallas_call(
         functools.partial(_grouped_pq_kernel, metric=metric, k=ki,
-                          dsub=dsub, ks=ks, emit_full=emit_full),
+                          dsub=dsub, ks=ks, emit_full=emit_full,
+                          topk_impl=topk_impl),
         grid_spec=grid_spec,
         out_shape=(
             (jax.ShapeDtypeStruct((n_rows, m, cap_s), jnp.float32),)

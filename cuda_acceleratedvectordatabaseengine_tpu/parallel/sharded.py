@@ -62,16 +62,34 @@ def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
     return (j * n_shards + s).astype(np.int32)
 
 
+def _stripe_scan_capacity(counts_max, global_cap: int,
+                          n_shards: int) -> int | None:
+    """Per-stripe occupied-prefix bound for the slot-striped kernels.
+
+    Striping is round-robin (logical slot j lives on chip ``j % N`` at
+    local slot ``j // N``), so a logical occupancy of ``counts_max`` slots
+    fills at most ``ceil(counts_max / N)`` local slots on any chip. Rounded
+    to the 128 tile like ``PackedListArena.scan_capacity_hint`` (stable jit
+    keys); None when it wouldn't shrink the local scan."""
+    if not counts_max:
+        return None
+    local_cap = global_cap // n_shards
+    occ = -(-int(counts_max) // n_shards)
+    occ = -(-max(occ, 1) // 128) * 128
+    return occ if occ < local_cap else None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
                      "global_cap", "scan_impl", "has_scale", "has_anchor",
-                     "interpret"),
+                     "interpret", "scan_capacity"),
 )
 def _sharded_search(
     queries, centroids, arena_s, arena_sq_s, counts, arena_scale,
     arena_anchors, mesh, nprobe, k, metric, n_shards, global_cap,
     scan_impl="gather", has_scale=False, has_anchor=False, interpret=False,
+    scan_capacity=None,
 ):
     def local_fn(q, c, arena_l, arena_sq_l, cnt, scale, anchors):
         s = jax.lax.axis_index(SHARD_AXIS)
@@ -103,18 +121,21 @@ def _sharded_search(
                 d, pos = pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena_l, arena_sq_l, cnt, probe, k, metric,
                     arena_scale=scale_arg, arena_anchors=anchor_arg,
-                    interpret=interpret, **stripe,
+                    interpret=interpret, scan_capacity=scan_capacity,
+                    **stripe,
                 )
             elif scan_impl == "pallas_sorted" or scale_arg is not None:
                 d, pos = pallas_scan.scan_probed_lists_pallas_sorted(
                     qf, arena_l, arena_sq_l, cnt, probe, k, metric,
                     arena_scale=scale_arg, arena_anchors=anchor_arg,
-                    interpret=interpret, **stripe,
+                    interpret=interpret, scan_capacity=scan_capacity,
+                    **stripe,
                 )
             else:
                 d, pos = pallas_scan.scan_probed_lists_pallas(
                     qf, arena_l, arena_sq_l, cnt, probe, k, metric,
-                    interpret=interpret, **stripe,
+                    interpret=interpret, scan_capacity=scan_capacity,
+                    **stripe,
                 )
         else:
             d, pos = scan_probed_lists(
@@ -372,6 +393,7 @@ class ShardedIVFFlatIndex:
         self.counts = jax.device_put(
             jnp.asarray(counts_h.astype(np.int32)), repl
         )
+        self._counts_max = int(counts_h.max()) if counts_h.size else 0
         self._ids_table = ids_table
         self.global_cap = global_cap
         self._published = True
@@ -394,6 +416,7 @@ class ShardedIVFFlatIndex:
         self.arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
         self.arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
         self.counts = jax.device_put(arena.counts, repl)
+        self._counts_max = arena.counts_max
         self.centroids = jax.device_put(self.base.centroids, repl)
         # int8 arenas: per-row dequant scales stripe with the slot axis;
         # residual anchors (tiny [nlist, D]) replicate.
@@ -434,6 +457,10 @@ class ShardedIVFFlatIndex:
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
             self.global_cap, self.scan_impl, self.has_scale,
             self.has_anchor, self.interpret,
+            _stripe_scan_capacity(
+                getattr(self, "_counts_max", None),
+                self.global_cap, self.n_shards,
+            ),
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
@@ -449,13 +476,14 @@ class ShardedIVFFlatIndex:
     jax.jit,
     static_argnames=("mesh", "nprobe", "k", "metric", "n_shards",
                      "global_cap", "rerank_k", "has_raw", "has_scale",
-                     "has_anchor", "interpret"),
+                     "has_anchor", "interpret", "scan_capacity"),
 )
 def _sharded_pq_search(
     queries, centroids, codebooks, codes_t_s, code_sq_s, counts,
     raw_s, raw_sq_s, raw_scale_s, raw_anchors,
     mesh, nprobe, k, metric, n_shards, global_cap, rerank_k,
     has_raw=False, has_scale=False, has_anchor=False, interpret=False,
+    scan_capacity=None,
 ):
     """SPMD IVF-PQ search: per-chip grouped ADC over the slot-striped code
     arena, optional per-chip exact rerank against the striped raw arena,
@@ -487,7 +515,7 @@ def _sharded_pq_search(
             qf, codes_l, code_sq_l, cnt, c, cb,
             probe.astype(jnp.int32), keep, kernel_metric,
             interpret=interpret, slot_stride=n_shards, slot_offset=s,
-            global_capacity=global_cap,
+            global_capacity=global_cap, scan_capacity=scan_capacity,
         )
         if rerank_k > 0 and has_raw:
             # Positions are GLOBAL (logical slot space) but every local
@@ -586,6 +614,12 @@ class ShardedIVFPQIndex:
                                         shard_codes)
         self.code_sq_s = jax.device_put(base.code_sq[:, perm], shard2)
         self.counts = jax.device_put(base.counts, repl)
+        # One device sync per refresh (epoch activation), amortized across
+        # every search: per-stripe occupied-prefix for the ADC kernel.
+        self._counts_max = (
+            int(np.asarray(jnp.max(base.counts)))
+            if base.counts.shape[0] else 0
+        )
         self.centroids = jax.device_put(base.centroids, repl)
         self.codebooks = jax.device_put(base.codebooks, repl)
         raw = base.raw
@@ -651,6 +685,10 @@ class ShardedIVFPQIndex:
             self.raw_anchors, self.mesh, nprobe, params.k, self.metric,
             self.n_shards, self.global_cap, rerank_k, self.has_raw,
             self.has_scale, self.has_anchor, self.interpret,
+            _stripe_scan_capacity(
+                getattr(self, "_counts_max", None),
+                self.global_cap, self.n_shards,
+            ),
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]

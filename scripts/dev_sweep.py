@@ -11,6 +11,7 @@ Prints one JSON line per config to stdout.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -173,18 +174,40 @@ def main():
             topk_impl = ("t4" if "t4" in flags
                          else "passes" if "passes" in flags else "auto")
 
+            # One jitted program per config: an eager coarse stage costs a
+            # relay dispatch per OP — harmless for the 2-op lax.top_k path
+            # but ruinous for multi-op selectors (the jnp tournament eagerly
+            # dispatched ~50 ops/batch: measured 153.9K -> 37K QPS).
+            # The arena arrays MUST be jit ARGUMENTS: closure-captured
+            # device arrays embed as HLO constants and the 9.8 GB arena
+            # blows the relay's compile-request size cap (HTTP 413).
+            @functools.partial(
+                jax.jit,
+                static_argnames=("_m", "_bf", "_k", "_np", "_met", "_inl",
+                                 "_sc", "_tk"),
+            )
+            def _dev_search(qq, cents, arena_a, arena_sq, counts, scale,
+                            anchors, _m, _bf, _k, _np, _met, _inl, _sc,
+                            _tk):
+                qf = qq.astype(jnp.float32)
+                coarse = pairwise_distance(qf, cents, Metric.L2)
+                _, probe = topk_smallest(coarse, _np)
+                return pallas_scan.scan_probed_lists_pallas_grouped(
+                    qf, arena_a, arena_sq, counts,
+                    probe.astype(jnp.int32), _k, _met,
+                    m_budget=_m, arena_scale=scale,
+                    arena_anchors=anchors, stage_bf16=_bf,
+                    stage_inline=_inl, scan_capacity=_sc, topk_impl=_tk,
+                )
+
             def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
                            _np=nprobe_run, _met=metric_run,
                            _inl=inline_opt, _sc=scan_cap, _tk=topk_impl):
-                qf = qq.astype(jnp.float32)
-                coarse = pairwise_distance(qf, idx.centroids, Metric.L2)
-                _, probe = topk_smallest(coarse, _np)
-                return pallas_scan.scan_probed_lists_pallas_grouped(
-                    qf, arena.arena, arena.arena_sq, arena.counts,
-                    probe.astype(jnp.int32), _k, _met,
-                    m_budget=_m, arena_scale=arena.arena_scale,
-                    arena_anchors=arena.anchors, stage_bf16=_bf,
-                    stage_inline=_inl, scan_capacity=_sc, topk_impl=_tk,
+                return _dev_search(
+                    qq, idx.centroids, arena.arena, arena.arena_sq,
+                    arena.counts, arena.arena_scale, arena.anchors,
+                    _m=_m, _bf=_bf, _k=_k, _np=_np, _met=_met, _inl=_inl,
+                    _sc=_sc, _tk=_tk,
                 )
         else:
             def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run,

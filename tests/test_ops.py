@@ -59,6 +59,35 @@ def test_topk_smallest(rng):
     assert np.array_equal(np.sort(idx), np.sort(ref_idx))
 
 
+def test_topk_tournament_matches_sort(rng):
+    # Forced tournament path (the auto gate needs production-scale shapes);
+    # N=1024 exercises the 4-lane fold + loser promotion. Values must match
+    # the sort path exactly and the index SET must be the true top-k (tie
+    # order may legally differ).
+    d = rng.standard_normal((8, 1024)).astype(np.float32)
+    d[0, 5] = d[0, 17]  # a deliberate tie
+    for k in (1, 3, 10):
+        vt, it = topk_smallest(jnp.asarray(d), k, impl="tournament")
+        vs, _ = topk_smallest(jnp.asarray(d), k, impl="sort")
+        np.testing.assert_allclose(np.asarray(vt), np.asarray(vs), rtol=0)
+        got = np.take_along_axis(d, np.asarray(it), 1)
+        np.testing.assert_allclose(got, np.asarray(vs), rtol=0)
+        assert np.asarray(it).min() >= 0
+        # indices unique per row
+        for row in np.asarray(it):
+            assert len(set(row.tolist())) == k
+
+
+def test_topk_tournament_with_idx_gather(rng):
+    d = rng.standard_normal((4, 2048)).astype(np.float32)
+    ids = rng.permutation(2048).astype(np.int64)[None].repeat(4, 0)
+    vt, it = topk_smallest(jnp.asarray(d), 8, idx=jnp.asarray(ids),
+                           impl="tournament")
+    ref_cols = np.argsort(d, axis=1)[:, :8]
+    assert np.array_equal(np.sort(np.asarray(it)),
+                          np.sort(np.take_along_axis(ids, ref_cols, 1)))
+
+
 def test_merge_topk_is_global_topk(rng):
     d = rng.standard_normal((3, 40)).astype(np.float32)
     ids = np.arange(40, dtype=np.int32)[None].repeat(3, 0)

@@ -32,6 +32,49 @@ def _build(rng, n=4000, dim=32, nlist=16, metric="L2"):
     return idx, x
 
 
+def test_stripe_scan_capacity_bound():
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
+        _stripe_scan_capacity,
+    )
+    # 2442 occupied of 3328 allocated over 8 stripes: ceil(2442/8)=306
+    # → 384 after 128-tiling, < local cap 416.
+    assert _stripe_scan_capacity(2442, 3328 * 8, 8) == 384
+    # no shrink → None (full local scan)
+    assert _stripe_scan_capacity(3328, 3328, 1) is None
+    assert _stripe_scan_capacity(None, 1024, 8) is None
+    assert _stripe_scan_capacity(0, 1024, 8) is None
+
+
+def test_sharded_occupied_prefix_hint_is_exact(rng):
+    """A striped arena with allocation headroom must (a) actually produce a
+    shrunken per-stripe scan bound and (b) stay bit-identical to the
+    single-chip search through the Pallas kernels — the multi-chip reach of
+    the round-3 scan_capacity optimization."""
+    from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
+        _stripe_scan_capacity,
+    )
+
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=32, nlist=8, dtype="float32",
+                        max_capacity_factor=8.0)
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    # Pre-grow well past the fill so the occupied prefix is a real subset.
+    idx.arena = idx.arena.grow(-(-int(3000 / 8 * 3) // 128) * 128)
+    idx.add(x)
+    sharded = ShardedIVFFlatIndex(idx, make_mesh(2),
+                                  scan_impl="pallas_grouped")
+    sc = _stripe_scan_capacity(sharded._counts_max, sharded.global_cap,
+                               sharded.n_shards)
+    assert sc is not None and sc < sharded.global_cap // sharded.n_shards
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    d_ref, ids_ref = idx.search(q, params)
+    d, ids = sharded.search(q, params)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_striping_perm_is_permutation():
     perm = _striping_perm(256, 8)
     assert sorted(perm.tolist()) == list(range(256))
