@@ -547,7 +547,13 @@ def main():
         )
         n_valid = max(int(matched.sum()), 1)
         nprobe_curve, chosen = {}, None
-        for cand in (8, 12, 16, 24, 32, 48, 64, 96, 128):
+        # The grid starts at 4 because the mechanism is coverage-DRIVEN:
+        # on corpora whose coarse structure genuinely covers the true
+        # top-k with 4 probes (this bench's balanced mixture does), 4 is
+        # the honest operating point; on hostile geometry (cpl>=2, zipf)
+        # the measured curve pushes the choice up automatically
+        # (HOSTILE_r03.json shows the adaptation).
+        for cand in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
             if cand > args.nlist:
                 break
             cov = float((rank_of_true[matched] < cand).sum() / n_valid)

@@ -464,6 +464,22 @@ def _row_topk(d, cnt, k, out_d_ref, out_s_ref, topk_impl: str = "auto"):
 GROUPED_SMEM_ROWS_MAX = 100_000
 
 
+def auto_m_budget(n_pairs: int, nlist: int) -> int:
+    """Shared auto ``m_budget`` law for BOTH grouped kernels and their
+    row-bound mirror (one definition — a divergence here once made
+    ``grouped_row_bound`` under-predict the grid and crash the search in
+    ``_check_row_table``).
+
+    m* ≈ 8·√(mean pairs-per-list), rounded to a multiple of 8 and clamped
+    to [8, 64]. Fits every measured optimum at 10M×768 int8 (nlist=4096;
+    r2 dev sweep + r3 latency/kernel sweeps): mean→m* of 2→8, 4→16,
+    16→32, 32→48, 64→64. The earlier 2×-mean law matched all but the
+    mean=32 point (picked 64 where 48 measures ~4% faster with the t4
+    epilogue, KERNEL_r03.json)."""
+    mean_ppl = n_pairs / max(nlist, 1)
+    return max(8, min(64, int(8.0 * mean_ppl ** 0.5 / 8 + 0.5) * 8))
+
+
 def grouped_row_bound(
     batch: int, nprobe: int, nlist: int, m_budget: int | None = None,
 ) -> int:
@@ -473,7 +489,7 @@ def grouped_row_bound(
     chunk the probe axis (``models/ivf_flat._ivf_search_device`` does so
     automatically)."""
     n_pairs = batch * nprobe
-    m = m_budget or max(8, min(64, -(-n_pairs // nlist) * 2))
+    m = m_budget or auto_m_budget(n_pairs, nlist)
     return max(min(n_pairs // m + nlist + 1, n_pairs), 1)
 
 
@@ -696,14 +712,7 @@ def scan_probed_lists_pallas_grouped(
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
-        # m* ≈ 8·√(mean pairs-per-list), rounded to a multiple of 8 and
-        # clamped to [8, 64]. Fits every measured optimum at 10M×768 int8
-        # (nlist=4096; r2 dev sweep + r3 latency/kernel sweeps): mean→m*
-        # of 2→8, 4→16, 16→32, 32→48, 64→64. The earlier 2×-mean law
-        # matched all but the mean=32 point (picked 64 where 48 measures
-        # ~4% faster with the t4 epilogue, KERNEL_r03.json).
-        mean_ppl = n_pairs / nlist
-        m_budget = max(8, min(64, int(8.0 * mean_ppl ** 0.5 / 8 + 0.5) * 8))
+        m_budget = auto_m_budget(n_pairs, nlist)
     m = m_budget
     # Static row bound: full rows + one partial row per list (+ the
     # invalid-probe group). Also bounded by n_pairs — every used row holds
@@ -1034,12 +1043,10 @@ def scan_probed_codes_pallas_grouped(
     kernel_counts = _local_counts(counts, cap, slot_stride, slot_offset)
     n_pairs = batch * nprobe
     if m_budget is None:
-        # 2x the mean pairs-per-list, clamped to [8, 64]: measured optima
-        # at 10M x 768 int8 (dev sweep r2) were 16@b512, 32@b2048,
-        # 64@b8192 (nprobe=32, nlist=4096); re-validated at nprobe=16
-        # (r3 latency sweep, LATENCY_r03.json) where the formula's picks
-        # (8@b512, 64@b8192) match the measured bests.
-        m_budget = max(8, min(64, -(-n_pairs // nlist) * 2))
+        # Inherits the flat kernel's sqrt law (same per-step dot shape
+        # after decode staging; PQ-specific m optima not independently
+        # swept). Must stay in lockstep with grouped_row_bound.
+        m_budget = auto_m_budget(n_pairs, nlist)
     m = m_budget
     # Static row bound — see scan_probed_lists_pallas_grouped.
     n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)

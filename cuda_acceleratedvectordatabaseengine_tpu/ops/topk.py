@@ -33,7 +33,12 @@ def _topk_tournament(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     ``jax.lax.top_k`` lowers to a full bitonic sort, paying N·log N where
     k passes at N/4 suffice.
     """
+    if d.ndim != 2:
+        raise ValueError(f"tournament top-k needs a 2-D input, got "
+                         f"shape {d.shape}")
     b, n = d.shape
+    if n % 4:
+        raise ValueError(f"tournament top-k needs N % 4 == 0, got N={n}")
     w = n // 4
     # Pin the input: without the barrier XLA may rematerialize the
     # producer (here: the whole coarse distance matmul) into each of the
@@ -104,10 +109,13 @@ def topk_smallest(
     (:func:`_topk_tournament`) when it measures faster than the bitonic
     sort ``lax.top_k`` lowers to: 2-D input, lane-aligned quarters
     (N % 512 == 0), shallow k (3..32 — extraction is linear in k, so deep
-    shortlists like emit_full's top-512 stay on the sort), and enough rows
-    that the folding amortizes (N ≥ 2048, B·N ≥ 2²¹; tiny CI shapes keep
-    the sort path and its tie order). ``impl`` forces ``"sort"`` /
-    ``"tournament"``.
+    shortlists like emit_full's top-512 stay on the sort), and N in the
+    measured coarse-selection regime (2048..8192 — wider epilogue shapes
+    like the non-grouped scan's [B, nprobe·cap] merge would pin 8 lane
+    buffers of N/4 columns each across k passes, a multi-GB liability
+    next to a 9.8 GB arena), with enough total work to amortize the fold
+    (B·N ≥ 2²¹; tiny CI shapes keep the sort path and its tie order).
+    ``impl`` forces ``"sort"`` / ``"tournament"``.
     """
     if approx:
         vals, cols = jax.lax.approx_min_k(d, k, recall_target=recall_target)
@@ -116,7 +124,7 @@ def topk_smallest(
         and d.ndim == 2
         and jnp.issubdtype(d.dtype, jnp.floating)
         and d.shape[-1] % 512 == 0
-        and d.shape[-1] >= 2048
+        and 2048 <= d.shape[-1] <= 8192
         and 3 <= k <= 32
         and d.shape[0] * d.shape[-1] >= (1 << 21)
     ):

@@ -190,7 +190,11 @@ def main():
                             anchors, _m, _bf, _k, _np, _met, _inl, _sc,
                             _tk):
                 qf = qq.astype(jnp.float32)
-                coarse = pairwise_distance(qf, cents, Metric.L2)
+                # Probe with the scan's metric (IP probes by IP, like the
+                # library path); cosine isn't swept here.
+                coarse_met = (Metric.INNER_PRODUCT
+                              if _met == Metric.INNER_PRODUCT else Metric.L2)
+                coarse = pairwise_distance(qf, cents, coarse_met)
                 _, probe = topk_smallest(coarse, _np)
                 return pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena_a, arena_sq, counts,

@@ -36,9 +36,12 @@ def test_stripe_scan_capacity_bound():
     from cuda_acceleratedvectordatabaseengine_tpu.parallel.sharded import (
         _stripe_scan_capacity,
     )
-    # 2442 occupied of 3328 allocated over 8 stripes: ceil(2442/8)=306
-    # → 384 after 128-tiling, < local cap 416.
-    assert _stripe_scan_capacity(2442, 3328 * 8, 8) == 384
+    # global_cap is the LOGICAL per-list capacity (as at the call sites):
+    # 2442 occupied of 3328 allocated over 8 stripes → local cap 416,
+    # ceil(2442/8)=306 → 384 after 128-tiling, < 416 → shrink.
+    assert _stripe_scan_capacity(2442, 3328, 8) == 384
+    # boundary: occupancy that tiles exactly to the local cap → None
+    assert _stripe_scan_capacity(3328, 3328, 8) is None
     # no shrink → None (full local scan)
     assert _stripe_scan_capacity(3328, 3328, 1) is None
     assert _stripe_scan_capacity(None, 1024, 8) is None
