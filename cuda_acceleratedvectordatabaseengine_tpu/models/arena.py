@@ -66,6 +66,71 @@ def _append_device(arena, arena_sq, counts, lists, slots, vec_f32, per_list,
     return arena, arena_sq, counts + per_list, arena_lo, arena_scale
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 6, 7))
+def _remove_device(arena, arena_sq, counts, src, dst, count_delta,
+                   arena_lo=None, arena_scale=None):
+    """Swap-from-tail compaction as ONE donated program: move the surviving
+    tail rows (flat global positions ``src``) into the holes (``dst``) and
+    shrink ``counts``. The hole/tail plan is computed host-side (the ids
+    table lives on the host anyway); the device only does one batched
+    gather→scatter per plane, so a delete costs O(moved rows), not
+    O(list length)."""
+    nlist, cap, dim = arena.shape
+    flat = arena.reshape(nlist * cap, dim)
+    arena = flat.at[dst].set(flat[src]).reshape(nlist, cap, dim)
+    sq = arena_sq.reshape(-1)
+    arena_sq = sq.at[dst].set(sq[src]).reshape(nlist, cap)
+    if arena_lo is not None:
+        lo = arena_lo.reshape(nlist * cap, dim)
+        arena_lo = lo.at[dst].set(lo[src]).reshape(nlist, cap, dim)
+    if arena_scale is not None:
+        sc = arena_scale.reshape(-1)
+        arena_scale = sc.at[dst].set(sc[src]).reshape(nlist, cap)
+    return arena, arena_sq, counts + count_delta, arena_lo, arena_scale
+
+
+def plan_removals(
+    counts: np.ndarray, lists: np.ndarray, slots: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side swap-from-tail plan for deleting ``(lists[i], slots[i])``.
+
+    Returns ``(move_lists, src_slots, dst_slots, new_counts)``: moving row
+    ``(move_lists[i], src_slots[i])`` → ``(move_lists[i], dst_slots[i])``
+    compacts every affected list's live rows into its prefix. For each
+    list with deletion set D (|D| = d, fill c, new fill c−d): holes =
+    D ∩ [0, c−d), tail survivors = [c−d, c) \\ D — the two sets always
+    have equal size, so each hole is filled by one surviving tail row and
+    no other row moves. Slots ≥ the list's fill are ignored (stale)."""
+    moves_l, moves_src, moves_dst = [], [], []
+    new_counts = counts.copy()
+    order = np.argsort(lists, kind="stable")
+    ls, ss = lists[order], slots[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(np.diff(ls)) + 1, [len(ls)]]
+    )
+    for a, b in zip(starts[:-1], starts[1:]):
+        l = int(ls[a])
+        d = np.unique(ss[a:b])
+        cnt = int(counts[l])
+        d = d[d < cnt]
+        if d.size == 0:
+            continue
+        nc = cnt - d.size
+        dset = set(d.tolist())
+        holes = [s for s in d.tolist() if s < nc]
+        tail = [s for s in range(nc, cnt) if s not in dset]
+        moves_l.extend([l] * len(holes))
+        moves_src.extend(tail)
+        moves_dst.extend(holes)
+        new_counts[l] = nc
+    return (
+        np.asarray(moves_l, np.int64),
+        np.asarray(moves_src, np.int64),
+        np.asarray(moves_dst, np.int64),
+        new_counts,
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -236,6 +301,45 @@ class PackedListArena:
             out, arena=arena, arena_sq=arena_sq, counts=counts, ids=new_ids,
             arena_lo=arena_lo, arena_scale=scale, counts_max=max_needed,
         )
+
+    def remove(
+        self, lists: np.ndarray, slots: np.ndarray
+    ) -> tuple["PackedListArena", int]:
+        """Delete the rows at ``(lists[i], slots[i])`` by swap-from-tail
+        compaction (one donated device program; see ``plan_removals``).
+        Returns ``(new_arena, n_removed)``.
+
+        The reference has no deletion at all (not even declared on
+        ``IVFFlatIndex``, ``engine/ivf_flat_index.h``) — production vector
+        DBs need it, and the packed layout makes it cheap: O(holes) moved
+        rows, lists stay prefix-packed so every scan-kernel invariant
+        (counts-masking, occupied-prefix bounds) holds unchanged."""
+        if lists.size == 0:
+            return self, 0
+        counts_h = np.asarray(self.counts)
+        move_l, src_s, dst_s, new_counts = plan_removals(
+            counts_h, lists.astype(np.int64), slots.astype(np.int64)
+        )
+        n_removed = int((counts_h - new_counts).sum())
+        if n_removed == 0:
+            return self, 0
+        # Host id table mirrors the same moves, then invalidates the tail.
+        new_ids = self.ids.copy()
+        new_ids[move_l, dst_s] = new_ids[move_l, src_s]
+        for l in np.unique(lists.astype(np.int64)):
+            new_ids[l, new_counts[l]: counts_h[l]] = INVALID_ID
+        gsrc = jnp.asarray(move_l * self.capacity + src_s, jnp.int32)
+        gdst = jnp.asarray(move_l * self.capacity + dst_s, jnp.int32)
+        delta = jnp.asarray((new_counts - counts_h).astype(np.int32))
+        arena, arena_sq, counts, arena_lo, arena_scale = _remove_device(
+            self.arena, self.arena_sq, self.counts, gsrc, gdst, delta,
+            self.arena_lo, self.arena_scale,
+        )
+        return dataclasses.replace(
+            self, arena=arena, arena_sq=arena_sq, counts=counts,
+            ids=new_ids, arena_lo=arena_lo, arena_scale=arena_scale,
+            counts_max=int(new_counts.max()) if new_counts.size else 0,
+        ), n_removed
 
     def grow(self, new_capacity: int) -> "PackedListArena":
         """Reallocate with a larger per-list capacity (one device pad op)."""

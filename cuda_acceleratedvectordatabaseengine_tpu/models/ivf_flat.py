@@ -520,6 +520,28 @@ class IVFFlatIndex:
         )
         self.arena = self.arena.append(vec_d, np.asarray(ids), assignments)
 
+    def remove_ids(self, ids: np.ndarray) -> int:
+        """Delete vectors by user id; returns how many were removed.
+
+        A capability the reference lacks entirely (no remove/delete even
+        DECLARED on its index, ``engine/ivf_flat_index.h``). The packed
+        arena makes it cheap: locate (list, slot) through the host id
+        table, then one donated device program swap-compacts the affected
+        lists' tails into the holes (``PackedListArena.remove``), so every
+        scan invariant — counts masking, prefix packing, occupied-prefix
+        scan bounds — holds with no rebuild and no tombstones. Unknown ids
+        are ignored (idempotent deletes)."""
+        ids = np.unique(np.asarray(ids, np.uint64))
+        ids = ids[ids != INVALID_ID]
+        if ids.size == 0 or self.ntotal == 0:
+            return 0
+        mask = np.isin(self.arena.ids, ids)
+        lists, slots = np.nonzero(mask)
+        if lists.size == 0:
+            return 0
+        self.arena, n_removed = self.arena.remove(lists, slots)
+        return n_removed
+
     def train_from_device(self, x_dev: jax.Array) -> None:
         """Train directly from a device-resident corpus (no host round trip
         — the path offline builders and benchmarks use; host↔device corpus

@@ -108,6 +108,16 @@ def _scatter_codes(code_arena_t, code_sq, lists, slots, codes, sq_rows):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _remove_codes(code_arena_t, code_sq, lists, src, dst):
+    """Donating swap-from-tail compaction of the transposed code arena +
+    stored norms (delete path; see ``PackedListArena.remove``)."""
+    return (
+        code_arena_t.at[lists, :, dst].set(code_arena_t[lists, :, src]),
+        code_sq.at[lists, dst].set(code_sq[lists, src]),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "rerank_k",
                               "scan_impl", "interpret", "k_inner",
@@ -568,6 +578,51 @@ class IVFPQIndex:
                 per_list.astype(np.int32)
             )
             self._ids[assignments, slots] = np.asarray(ids, np.uint64)
+
+    def remove_ids(self, ids: np.ndarray) -> int:
+        """Delete vectors by user id (the PQ twin of
+        ``IVFFlatIndex.remove_ids`` — a capability the reference never
+        declared). One swap-from-tail plan (``models.arena.plan_removals``)
+        drives every plane: the transposed code arena and ``code_sq`` move
+        slots on device here, and the raw arena (``keep_raw``) replays the
+        SAME deterministic plan inside ``PackedListArena.remove``, so code
+        and raw slots stay aligned."""
+        from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+            plan_removals,
+        )
+
+        ids = np.unique(np.asarray(ids, np.uint64))
+        ids = ids[ids != INVALID_ID]
+        if ids.size == 0 or self.ntotal == 0:
+            return 0
+        mask = np.isin(self.ids, ids)
+        lists, slots = np.nonzero(mask)
+        if lists.size == 0:
+            return 0
+        counts_h = np.asarray(self.counts)
+        move_l, src_s, dst_s, new_counts = plan_removals(
+            counts_h, lists.astype(np.int64), slots.astype(np.int64)
+        )
+        n_removed = int((counts_h - new_counts).sum())
+        if n_removed == 0:
+            return 0
+        ml = jnp.asarray(move_l, jnp.int32)
+        src = jnp.asarray(src_s, jnp.int32)
+        dst = jnp.asarray(dst_s, jnp.int32)
+        self.code_arena_t, self.code_sq = _remove_codes(
+            self.code_arena_t, self.code_sq, ml, src, dst
+        )
+        if self.raw is not None:
+            # Same (lists, slots) → same deterministic plan inside.
+            self.raw, _ = self.raw.remove(lists, slots)
+        else:
+            new_ids_t = self._ids.copy()
+            new_ids_t[move_l, dst_s] = new_ids_t[move_l, src_s]
+            for l in np.unique(lists.astype(np.int64)):
+                new_ids_t[l, new_counts[l]: counts_h[l]] = INVALID_ID
+            self._ids = new_ids_t
+            self._counts = jnp.asarray(new_counts.astype(np.int32))
+        return n_removed
 
     def reserve(self, capacity: int) -> None:
         """Pre-size the code arena for a bulk build: one pad instead of the

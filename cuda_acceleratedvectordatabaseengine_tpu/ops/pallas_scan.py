@@ -470,14 +470,17 @@ def auto_m_budget(n_pairs: int, nlist: int) -> int:
     ``grouped_row_bound`` under-predict the grid and crash the search in
     ``_check_row_table``).
 
-    m* ≈ 8·√(mean pairs-per-list), rounded to a multiple of 8 and clamped
-    to [8, 64]. Fits every measured optimum at 10M×768 int8 (nlist=4096;
-    r2 dev sweep + r3 latency/kernel sweeps): mean→m* of 2→8, 4→16,
-    16→32, 32→48, 64→64. The earlier 2×-mean law matched all but the
-    mean=32 point (picked 64 where 48 measures ~4% faster with the t4
-    epilogue, KERNEL_r03.json)."""
+    m* ≈ 8·√(mean pairs-per-list), snapped to the measured-good widths
+    {8, 16, 32, 48, 64}. Fits every measured optimum at 10M×768 int8
+    (nlist=4096; r2 dev sweep + r3 latency/kernel sweeps): mean→m* of
+    2→8, 4→16, 8→16, 16→32, 32→48, 64→64. The earlier 2×-mean law
+    matched all but the mean=32 point (picked 64 where 48 measures ~4%
+    faster with the t4 epilogue, KERNEL_r03.json); the raw sqrt value is
+    snapped because in-between widths underperform BOTH neighbors
+    (m=24 at mean=8/nprobe=4: 274K QPS vs 289K@16 and 288K@32)."""
     mean_ppl = n_pairs / max(nlist, 1)
-    return max(8, min(64, int(8.0 * mean_ppl ** 0.5 / 8 + 0.5) * 8))
+    raw = min(64.0, max(8.0, 8.0 * mean_ppl ** 0.5))
+    return min((8, 16, 32, 48, 64), key=lambda w: (abs(w - raw), w))
 
 
 def grouped_row_bound(

@@ -64,6 +64,10 @@ def admin_service_handler(servicer) -> grpc.GenericRpcHandler:
             servicer.AddVectors, vdb_pb2.AddVectorsRequest,
             vdb_pb2.AddVectorsResponse
         ),
+        "RemoveVectors": _unary(
+            servicer.RemoveVectors, vdb_pb2.RemoveVectorsRequest,
+            vdb_pb2.RemoveVectorsResponse
+        ),
     })
 
 
@@ -116,6 +120,8 @@ class AdminServiceClient(_Stub):
             "GetStats": (vdb_pb2.StatsRequest, vdb_pb2.StatsResponse, "uu"),
             "AddVectors": (vdb_pb2.AddVectorsRequest,
                            vdb_pb2.AddVectorsResponse, "uu"),
+            "RemoveVectors": (vdb_pb2.RemoveVectorsRequest,
+                              vdb_pb2.RemoveVectorsResponse, "uu"),
         })
 
 

@@ -318,6 +318,27 @@ class VdbEngine:
         self._update_memory_gauge()
         return len(vectors), total
 
+    def remove_vectors(self, name, ids) -> tuple[int, int]:
+        """Delete by user id (no reference analog — its API has no delete).
+        Only a mutable resident index supports in-place deletes; read-only
+        serving tiers (streaming/pq_capacity snapshots) must rebuild
+        through the epoch pipeline instead."""
+        st = self.get_state(name)
+        with self.lock:
+            if st.index is None or not st.index.trained:
+                raise ValueError("index has no live data to remove from")
+            if getattr(st.index, "read_only", False) or not hasattr(
+                st.index, "remove_ids"
+            ):
+                raise PermissionError(
+                    "serving tier is read-only; rebuild an epoch without "
+                    "the removed ids instead"
+                )
+            removed = st.index.remove_ids(np.asarray(ids, np.uint64))
+            total = st.index.ntotal
+        self._update_memory_gauge()
+        return removed, total
+
     def build_epoch(self, name: str, source_path: str = "") -> str:
         """Asynchronous epoch build (reference S3 BuildJob pattern,
         ``query_service.cpp:472-513`` — but the pipeline is real here)."""
@@ -676,6 +697,23 @@ class AdminServiceImpl:
             ids[i] = v.id
         added, total = self.engine.add_vectors(request.index, vecs, ids)
         return vdb_pb2.AddVectorsResponse(added=added, total=total)
+
+    def RemoveVectors(self, request, context):
+        if not request.ids:
+            _abort(context, grpc.StatusCode.INVALID_ARGUMENT,
+                   "no ids provided")
+        try:
+            removed, total = self.engine.remove_vectors(
+                request.index, np.asarray(request.ids, np.uint64)
+            )
+        except KeyError:
+            _abort(context, grpc.StatusCode.NOT_FOUND,
+                   f"index {request.index!r} not found")
+        except ValueError as e:
+            _abort(context, grpc.StatusCode.FAILED_PRECONDITION, str(e))
+        except PermissionError as e:
+            _abort(context, grpc.StatusCode.FAILED_PRECONDITION, str(e))
+        return vdb_pb2.RemoveVectorsResponse(removed=removed, total=total)
 
     def BuildEpoch(self, request, context):
         try:

@@ -82,6 +82,62 @@ def test_ivf_incremental_add_grows_arena(rng):
     assert (ids != INVALID_ID).all()
 
 
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_remove_ids_deletes_and_compacts(rng, dtype):
+    idx, x = _build(rng, n=3000, nlist=8, dtype=dtype)
+    # Every vector finds itself before deletion.
+    victims = np.asarray([0, 1, 7, 500, 1500, 2999], np.uint64)
+    d0, ids0 = idx.search(x[victims.astype(np.int64)],
+                          SearchParams(nprobe=8, k=1))
+    assert (ids0[:, 0] == victims).all()
+    n_before = idx.ntotal
+    assert idx.remove_ids(victims) == len(victims)
+    assert idx.ntotal == n_before - len(victims)
+    # Deleted ids never come back, at ANY k.
+    d, ids = idx.search(x[victims.astype(np.int64)],
+                        SearchParams(nprobe=8, k=10))
+    assert not np.isin(ids, victims).any()
+    # Survivors still find themselves (compaction moved rows, not values).
+    keep = np.asarray([2, 100, 2000], np.uint64)
+    d2, ids2 = idx.search(x[keep.astype(np.int64)],
+                          SearchParams(nprobe=8, k=1))
+    assert (ids2[:, 0] == keep).all()
+    # Idempotent: removing again is a no-op.
+    assert idx.remove_ids(victims) == 0
+    # Unknown ids ignored.
+    assert idx.remove_ids(np.asarray([10**12], np.uint64)) == 0
+
+
+def test_remove_ids_exactness_vs_rebuild(rng):
+    """Post-delete search must equal a from-scratch index of the survivors
+    (same centroids): compaction may not perturb a single distance."""
+    idx, x = _build(rng, n=1200, nlist=4)
+    victims = rng.choice(1200, size=300, replace=False).astype(np.uint64)
+    idx.remove_ids(victims)
+    survivors = np.setdiff1d(np.arange(1200, dtype=np.uint64), victims)
+    ref = IVFFlatIndex(idx.config)
+    ref.centroids = idx.centroids
+    ref.trained = True
+    ref.add(x[survivors.astype(np.int64)], ids=survivors)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    d_a, ids_a = idx.search(q, SearchParams(nprobe=4, k=5))
+    d_b, ids_b = ref.search(q, SearchParams(nprobe=4, k=5))
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-5, atol=1e-5)
+
+
+def test_remove_then_add_reuses_slots(rng):
+    idx, x = _build(rng, n=1000, nlist=4)
+    cap0 = idx.arena.capacity
+    idx.remove_ids(np.arange(500, dtype=np.uint64))
+    newv = rng.standard_normal((500, 32)).astype(np.float32)
+    idx.add(newv, ids=np.arange(5000, 5500, dtype=np.uint64))
+    assert idx.ntotal == 1000
+    assert idx.arena.capacity == cap0  # freed slots were reused
+    d, ids = idx.search(newv[:4], SearchParams(nprobe=4, k=1))
+    assert (ids[:, 0] == np.arange(5000, 5004, dtype=np.uint64)).all()
+
+
 def test_ivf_requires_train():
     idx = IVFFlatIndex(IVFFlatConfig(dimension=8, nlist=4))
     with pytest.raises(RuntimeError):

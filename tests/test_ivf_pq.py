@@ -95,6 +95,24 @@ def test_ivf_pq_rerank_distances_exact(rng, oracle):
             np.testing.assert_allclose(d[b, j], true, rtol=5e-2, atol=1e-2)
 
 
+@pytest.mark.parametrize("keep_raw", [True, False])
+def test_ivf_pq_remove_ids(rng, keep_raw):
+    idx, x = _build(rng, n=2000, nlist=8, keep_raw=keep_raw)
+    victims = np.asarray([0, 3, 700, 1999], np.uint64)
+    n_before = idx.ntotal
+    assert idx.remove_ids(victims) == len(victims)
+    assert idx.ntotal == n_before - len(victims)
+    params = SearchParams(nprobe=8, k=10, use_exact_rerank=keep_raw)
+    d, ids = idx.search(x[victims.astype(np.int64)], params)
+    assert not np.isin(ids, victims).any()
+    # Survivors still retrievable; codes and raw slots stayed aligned
+    # (rerank reads raw rows at the positions the ADC shortlist emits).
+    keep = np.asarray([5, 900], np.uint64)
+    d2, ids2 = idx.search(x[keep.astype(np.int64)], params)
+    assert np.isin(keep, ids2).all()
+    assert idx.remove_ids(victims) == 0
+
+
 def test_ivf_pq_no_raw_mode(rng, oracle):
     """keep_raw=False: 1 byte per subdim on device, rerank unavailable."""
     idx, x = _build(rng, keep_raw=False)

@@ -105,6 +105,47 @@ def test_full_lifecycle(live_server):
     assert dists == sorted(dists)
 
 
+def test_remove_vectors_rpc(live_server):
+    """RemoveVectors deletes by id on the live index (runs after
+    test_full_lifecycle activated the 'docs' epoch). No reference analog —
+    its API has no delete at all."""
+    rng = np.random.default_rng(3)
+    admin, query = live_server["admin"], live_server["query"]
+    st = live_server["engine"].get_state("docs")
+    total0 = st.index.ntotal
+    # Search for a known vector by reconstructing one we just ingest.
+    vec = rng.standard_normal(16).astype(np.float32)
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index="docs", vectors=[vdb_pb2.Vector(id=99_999, values=vec)]
+    ))
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=vec)], topk=1, nprobe=8, index="docs"
+    ))
+    assert resp.results[0].neighbors[0].id == 99_999
+    out = admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(
+        index="docs", ids=[99_999]
+    ))
+    assert out.removed == 1
+    assert out.total == total0
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=vec)], topk=5, nprobe=8, index="docs"
+    ))
+    assert all(n.id != 99_999 for n in resp.results[0].neighbors)
+    # idempotent + error codes
+    out = admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(
+        index="docs", ids=[99_999]
+    ))
+    assert out.removed == 0
+    with pytest.raises(grpc.RpcError) as e:
+        admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(
+            index="nope", ids=[1]
+        ))
+    assert e.value.code() == grpc.StatusCode.NOT_FOUND
+    with pytest.raises(grpc.RpcError) as e:
+        admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(index="docs"))
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
 def test_search_error_codes(live_server):
     """Same codes the reference asserts (grpc_integration_test.cpp:186-245)."""
     query = live_server["query"]
