@@ -80,6 +80,35 @@ class FlatIndex:
         self._ids[self._n:new_n] = ids.astype(np.uint64)
         self._n = new_n
 
+    def remove_ids(self, ids: np.ndarray) -> int:
+        """Delete by user id via swap-from-tail within the flat block (the
+        exact-index twin of ``IVFFlatIndex.remove_ids`` — no reference
+        analog). Unknown ids are ignored; rows keep prefix packing so the
+        count-masked search is untouched."""
+        ids = np.unique(np.asarray(ids, np.uint64))
+        ids = ids[ids != INVALID_ID]
+        if ids.size == 0 or self._n == 0:
+            return 0
+        d = np.flatnonzero(np.isin(self._ids[: self._n], ids))
+        if d.size == 0:
+            return 0
+        new_n = self._n - d.size
+        dset = set(d.tolist())
+        holes = np.asarray([s for s in d.tolist() if s < new_n], np.int64)
+        tail = np.asarray(
+            [s for s in range(new_n, self._n) if s not in dset], np.int64
+        )
+        if holes.size:
+            hj = jnp.asarray(holes)
+            tj = jnp.asarray(tail)
+            self._data = self._data.at[hj].set(self._data[tj])
+            self._data_sq = self._data_sq.at[hj].set(self._data_sq[tj])
+            self._ids[holes] = self._ids[tail]
+        self._ids[new_n: self._n] = INVALID_ID
+        removed = self._n - new_n
+        self._n = new_n
+        return removed
+
     def search(
         self, queries: np.ndarray, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -18,6 +18,26 @@ def test_flat_exact(rng, oracle, metric):
     assert np.array_equal(np.sort(ids), np.sort(ref.astype(np.uint64)))
 
 
+def test_flat_remove_ids(rng, oracle):
+    x = rng.standard_normal((600, 24)).astype(np.float32)
+    idx = FlatIndex(24, dtype=np.float32, chunk_size=128)
+    idx.add(x)
+    victims = np.asarray([0, 5, 299, 598, 599], np.uint64)
+    assert idx.remove_ids(victims) == len(victims)
+    assert len(idx) == 595
+    q = x[np.asarray(victims, np.int64)]
+    d, ids = idx.search(q, k=10)
+    assert not np.isin(ids, victims).any()
+    # survivors exact vs oracle over the surviving rows
+    keep = np.setdiff1d(np.arange(600), victims.astype(np.int64))
+    q2 = rng.standard_normal((4, 24)).astype(np.float32)
+    d2, ids2 = idx.search(q2, k=5)
+    _, ref = oracle(q2, x[keep], 5)
+    assert np.array_equal(np.sort(ids2),
+                          np.sort(keep[ref].astype(np.uint64)))
+    assert idx.remove_ids(victims) == 0
+
+
 def test_flat_incremental_add_and_growth(rng, oracle):
     idx = FlatIndex(16, dtype=np.float32, chunk_size=256)
     chunks = [rng.standard_normal((700, 16)).astype(np.float32)

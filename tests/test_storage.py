@@ -90,6 +90,28 @@ def test_ivf_flat_save_load_identical_results(tmp_path, rng):
     assert idx2.ntotal == 2000
 
 
+def test_ivf_flat_save_load_after_remove(tmp_path, rng):
+    """Snapshots taken after deletions round-trip exactly (counts shrink,
+    prefix packing holds, removed ids never resurface)."""
+    x = rng.standard_normal((1500, 32)).astype(np.float32)
+    idx = IVFFlatIndex(IVFFlatConfig(dimension=32, nlist=8, dtype="int8"))
+    idx.train(x)
+    idx.add(x)
+    victims = rng.choice(1500, size=200, replace=False).astype(np.uint64)
+    assert idx.remove_ids(victims) == 200
+    path = str(tmp_path / "snap-rm")
+    idx.save(path)
+    idx2 = IVFFlatIndex.load(path)
+    assert idx2.ntotal == 1300
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    p = SearchParams(nprobe=8, k=10)
+    d1, i1 = idx.search(q, p)
+    d2, i2 = idx2.search(q, p)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+    assert not np.isin(i2, victims).any()
+
+
 def test_ivf_flat_host_load_streaming_parity(tmp_path, rng):
     """load_ivf_flat_host serves the snapshot through the streaming tier
     with the same results as the resident load — without ever building a
