@@ -62,7 +62,21 @@ r = query.Search(vdb_pb2.SearchRequest(
     queries=[vdb_pb2.Vector(values=rng.standard_normal(16))],
     topk=5, nprobe=8, index="it"))
 assert len(r.results[0].neighbors) == 5
-print("lifecycle OK")
+# deletion over the wire: the top hit for a stored vector is itself;
+# remove it and it must never come back
+probe = rng.standard_normal(16).astype(np.float32)
+admin.AddVectors(vdb_pb2.AddVectorsRequest(index="it",
+    vectors=[vdb_pb2.Vector(id=777777, values=probe)]))
+r = query.Search(vdb_pb2.SearchRequest(
+    queries=[vdb_pb2.Vector(values=probe)], topk=1, nprobe=8, index="it"))
+assert r.results[0].neighbors[0].id == 777777
+out = admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(index="it",
+                                                       ids=[777777]))
+assert out.removed == 1
+r = query.Search(vdb_pb2.SearchRequest(
+    queries=[vdb_pb2.Vector(values=probe)], topk=5, nprobe=8, index="it"))
+assert all(n.id != 777777 for n in r.results[0].neighbors)
+print("lifecycle OK (incl. RemoveVectors)")
 EOF
 
 if [[ "${RUN_LOAD_TEST}" == "true" ]]; then
