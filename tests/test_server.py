@@ -557,6 +557,14 @@ def test_streaming_tier_lifecycle(live_server):
     assert stats.indexed_vectors == 400
     assert stats.gpu_memory_used > 0
 
+    # Read-only tier: deletes must be refused and routed to the epoch
+    # rebuild path (not silently mutate the snapshot-backed cache).
+    with pytest.raises(grpc.RpcError) as e:
+        admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(
+            index=name, ids=[int(ids0)]
+        ))
+    assert e.value.code() == grpc.StatusCode.FAILED_PRECONDITION
+
     # AddVectors against the live (read-only) streaming index buffers for
     # the NEXT epoch instead of failing (epoch contents = fed data, same
     # as the resident tier's build semantics).
