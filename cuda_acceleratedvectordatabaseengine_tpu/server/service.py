@@ -63,6 +63,9 @@ from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (
     load_ivf_flat,
     load_ivf_pq,
 )
+from cuda_acceleratedvectordatabaseengine_tpu.utils.logging import get_logger
+
+log = get_logger("vdb.server")
 
 MAX_TOPK = 1000       # reference bound (query_service.cpp:80-86)
 MAX_QUERIES = 8192    # one device batch; rate limiting is per-request, so
@@ -262,6 +265,22 @@ class VdbEngine:
             BUCKETS,
         )
 
+        # Re-apply persisted tombstones: snapshots are immutable, so
+        # deletions accepted since the last build live in the per-index
+        # log and must be replayed on every load (idempotent by id).
+        tombs = self._read_tombstones(st.name)
+        if tombs.size:
+            if hasattr(index, "remove_ids") and not getattr(
+                index, "read_only", False
+            ):
+                index.remove_ids(tombs)
+            else:
+                log.warning(
+                    "index %s: %d tombstoned ids NOT applied (read-only "
+                    "serving tier) — rebuild an epoch to bake them",
+                    st.name, int(tombs.size),
+                )
+
         sizes = [b for b in BUCKETS if b <= self.config.max_batch_size]
         if self.config.max_batch_size not in sizes:
             sizes.append(self.config.max_batch_size)
@@ -303,6 +322,7 @@ class VdbEngine:
     def add_vectors(self, name, vectors, ids) -> tuple[int, int]:
         st = self.get_state(name)
         with self.lock:
+            self._unmark_tombstones(name, np.asarray(ids, np.uint64))
             if (
                 st.index is not None and st.index.trained
                 and not getattr(st.index, "read_only", False)
@@ -322,7 +342,13 @@ class VdbEngine:
         """Delete by user id (no reference analog — its API has no delete).
         Only a mutable resident index supports in-place deletes; read-only
         serving tiers (streaming/pq_capacity snapshots) must rebuild
-        through the epoch pipeline instead."""
+        through the epoch pipeline instead.
+
+        Durability: accepted deletions also append to a per-index
+        tombstone log (``deletions.u64``) that is re-applied whenever an
+        epoch snapshot loads (``_load_epoch_into``) and baked-then-cleared
+        by the next successful build — so a restart or epoch reload never
+        resurrects a deleted id."""
         st = self.get_state(name)
         with self.lock:
             if st.index is None or not st.index.trained:
@@ -334,10 +360,53 @@ class VdbEngine:
                     "serving tier is read-only; rebuild an epoch without "
                     "the removed ids instead"
                 )
-            removed = st.index.remove_ids(np.asarray(ids, np.uint64))
+            ids = np.asarray(ids, np.uint64)
+            removed = st.index.remove_ids(ids)
             total = st.index.ntotal
+            self._append_tombstones(name, ids)
         self._update_memory_gauge()
         return removed, total
+
+    # ------------------------------------------------------------------ #
+    # deletion tombstones (durability across epoch reloads / restarts)
+    # ------------------------------------------------------------------ #
+
+    def _tombstone_path(self, name: str) -> str:
+        return os.path.join(self.indices_dir, name, "deletions.u64")
+
+    def _append_tombstones(self, name: str, ids: np.ndarray) -> None:
+        if ids.size == 0:
+            return
+        with open(self._tombstone_path(name), "ab") as f:
+            f.write(np.ascontiguousarray(ids, "<u8").tobytes())
+
+    def _read_tombstones(self, name: str) -> np.ndarray:
+        try:
+            raw = open(self._tombstone_path(name), "rb").read()
+        except FileNotFoundError:
+            return np.zeros(0, np.uint64)
+        return np.unique(np.frombuffer(raw, "<u8"))
+
+    def _clear_tombstones(self, name: str) -> None:
+        try:
+            os.remove(self._tombstone_path(name))
+        except FileNotFoundError:
+            pass
+
+    def _unmark_tombstones(self, name: str, ids: np.ndarray) -> None:
+        """Re-adding an id revokes its tombstone — otherwise the next
+        build's bake would silently drop a legitimately re-used id."""
+        existing = self._read_tombstones(name)
+        if existing.size == 0:
+            return
+        kept = existing[~np.isin(existing, np.asarray(ids, np.uint64))]
+        if kept.size == existing.size:
+            return
+        if kept.size:
+            with open(self._tombstone_path(name), "wb") as f:
+                f.write(np.ascontiguousarray(kept, "<u8").tobytes())
+        else:
+            self._clear_tombstones(name)
 
     def build_epoch(self, name: str, source_path: str = "") -> str:
         """Asynchronous epoch build (reference S3 BuildJob pattern,
@@ -384,12 +453,21 @@ class VdbEngine:
         if vectors:
             x = np.concatenate(vectors).astype(np.float32)
             all_ids = np.concatenate(ids).astype(np.uint64)
+            # Bake tombstones: ids deleted since the last build must not
+            # enter the new epoch, whether they came from pending buffers
+            # or a source file. The log clears once baked.
+            tombs = self._read_tombstones(st.name)
+            if tombs.size:
+                keep = ~np.isin(all_ids, tombs)
+                x, all_ids = x[keep], all_ids[keep]
         elif (
             st.index is not None and st.index.trained
             and not getattr(st.index, "read_only", False)
         ):
-            # re-snapshot the live index (epoch checkpoint of current state)
+            # re-snapshot the live index (epoch checkpoint of current
+            # state; in-place deletes are already baked into the arena)
             st.index.save(epoch_dir)
+            self._clear_tombstones(st.name)
             job.progress = 1.0
             return
         else:
@@ -409,6 +487,7 @@ class VdbEngine:
             save_ivf_pq(epoch_dir, index, host_rows=(x, all_ids))
         else:
             index.save(epoch_dir)
+        self._clear_tombstones(st.name)
         job.progress = 1.0
 
     # ------------------------------------------------------------------ #

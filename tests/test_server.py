@@ -146,6 +146,45 @@ def test_remove_vectors_rpc(live_server):
     assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
 
 
+def test_remove_vectors_durable_across_epoch_reload(live_server):
+    """Deletions survive an epoch reload: snapshots are immutable, so
+    accepted deletes persist in the per-index tombstone log and re-apply
+    on every load — a restart/reload must never resurrect a deleted id."""
+    admin, query = live_server["admin"], live_server["query"]
+    st = live_server["engine"].get_state("docs")
+    # pick an id that IS in the active epoch snapshot (ingested by
+    # test_full_lifecycle) and recover its stored vector from the arena
+    victim = np.uint64(42)
+    l, s = (int(a[0]) for a in np.nonzero(st.index.arena.ids == victim))
+    vec = np.asarray(st.index.arena.arena[l, s], dtype=np.float32)
+    if st.index.arena.arena_scale is not None:  # int8 arenas dequantize
+        vec = vec * float(np.asarray(st.index.arena.arena_scale[l, s]))
+    out = admin.RemoveVectors(vdb_pb2.RemoveVectorsRequest(
+        index="docs", ids=[int(victim)]
+    ))
+    assert out.removed == 1
+    # Reload the active epoch from disk — without the tombstone log this
+    # would resurrect the deleted row.
+    query.LoadIndex(vdb_pb2.LoadIndexRequest(index="docs"))
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=vec)], topk=10, nprobe=8,
+        index="docs",
+    ))
+    assert all(n.id != victim for n in resp.results[0].neighbors)
+    # Re-adding a deleted id revokes its tombstone (else the next build's
+    # bake would drop it again) and restores the corpus for later tests.
+    admin.AddVectors(vdb_pb2.AddVectorsRequest(
+        index="docs", vectors=[vdb_pb2.Vector(id=int(victim), values=vec)]
+    ))
+    resp = query.Search(vdb_pb2.SearchRequest(
+        queries=[vdb_pb2.Vector(values=vec)], topk=1, nprobe=8,
+        index="docs",
+    ))
+    assert resp.results[0].neighbors[0].id == victim
+    eng = live_server["engine"]
+    assert not np.isin(victim, eng._read_tombstones("docs"))
+
+
 def test_search_error_codes(live_server):
     """Same codes the reference asserts (grpc_integration_test.cpp:186-245)."""
     query = live_server["query"]
