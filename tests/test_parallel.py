@@ -78,6 +78,24 @@ def test_sharded_occupied_prefix_hint_is_exact(rng):
     np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_refresh_after_remove(rng):
+    """Deletion composes with the mesh view: remove on the base index,
+    refresh() re-stripes, and the deleted ids vanish from sharded search
+    while survivors keep exact parity with the base."""
+    idx, x = _build(rng, n=2000, nlist=8)
+    sharded = ShardedIVFFlatIndex(idx, make_mesh(4))
+    victims = np.asarray([0, 3, 999, 1999], np.uint64)
+    assert idx.remove_ids(victims) == len(victims)
+    sharded.refresh()
+    params = SearchParams(nprobe=8, k=10)
+    d, ids = sharded.search(x[victims.astype(np.int64)], params)
+    assert not np.isin(ids, victims).any()
+    d_ref, ids_ref = idx.search(x[:6], params)
+    d_s, ids_s = sharded.search(x[:6], params)
+    np.testing.assert_array_equal(ids_s, ids_ref)
+    np.testing.assert_allclose(d_s, d_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_striping_perm_is_permutation():
     perm = _striping_perm(256, 8)
     assert sorted(perm.tolist()) == list(range(256))
