@@ -652,6 +652,20 @@ def main():
         "gen_s": round(t_gen, 1),
         "train_s": round(t_train, 1),
         "build_s": round(t_build, 1),
+        # Ingest = assign + quantize + pack (the balanced-append passes),
+        # comparable to the reference's add() throughput row: 3.8M vec/min
+        # on A100 (/root/reference/README.md:42). Excludes synthetic-data
+        # generation time, which a real ingest wouldn't pay. Only emitted
+        # at ≥1M rows: below that the relay's compile+dispatch overhead
+        # dominates t_build and the rate is meaningless.
+        "ingest_mvec_per_min": (
+            round(args.n / t_build / 1e6 * 60, 2)
+            if t_build and args.n >= 1_000_000 else None
+        ),
+        "ingest_vs_baseline": (
+            round(args.n / t_build / 1e6 * 60 / 3.8, 2)
+            if t_build and args.n >= 1_000_000 else None
+        ),
         "device": str(jax.devices()[0]),
     }
     # Per-request wire latency (VERDICT #5): measured separately against
