@@ -20,6 +20,10 @@ class ServerConfig:
     data_path: str = "/data/vdb"
     max_batch_size: int = 64
     coalesce_window_ms: float = 2.0
+    # StreamSearch: max requests pipelined into the coalescer per stream
+    # before responses are awaited (in-order delivery; bounds per-stream
+    # admission-slot hold).
+    stream_window: int = 8
     max_message_mb: int = 100
     grpc_workers: int = 16
 

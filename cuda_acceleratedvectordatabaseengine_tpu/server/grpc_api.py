@@ -42,6 +42,11 @@ def query_service_handler(servicer) -> grpc.GenericRpcHandler:
         "LoadIndex": _unary(
             servicer.LoadIndex, vdb_pb2.LoadIndexRequest, empty_pb2.Empty
         ),
+        "StreamSearch": grpc.stream_stream_rpc_method_handler(
+            servicer.StreamSearch,
+            request_deserializer=vdb_pb2.SearchRequest.FromString,
+            response_serializer=vdb_pb2.SearchResponse.SerializeToString,
+        ),
     })
 
 
@@ -89,11 +94,13 @@ def health_service_handler(servicer) -> grpc.GenericRpcHandler:
 
 class _Stub:
     def __init__(self, channel, service, methods):
+        factories = {
+            "uu": channel.unary_unary,
+            "us": channel.unary_stream,
+            "ss": channel.stream_stream,
+        }
         for name, (req, resp, kind) in methods.items():
-            factory = (
-                channel.unary_unary if kind == "uu" else channel.unary_stream
-            )
-            setattr(self, name, factory(
+            setattr(self, name, factories[kind](
                 f"/{service}/{name}",
                 request_serializer=req.SerializeToString,
                 response_deserializer=resp.FromString,
@@ -104,6 +111,8 @@ class QueryServiceClient(_Stub):
     def __init__(self, channel):
         super().__init__(channel, QUERY_SERVICE, {
             "Search": (vdb_pb2.SearchRequest, vdb_pb2.SearchResponse, "uu"),
+            "StreamSearch": (vdb_pb2.SearchRequest, vdb_pb2.SearchResponse,
+                             "ss"),
             "Warmup": (vdb_pb2.WarmupRequest, empty_pb2.Empty, "uu"),
             "LoadIndex": (vdb_pb2.LoadIndexRequest, empty_pb2.Empty, "uu"),
         })

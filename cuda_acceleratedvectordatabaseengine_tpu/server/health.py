@@ -76,6 +76,15 @@ class HealthServicer:
             return NOT_SERVING
         return st
 
+    def snapshot(self) -> dict:
+        """Health as a dict for the HTTP ``/health`` endpoint (the
+        reference documents ``curl :8080/health``, ``README.md:133-136``,
+        but its MetricsServer never implemented it)."""
+        return {
+            "healthy": self._check("") == SERVING,
+            "device_ok": self._device_ok,
+        }
+
     # gRPC handlers ------------------------------------------------------ #
 
     def Check(self, request, context):

@@ -89,8 +89,13 @@ def main(argv=None) -> int:
     server, engine, health, port = build_server(config)
     if config.metrics_enabled:
         try:
-            engine.metrics.start_exposition(config.metrics_port)
-            print(f"[vdb] metrics on :{config.metrics_port}/metrics")
+            engine.metrics.start_exposition(
+                config.metrics_port, health_fn=health.snapshot
+            )
+            print(
+                f"[vdb] metrics on :{config.metrics_port}/metrics, "
+                f"health on :{config.metrics_port}/health"
+            )
         except OSError as e:
             print(f"[vdb] metrics endpoint unavailable: {e}")
     server.start()

@@ -14,16 +14,18 @@ vdb_searches_total, vdb_gpu_memory_bytes, vdb_queries_per_second.
 from __future__ import annotations
 
 import collections
+import http.server
+import json
 import threading
 import time
 
 import numpy as np
 from prometheus_client import (
+    CONTENT_TYPE_LATEST,
     CollectorRegistry,
     Counter,
     Gauge,
     Histogram,
-    start_http_server,
     generate_latest,
 )
 
@@ -136,6 +138,63 @@ class MetricsCollector:
     def prometheus_text(self) -> bytes:
         return generate_latest(self.registry)
 
-    def start_exposition(self, port: int) -> None:
-        """Real /metrics HTTP endpoint (what S10 stubbed)."""
-        start_http_server(port, registry=self.registry)
+    def start_exposition(self, port: int, health_fn=None) -> int:
+        """Real ``/metrics`` + ``/health`` HTTP endpoints (what S10 stubbed:
+        the reference's :8080 ``MetricsServer`` placeholder loop,
+        ``server/health_service.cpp:161-218``, and the README's documented
+        ``curl :8080/health`` / ``curl :8080/metrics`` surface,
+        ``README.md:133-140``).
+
+        ``health_fn`` (optional) returns a dict snapshot — typically
+        :meth:`HealthServicer.snapshot` — rendered as JSON with HTTP 200
+        when ``healthy`` else 503, so k8s HTTP probes and the healthcheck
+        script get a real liveness signal rather than metrics text.
+        Returns the bound port (useful with ``port=0`` in tests).
+        """
+        collector = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 — http.server API
+                path = self.path.split("?", 1)[0]
+                if path == "/metrics":
+                    body = collector.prometheus_text()
+                    self.send_response(200)
+                    self.send_header("Content-Type", CONTENT_TYPE_LATEST)
+                elif path == "/health":
+                    snap = health_fn() if health_fn else {"healthy": True}
+                    snap = dict(snap)
+                    snap.setdefault("healthy", True)
+                    snap["status"] = (
+                        "healthy" if snap["healthy"] else "unhealthy"
+                    )
+                    snap["uptime_s"] = round(
+                        time.monotonic() - collector._started, 3
+                    )
+                    body = (json.dumps(snap) + "\n").encode()
+                    self.send_response(200 if snap["healthy"] else 503)
+                    self.send_header("Content-Type", "application/json")
+                else:
+                    body = b"not found\n"
+                    self.send_response(404)
+                    self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet — structured logs only
+                pass
+
+        self._http = http.server.ThreadingHTTPServer(("", port), Handler)
+        self._http.daemon_threads = True
+        threading.Thread(
+            target=self._http.serve_forever, name="vdb-metrics-http",
+            daemon=True,
+        ).start()
+        return self._http.server_address[1]
+
+    def stop_exposition(self) -> None:
+        srv = getattr(self, "_http", None)
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+            self._http = None

@@ -15,6 +15,7 @@ Differences from the reference worth knowing:
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures
 import dataclasses
 import json
@@ -547,12 +548,57 @@ class QueryServiceImpl:
     # ------------------------------------------------------------------ #
 
     def Search(self, request, context):
-        eng = self.engine
         # validation first — client errors (INVALID_ARGUMENT/NOT_FOUND) must
         # never trip the breaker; same codes as query_service.cpp:72-92.
         st, queries, params = self._validate(request, context)
-        n_queries = queries.shape[0]
-        # admission control (all wired, unlike the reference)
+        t0 = time.monotonic()
+        fut = self._admit_and_submit(st, queries, params, request, context)
+        return self._finish(fut, request, context, t0, queries.shape[0])
+
+    def StreamSearch(self, request_iterator, context):
+        """Bidirectional streaming search. The reference README claims
+        "High-performance RPC with streaming support" (``README.md:20``)
+        but declares no streaming method on either service
+        (``proto/vdb.proto:90-109``) — here it is real. Responses come
+        back in request order; up to ``config.stream_window`` requests
+        are pipelined into the coalescer at once, so one streaming client
+        overlaps network transfer, batch formation and device compute
+        without opening concurrent unary RPCs (each of which pays HTTP/2
+        stream setup and its own admission token). Validation/admission
+        failures abort the whole stream with the same status the unary
+        path returns (a gRPC stream has a single terminal status)."""
+        eng = self.engine
+        window = max(1, eng.config.stream_window)
+        pending: collections.deque = collections.deque()
+        try:
+            for request in request_iterator:
+                st, queries, params = self._validate(request, context)
+                t0 = time.monotonic()
+                fut = self._admit_and_submit(
+                    st, queries, params, request, context
+                )
+                pending.append((fut, request, t0, queries.shape[0]))
+                while len(pending) >= window:
+                    fut, req, t0, nq = pending.popleft()
+                    yield self._finish(fut, req, context, t0, nq)
+            while pending:
+                fut, req, t0, nq = pending.popleft()
+                yield self._finish(fut, req, context, t0, nq)
+        finally:
+            # Stream aborted or client cancelled with work in flight:
+            # release the admission slots of unfinished items (their
+            # results are dropped; still-queued ones never hit the device).
+            while pending:
+                fut, _req, _t0, _nq = pending.popleft()
+                fut.cancel()
+                eng.limiter.exit()
+                eng.breaker.record(True)
+
+    def _admit_and_submit(self, st, queries, params, request, context):
+        """Admission control (all wired, unlike the reference) + coalescer
+        submit. On success the concurrency-limiter slot is HELD — it is
+        released by :meth:`_finish`."""
+        eng = self.engine
         if not eng.breaker.allow():
             _abort(context, grpc.StatusCode.UNAVAILABLE,
                    "circuit breaker open")
@@ -570,16 +616,21 @@ class QueryServiceImpl:
         if not eng.limiter.try_enter():
             _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED,
                    "too many concurrent requests")
-        t0 = time.monotonic()
+        try:
+            return st.coalescer.submit(
+                (queries, params), priority=_wire_priority(request)
+            )
+        except QueueFullError as e:
+            eng.limiter.exit()
+            eng.breaker.record(True)  # shedding is not an engine failure
+            _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
+
+    def _finish(self, fut, request, context, t0, n_queries):
+        """Await a submitted search and encode the response; always
+        releases the limiter slot taken by :meth:`_admit_and_submit`."""
+        eng = self.engine
         ok = False
         try:
-            try:
-                fut = st.coalescer.submit(
-                    (queries, params), priority=_wire_priority(request)
-                )
-            except QueueFullError as e:
-                ok = True  # overload shedding is not an engine failure
-                _abort(context, grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
             try:
                 d, ids = fut.result(timeout=eng.adaptive.timeout_s())
             except concurrent.futures.TimeoutError:

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
                    help="use packed_queries/packed_response bytes instead "
                         "of repeated Vector messages (cuts python-proto "
                         "serialization ~30x at dim 768)")
+    p.add_argument("--stream", action="store_true",
+                   help="send each thread's requests through ONE "
+                        "StreamSearch bidirectional stream (pipelined "
+                        "through the coalescer) instead of per-request "
+                        "unary RPCs")
     args = p.parse_args(argv)
 
     from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
@@ -47,26 +52,28 @@ def main(argv=None) -> int:
     errors: list[str] = []
     lock = threading.Lock()
 
+    def make_request(local_rng):
+        if args.packed:
+            return vdb_pb2.SearchRequest(
+                packed_queries=local_rng.standard_normal(
+                    (args.batch, args.dimension)
+                ).astype("<f4").tobytes(),
+                packed_response=True,
+                topk=args.topk, nprobe=args.nprobe, index=args.index,
+            )
+        return vdb_pb2.SearchRequest(
+            queries=[
+                vdb_pb2.Vector(values=local_rng.standard_normal(
+                    args.dimension).astype(float))
+                for _ in range(args.batch)
+            ],
+            topk=args.topk, nprobe=args.nprobe, index=args.index,
+        )
+
     def worker(tid: int):
         local_rng = np.random.default_rng(tid)
         for _ in range(args.requests):
-            if args.packed:
-                req = vdb_pb2.SearchRequest(
-                    packed_queries=local_rng.standard_normal(
-                        (args.batch, args.dimension)
-                    ).astype("<f4").tobytes(),
-                    packed_response=True,
-                    topk=args.topk, nprobe=args.nprobe, index=args.index,
-                )
-            else:
-                req = vdb_pb2.SearchRequest(
-                    queries=[
-                        vdb_pb2.Vector(values=local_rng.standard_normal(
-                            args.dimension).astype(float))
-                        for _ in range(args.batch)
-                    ],
-                    topk=args.topk, nprobe=args.nprobe, index=args.index,
-                )
+            req = make_request(local_rng)
             t0 = time.monotonic()
             try:
                 client.Search(req)
@@ -79,9 +86,35 @@ def main(argv=None) -> int:
                 with lock:
                     latencies.append((time.monotonic() - t0) * 1000)
 
+    def stream_worker(tid: int):
+        """One StreamSearch per thread: requests pipeline server-side (up
+        to the server's stream_window are in flight), responses arrive in
+        order. Per-request latency = send→receive, so it includes queue
+        wait under pipelining — the honest number."""
+        local_rng = np.random.default_rng(tid)
+        send_times: list[float] = []
+
+        def gen():
+            for _ in range(args.requests):
+                req = make_request(local_rng)
+                send_times.append(time.monotonic())
+                yield req
+
+        got = 0
+        try:
+            for _resp in client.StreamSearch(gen()):
+                lat = (time.monotonic() - send_times[got]) * 1000
+                got += 1
+                with lock:
+                    latencies.append(lat)
+        except grpc.RpcError as e:
+            with lock:
+                errors.extend([str(e.code())] * (args.requests - got))
+
     t0 = time.time()
+    target_fn = stream_worker if args.stream else worker
     threads = [
-        threading.Thread(target=worker, args=(i,))
+        threading.Thread(target=target_fn, args=(i,))
         for i in range(args.threads)
     ]
     for t in threads:
@@ -98,6 +131,7 @@ def main(argv=None) -> int:
     report = {
         "requests": total,
         "packed_wire": bool(args.packed),
+        "stream": bool(args.stream),
         "batch": args.batch,
         "success_rate": len(latencies) / total,
         "qps": round(total * args.batch / wall, 1),

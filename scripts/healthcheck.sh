@@ -48,7 +48,14 @@ text = urllib.request.urlopen("http://$METRICS/metrics", timeout=5).read()
 assert b"vdb_" in text or b"python_info" in text
 EOF
 
-# 5. functional search RPC error contract (INVALID_ARGUMENT on empty query)
+# 5. HTTP /health endpoint healthy (reference README.md:133-136)
+check "http /health healthy" python - <<EOF
+import json, urllib.request
+resp = urllib.request.urlopen("http://$METRICS/health", timeout=5)
+assert resp.status == 200 and json.loads(resp.read())["status"] == "healthy"
+EOF
+
+# 6. functional search RPC error contract (INVALID_ARGUMENT on empty query)
 check "search validation" python - <<EOF
 import grpc
 from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import QueryServiceClient

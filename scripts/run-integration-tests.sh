@@ -52,7 +52,7 @@ admin.CreateIndex(vdb_pb2.CreateIndexRequest(name="it", dimension=16, nlist=8))
 admin.AddVectors(vdb_pb2.AddVectorsRequest(index="it",
     vectors=[vdb_pb2.Vector(id=i, values=rng.standard_normal(16)) for i in range(500)]))
 admin.BuildEpoch(vdb_pb2.BuildEpochRequest(index="it"))
-deadline = time.time() + 120
+deadline = time.time() + 300  # tolerates cold relay handoff + compiles
 while True:
     try:
         admin.ActivateEpoch(vdb_pb2.ActivateEpochRequest(index="it")); break

@@ -78,11 +78,17 @@ run_load t48_np32_packed 48 200 32 1 --packed || exit 1
 # cost, letting one RPC carry the batch the device wants
 run_load b8_packed 16 200 32 8 --packed || exit 1
 run_load b64_packed 8 100 32 64 --packed || exit 1
+# bidirectional StreamSearch: one RPC per thread, requests pipelined
+# through the coalescer (no per-request HTTP/2 stream setup)
+run_load s16_packed_stream 16 200 32 1 "--packed --stream" || exit 1
+run_load s8_b8_packed_stream 8 200 32 8 "--packed --stream" || exit 1
 
 echo "[wire] phase 4: report"
 python scripts/wire_bench.py report \
   --run "${OUT}/t16_np32.json" --run "${OUT}/t16_np32_packed.json" \
   --run "${OUT}/t48_np32_packed.json" --run "${OUT}/b8_packed.json" \
   --run "${OUT}/b64_packed.json" \
+  --run "${OUT}/s16_packed_stream.json" \
+  --run "${OUT}/s8_b8_packed_stream.json" \
   --output "WIRE_r${ROUND}.json" || exit 1
 echo "[wire] done -> WIRE_r${ROUND}.json"

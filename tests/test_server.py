@@ -345,6 +345,105 @@ def test_metrics_exposition(live_server):
     assert pct["count"] > 0 and pct["p99"] >= pct["p50"] >= 0
 
 
+def test_http_metrics_and_health_endpoints(live_server):
+    """The :8080 HTTP surface the reference documented but stubbed
+    (README.md:133-140, health_service.cpp:161-218): /metrics serves
+    Prometheus text, /health serves a JSON liveness signal with a real
+    status code, anything else 404s."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    engine = live_server["engine"]
+    health = {"healthy": True, "device_ok": True}
+    port = engine.metrics.start_exposition(0, health_fn=lambda: health)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        text = urllib.request.urlopen(f"{base}/metrics", timeout=5).read()
+        assert b"vdb_searches_total" in text
+
+        resp = urllib.request.urlopen(f"{base}/health", timeout=5)
+        body = json.loads(resp.read())
+        assert resp.status == 200
+        assert body["status"] == "healthy" and body["device_ok"] is True
+        assert body["uptime_s"] >= 0
+
+        health["healthy"] = False
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/health", timeout=5)
+        assert ei.value.code == 503
+        assert json.loads(ei.value.read())["status"] == "unhealthy"
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nope", timeout=5)
+        assert ei.value.code == 404
+    finally:
+        engine.metrics.stop_exposition()
+
+
+def test_stream_search_matches_unary(live_server):
+    """StreamSearch pipelines a whole query stream through one RPC and
+    returns responses in request order, each identical to what the unary
+    Search returns for the same request (the reference claims 'streaming
+    support', README.md:20, but declares no streaming method)."""
+    rng = np.random.default_rng(7)
+    query = live_server["query"]
+    reqs = []
+    for i in range(12):
+        q = rng.standard_normal(16).astype(np.float32)
+        if i % 3 == 0:  # exercise the packed form inside the stream too
+            reqs.append(vdb_pb2.SearchRequest(
+                index="docs", topk=5, nprobe=8,
+                packed_queries=q.tobytes(), packed_response=True,
+            ))
+        else:
+            reqs.append(vdb_pb2.SearchRequest(
+                index="docs", topk=5, nprobe=8,
+                queries=[vdb_pb2.Vector(values=q)],
+            ))
+    streamed = list(query.StreamSearch(iter(reqs)))
+    assert len(streamed) == len(reqs)
+
+    def decode(req, resp):
+        if req.packed_response:
+            ids = np.frombuffer(resp.packed_ids, dtype="<u8")
+            d = np.frombuffer(resp.packed_distances, dtype="<f4")
+            return ids, d
+        ns = resp.results[0].neighbors
+        return (np.array([n.id for n in ns], dtype=np.uint64),
+                np.array([n.distance for n in ns], dtype=np.float32))
+
+    for req, got in zip(reqs, streamed):
+        want = query.Search(req)
+        got_ids, got_d = decode(req, got)
+        want_ids, want_d = decode(req, want)
+        # ids must match exactly; distances to float tolerance (the
+        # coalescer may batch streamed items, changing XLA reduction
+        # order vs the solo unary dispatch)
+        assert np.array_equal(got_ids, want_ids)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+    assert live_server["engine"].limiter._active == 0
+
+
+def test_stream_search_invalid_message_aborts_stream(live_server):
+    """An invalid message mid-stream terminates the stream with the same
+    status code the unary path returns, and releases every admission
+    slot held by in-flight items."""
+    rng = np.random.default_rng(8)
+    query = live_server["query"]
+    good = vdb_pb2.SearchRequest(
+        index="docs", topk=5, nprobe=8,
+        queries=[vdb_pb2.Vector(
+            values=rng.standard_normal(16).astype(np.float32)
+        )],
+    )
+    bad = vdb_pb2.SearchRequest(index="docs", topk=0)  # invalid topk
+    with pytest.raises(grpc.RpcError) as ei:
+        list(query.StreamSearch(iter([good, good, bad, good])))
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert live_server["engine"].limiter._active == 0
+
+
 def test_engine_recovery_after_restart(live_server, tmp_path):
     """A new engine over the same data path reloads indices + active epoch
     (the reference recovers via epochs.json, storage.cpp:511-579)."""
