@@ -82,6 +82,12 @@ def save_ivf_flat(path: str, index) -> None:
         os.path.join(path, CENTROIDS_FILE), state["centroids"]
     )
     cfg = index.config
+    extra = {}
+    if getattr(index, "calibrated_nprobe", None):
+        # measured-coverage calibration (vdb-tune / calibrate_nprobe)
+        # survives the snapshot so a recovering server serves nprobe=0
+        # requests with the tuned value
+        extra["calibrated_nprobe"] = int(index.calibrated_nprobe)
     IndexManifest(
         kind="ivf_flat",
         dimension=cfg.dimension,
@@ -91,6 +97,7 @@ def save_ivf_flat(path: str, index) -> None:
         capacity_per_list=index.arena.capacity,
         dtype=str(cfg.dtype),
         shards=_shard_table(counts),
+        extra=extra,
     ).save(path)
 
 
@@ -115,7 +122,10 @@ def load_ivf_flat(path: str):
         dimension=man.dimension, nlist=man.nlist, metric=man.metric,
         dtype=man.dtype,
     )
-    return IVFFlatIndex.from_state(cfg, centroids, arena, counts, id_table)
+    idx = IVFFlatIndex.from_state(cfg, centroids, arena, counts, id_table)
+    if man.extra.get("calibrated_nprobe"):
+        idx.calibrated_nprobe = int(man.extra["calibrated_nprobe"])
+    return idx
 
 
 def load_ivf_flat_host(path: str):

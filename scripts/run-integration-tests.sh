@@ -76,7 +76,13 @@ assert out.removed == 1
 r = query.Search(vdb_pb2.SearchRequest(
     queries=[vdb_pb2.Vector(values=probe)], topk=5, nprobe=8, index="it"))
 assert all(n.id != 777777 for n in r.results[0].neighbors)
-print("lifecycle OK (incl. RemoveVectors)")
+# bidirectional StreamSearch over the wire
+reqs = [vdb_pb2.SearchRequest(
+    queries=[vdb_pb2.Vector(values=rng.standard_normal(16))],
+    topk=5, nprobe=8, index="it") for _ in range(6)]
+resps = list(query.StreamSearch(iter(reqs)))
+assert len(resps) == 6 and all(len(r.results[0].neighbors) == 5 for r in resps)
+print("lifecycle OK (incl. RemoveVectors + StreamSearch)")
 EOF
 
 if [[ "${RUN_LOAD_TEST}" == "true" ]]; then

@@ -183,3 +183,49 @@ def test_bench_zipf_corpus_chunk_coherent():
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate([lo, hi])), np.asarray(full)
     )
+
+
+def test_autotune_cli_recommends_and_persists(tmp_path, capsys):
+    """vdb-tune: measures the coverage curve on a built snapshot, picks
+    the smallest nprobe meeting the target, and --persist writes it into
+    the manifest so a reloaded index serves SearchParams(nprobe=0) with
+    the tuned value (replaces the reference's static tuning table,
+    README.md:154-167)."""
+    from cuda_acceleratedvectordatabaseengine_tpu import (
+        IVFFlatIndex,
+        SearchParams,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.autotune import (
+        main as tune_main,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.build_index import (
+        main as build_main,
+    )
+
+    snap = str(tmp_path / "snap")
+    rc = build_main([
+        "--synthetic", "4000", "--dimension", "16", "--nlist", "16",
+        "--output", snap, "--dtype", "float32",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = tune_main([
+        "--snapshot", snap, "--target-coverage", "0.9", "--k", "5",
+        "--sample", "128", "--measure-qps", "--batch", "32",
+        "--qps-batches", "2", "--persist",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["recommended_nprobe"] >= 1
+    assert str(rep["recommended_nprobe"]) in rep["coverage_curve"]
+    assert rep["measured_coverage"] >= 0.9 or rep["coverage_limited"]
+    assert rep["qps_at_recommended"] > 0
+    assert rep["persisted"] is True
+    assert rep["reference_static_nprobe"] == 16  # <1M tier
+
+    idx = IVFFlatIndex.load(snap)
+    assert idx.calibrated_nprobe == rep["recommended_nprobe"]
+    q = np.zeros((2, 16), np.float32)
+    d, ids = idx.search(q, SearchParams(nprobe=0, k=5))  # uses calibration
+    assert ids.shape == (2, 5)
