@@ -386,6 +386,11 @@ class VdbEngine:
             raw = open(self._tombstone_path(name), "rb").read()
         except FileNotFoundError:
             return np.zeros(0, np.uint64)
+        # Tolerate a torn final record (crash mid-append): drop the
+        # trailing partial u64 instead of failing the whole index load.
+        # Complete earlier records are still applied — same recovery
+        # stance as the epoch registry (epochs.json last-good state).
+        raw = raw[: len(raw) - (len(raw) % 8)]
         return np.unique(np.frombuffer(raw, "<u8"))
 
     def _clear_tombstones(self, name: str) -> None:

@@ -870,3 +870,21 @@ def test_production_yaml_parses_warm_nprobes():
     assert cfg.default_nprobe == 32
     assert list(cfg.warm_nprobes) == [8, 32]
     assert cfg.streaming_cache_policy == "lfu"
+
+
+def test_tombstone_wal_tolerates_torn_write(live_server):
+    """A crash mid-append leaves a partial trailing u64 in the deletion
+    WAL; recovery must apply the complete records and drop the torn tail
+    instead of failing the index load."""
+    import os
+
+    engine = live_server["engine"]
+    path = engine._tombstone_path("torn-scratch")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    engine._append_tombstones(
+        "torn-scratch", np.array([11, 22, 33], np.uint64)
+    )
+    with open(path, "ab") as f:
+        f.write(b"\x01\x02\x03")  # torn final record
+    got = engine._read_tombstones("torn-scratch")
+    assert np.array_equal(got, np.array([11, 22, 33], np.uint64))
