@@ -787,99 +787,29 @@ class IVFFlatIndex:
         """
         if not self.trained:
             raise RuntimeError("index must be trained before calibration")
-        arena = self.arena
-        nlist, cap = self.config.nlist, arena.capacity
+        from cuda_acceleratedvectordatabaseengine_tpu.models.calibrate import (
+            probe_coverage_calibrate,
+            sample_stored_rows,
+        )
+
         if queries is None:
-            rng = np.random.default_rng(seed)
-            counts_h = np.asarray(arena.counts)
-            lists_h = np.flatnonzero(counts_h > 0)
-            lists_s = rng.choice(lists_h, size=sample)
-            slots_s = (rng.random(sample) * counts_h[lists_s]).astype(
-                np.int64
-            )
-            rows = jnp.asarray(arena.arena)[
-                jnp.asarray(lists_s), jnp.asarray(slots_s)
-            ].astype(jnp.float32)
-            if arena.arena_scale is not None:
-                rows = rows * jnp.asarray(arena.arena_scale)[
-                    jnp.asarray(lists_s), jnp.asarray(slots_s)
-                ][:, None]
-            if arena.anchors is not None:
-                rows = rows + jnp.asarray(arena.anchors)[
-                    jnp.asarray(lists_s)
-                ]
-            queries = np.asarray(rows, np.float32)
-        queries = np.ascontiguousarray(queries, np.float32)
-        s = queries.shape[0]
-
-        # Exact (full-probe) top-k on the stored representation — the
-        # probing ground truth. One full-arena sweep for the sample.
-        d_true, ids_true = self.search(
-            queries, SearchParams(nprobe=nlist, k=k)
+            queries = sample_stored_rows(self.arena, sample, seed)
+        result = probe_coverage_calibrate(
+            centroids=self.centroids,
+            metric=self.metric,
+            ids_table=self.arena.ids,
+            queries=queries,
+            # Exact (full-probe) top-k on the stored representation — the
+            # probing ground truth. One full-arena sweep for the sample.
+            exact_search_fn=lambda q, kk: self.search(
+                q, SearchParams(nprobe=self.config.nlist, k=kk)
+            ),
+            target_coverage=target_coverage,
+            k=k,
+            candidates=candidates,
         )
-        # true lists via the arena id table
-        flat = arena.ids.reshape(-1)
-        order = np.argsort(flat, kind="stable")
-        sflat = flat[order]
-        locs = np.clip(
-            np.searchsorted(sflat, ids_true.astype(np.uint64)),
-            0, max(sflat.size - 1, 0),
-        )
-        matched = sflat[locs] == ids_true.astype(np.uint64)
-        true_list = (order[locs] // cap).astype(np.int64)
-
-        # Coarse rank of each true list per query.
-        q = jnp.asarray(queries)
-        if self.metric == Metric.COSINE:
-            q = l2_normalize(q)
-        coarse_metric = (
-            Metric.INNER_PRODUCT
-            if self.metric == Metric.INNER_PRODUCT else Metric.L2
-        )
-        coarse = np.asarray(pairwise_distance(q, self.centroids,
-                                              coarse_metric))
-        ranks = np.argsort(np.argsort(coarse, axis=1), axis=1)
-        rank_of_true = np.take_along_axis(
-            ranks, np.clip(true_list, 0, nlist - 1), axis=1
-        )
-        valid = matched & (ids_true != INVALID_ID)
-        n_valid = max(int(valid.sum()), 1)
-        curve = {}
-        for p in sorted(set(int(c) for c in candidates) | {nlist}):
-            if p > nlist:
-                continue
-            curve[p] = float(
-                (rank_of_true[valid] < p).sum() / n_valid
-            )
-        cand_curve = {p: c for p, c in curve.items() if p < nlist}
-        chosen = next(
-            (p for p in sorted(cand_curve)
-             if cand_curve[p] >= target_coverage),
-            None,
-        )
-        coverage_limited = chosen is None and bool(cand_curve)
-        if coverage_limited:
-            # Coverage plateaus below target (dense duplicated-mass
-            # geometry: the true top-k scatter across a mode's many cells
-            # near-uniformly, so extra probes buy ~nothing). Escalating to
-            # a full scan would silently turn serving into brute force;
-            # pick the knee — the smallest nprobe within 1% absolute of
-            # the best measured candidate — and flag it.
-            best = max(cand_curve.values())
-            chosen = min(
-                p for p, c in cand_curve.items() if c >= best - 0.01
-            )
-        elif chosen is None:
-            chosen = nlist
-        self.calibrated_nprobe = int(chosen)
-        return {
-            "nprobe": int(chosen),
-            "coverage": curve.get(chosen, 1.0),
-            "coverage_limited": coverage_limited,
-            "curve": curve,
-            "target": target_coverage,
-            "sample": s,
-        }
+        self.calibrated_nprobe = result["nprobe"]
+        return result
 
     # ------------------------------------------------------------------ #
     # residency management (GpuCache / warmup surface)

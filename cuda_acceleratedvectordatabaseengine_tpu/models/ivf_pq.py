@@ -325,6 +325,7 @@ class IVFPQIndex:
         self._counts = jnp.zeros((config.nlist,), jnp.int32)
         self._ids = np.full((config.nlist, cap), INVALID_ID, np.uint64)
         self.trained = False
+        self.calibrated_nprobe: int | None = None
         self.list_access_count = np.zeros(config.nlist, np.int64)
         # Host-store exact rerank (keep_raw=False capacity tier): the raw
         # corpus stays in host RAM, the device keeps only codes. See
@@ -677,7 +678,10 @@ class IVFPQIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
-        nprobe = min(params.nprobe, self.config.nlist)
+        nprobe = params.nprobe
+        if nprobe == 0:  # measured-coverage calibration, as in IVF-Flat
+            nprobe = self.calibrated_nprobe or SearchParams().nprobe
+        nprobe = min(nprobe, self.config.nlist)
         rerank_k = 0
         if params.use_exact_rerank and self.raw is not None:
             rerank_k = min(max(4 * params.k, params.k), 256)
@@ -869,6 +873,61 @@ class IVFPQIndex:
             # astype(float32) would persist raw codes as if they were values.
             out["arena"] = self.raw.to_host()["arena"]
         return out
+
+    def calibrate_nprobe(
+        self,
+        queries: np.ndarray | None = None,
+        target_coverage: float = 0.99,
+        k: int = 10,
+        candidates: tuple = (4, 8, 12, 16, 24, 32, 48, 64, 96, 128),
+        sample: int = 512,
+        seed: int = 0,
+    ) -> dict:
+        """Measured-coverage nprobe calibration (same semantics as
+        :meth:`IVFFlatIndex.calibrate_nprobe`; shared implementation in
+        ``models/calibrate.py``). Ground truth is the full-probe search on
+        the index's own stored representation — with exact rerank when raw
+        rows are retained, so the curve reflects probing loss rather than
+        PQ ranking noise. Sets ``self.calibrated_nprobe`` (used by
+        ``SearchParams(nprobe=0)``)."""
+        if not self.trained:
+            raise RuntimeError("index must be trained before calibration")
+        from cuda_acceleratedvectordatabaseengine_tpu.models.calibrate import (  # noqa: E501
+            probe_coverage_calibrate,
+            sample_stored_rows,
+        )
+
+        if queries is None:
+            if self.raw is None:
+                raise ValueError(
+                    "keep_raw=False index has no stored rows to sample — "
+                    "pass held-out queries"
+                )
+            rows = sample_stored_rows(self.raw, sample, seed)
+            if self.opq_R is not None:
+                # raw rows live in the OPQ frame; rotate back so the
+                # search path's boundary transform applies exactly once
+                rows = rows @ np.asarray(self.opq_R).T
+            queries = rows
+        result = probe_coverage_calibrate(
+            centroids=self.centroids,
+            metric=self.metric,
+            ids_table=self.ids,
+            queries=queries,
+            exact_search_fn=lambda q, kk: self.search(
+                q, SearchParams(
+                    nprobe=self.config.nlist, k=kk,
+                    use_exact_rerank=self.raw is not None,
+                )
+            ),
+            target_coverage=target_coverage,
+            k=k,
+            candidates=candidates,
+            # centroids are stored rotated under OPQ; rank in that frame
+            query_transform=self._rot if self.opq_R is not None else None,
+        )
+        self.calibrated_nprobe = result["nprobe"]
+        return result
 
     def save(self, path: str) -> None:
         from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (

@@ -239,6 +239,8 @@ def save_ivf_pq(path: str, index, host_rows=None) -> None:
         extra={
             "keep_raw": "arena" in state,
             "host_rows": "arena" in state or host_rows is not None,
+            **({"calibrated_nprobe": int(index.calibrated_nprobe)}
+               if getattr(index, "calibrated_nprobe", None) else {}),
         },
     ).save(path)
 
@@ -297,6 +299,8 @@ def load_ivf_pq(path: str):
         idx._counts = jnp.asarray(counts.astype(np.int32))
         idx._ids = id_table
     idx.trained = True
+    if man.extra.get("calibrated_nprobe"):
+        idx.calibrated_nprobe = int(man.extra["calibrated_nprobe"])
     return idx
 
 

@@ -65,8 +65,20 @@ def main(argv=None) -> int:
         IVFFlatIndex,
         SearchParams,
     )
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.manifest import (
+        IndexManifest,
+    )
 
-    idx = IVFFlatIndex.load(args.snapshot)
+    man = IndexManifest.load(args.snapshot)
+    if man.kind == "ivf_flat":
+        idx = IVFFlatIndex.load(args.snapshot)
+    elif man.kind == "ivf_pq":
+        idx = IVFPQIndex.load(args.snapshot)
+    else:
+        raise SystemExit(f"cannot tune snapshot kind {man.kind!r}")
     queries = None
     if args.queries:
         queries = np.load(args.queries).astype(np.float32)
@@ -86,10 +98,14 @@ def main(argv=None) -> int:
 
     report = {
         "snapshot": args.snapshot,
+        "kind": man.kind,
         "ntotal": idx.ntotal,
         "nlist": idx.config.nlist,
         "dimension": idx.config.dimension,
-        "arena_dtype": str(idx.config.dtype),
+        "arena_dtype": str(
+            getattr(idx.config, "dtype", None)
+            or getattr(idx.config, "raw_dtype", "")
+        ),
         "k": args.k,
         "query_source": ("file" if args.queries else "sampled stored rows "
                          "(coverage slightly optimistic; prefer held-out "

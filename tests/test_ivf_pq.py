@@ -375,3 +375,37 @@ def test_opq_snapshot_roundtrip(rng, tmp_path):
     d, ids = idx2.search(q, SearchParams(nprobe=8, k=5))
     np.testing.assert_array_equal(ids, ids_ref)
     np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_pq_calibrate_nprobe_and_persist(rng, tmp_path):
+    """PQ shares the measured-coverage calibration (models/calibrate.py):
+    the picked nprobe meets the target on held-out queries, nprobe=0
+    serves at the calibrated point, and save/load round-trips it."""
+    idx, x = _build(rng, n=4000, dim=32, nlist=16, m=8)
+    q = rng.standard_normal((128, 32)).astype(np.float32)
+    rep = idx.calibrate_nprobe(queries=q, target_coverage=0.9, k=10)
+    assert rep["coverage"] >= 0.9 or rep["coverage_limited"]
+    assert idx.calibrated_nprobe == rep["nprobe"]
+    d0, i0 = idx.search(q[:8], SearchParams(nprobe=0, k=5))
+    dc, ic = idx.search(q[:8], SearchParams(nprobe=rep["nprobe"], k=5))
+    np.testing.assert_array_equal(i0, ic)
+
+    # self-sampled calibration (raw rows) also works
+    rep2 = idx.calibrate_nprobe(sample=64, target_coverage=0.9)
+    assert rep2["nprobe"] >= 1
+
+    snap = str(tmp_path / "pq-snap")
+    idx.save(snap)
+    idx2 = IVFPQIndex.load(snap)
+    assert idx2.calibrated_nprobe == idx.calibrated_nprobe
+
+
+def test_ivf_pq_calibrate_opq_frame(rng):
+    """Under OPQ the centroids live in the rotated basis; calibration must
+    rank coarse lists in that frame (and un-rotate self-sampled rows) or
+    the curve would be measured against the wrong probe order."""
+    idx, x = _build(rng, n=3000, dim=32, nlist=8, m=8, opq=True)
+    rep = idx.calibrate_nprobe(sample=64, target_coverage=0.9, k=5)
+    assert 1 <= rep["nprobe"] <= 8
+    # full-probe coverage is 1.0 by construction — the curve must reach it
+    assert rep["curve"][8] == pytest.approx(1.0)

@@ -229,3 +229,30 @@ def test_autotune_cli_recommends_and_persists(tmp_path, capsys):
     q = np.zeros((2, 16), np.float32)
     d, ids = idx.search(q, SearchParams(nprobe=0, k=5))  # uses calibration
     assert ids.shape == (2, 5)
+
+
+def test_autotune_cli_ivf_pq_snapshot(tmp_path, capsys):
+    """vdb-tune dispatches on snapshot kind: IVF-PQ snapshots calibrate
+    through the shared coverage machinery."""
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.autotune import (
+        main as tune_main,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.tools.build_index import (
+        main as build_main,
+    )
+
+    snap = str(tmp_path / "pqsnap")
+    rc = build_main([
+        "--synthetic", "3000", "--dimension", "16", "--nlist", "8",
+        "--pq-m", "4", "--output", snap,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = tune_main([
+        "--snapshot", snap, "--target-coverage", "0.9", "--k", "5",
+        "--sample", "64",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["kind"] == "ivf_pq"
+    assert rep["recommended_nprobe"] >= 1
