@@ -736,7 +736,16 @@ class QueryServiceImpl:
                         f"index dim {dim}",
                     )
                 queries[i] = v.values
-        nprobe = request.nprobe or self.engine.config.default_nprobe
+        nprobe = request.nprobe
+        if not nprobe:
+            # unset → the index's persisted measured-coverage calibration
+            # (vdb-tune --persist / calibrate_nprobe) when present, else
+            # the config default (reference defaulted a hardcoded 8,
+            # query_service.cpp:94-108)
+            nprobe = (
+                getattr(st.index, "calibrated_nprobe", None)
+                or self.engine.config.default_nprobe
+            )
         params = SearchParams(
             nprobe=nprobe, k=request.topk,
             use_exact_rerank=request.rerank_exact,

@@ -888,3 +888,37 @@ def test_tombstone_wal_tolerates_torn_write(live_server):
         f.write(b"\x01\x02\x03")  # torn final record
     got = engine._read_tombstones("torn-scratch")
     assert np.array_equal(got, np.array([11, 22, 33], np.uint64))
+
+
+def test_unset_nprobe_uses_persisted_calibration(live_server):
+    """A request with nprobe unset serves at the index's calibrated
+    operating point when one exists (vdb-tune --persist), else the config
+    default — so tuning actually reaches wire clients."""
+    engine = live_server["engine"]
+    query_impl = __import__(
+        "cuda_acceleratedvectordatabaseengine_tpu.server.service",
+        fromlist=["QueryServiceImpl"],
+    ).QueryServiceImpl(engine)
+    st = engine.get_state("docs")
+    req = vdb_pb2.SearchRequest(
+        index="docs", topk=3,
+        queries=[vdb_pb2.Vector(values=np.zeros(16, np.float32))],
+    )
+
+    class _Ctx:  # aborts raise, as grpc does
+        def abort(self, code, msg):
+            raise AssertionError(f"abort {code}: {msg}")
+
+    old = st.index.calibrated_nprobe
+    try:
+        st.index.calibrated_nprobe = 7
+        _, _, params = query_impl._validate(req, _Ctx())
+        assert params.nprobe == 7
+        st.index.calibrated_nprobe = None
+        _, _, params = query_impl._validate(req, _Ctx())
+        assert params.nprobe == live_server["config"].default_nprobe
+        req.nprobe = 3  # explicit wins
+        _, _, params = query_impl._validate(req, _Ctx())
+        assert params.nprobe == 3
+    finally:
+        st.index.calibrated_nprobe = old
