@@ -62,6 +62,11 @@ class ServerConfig:
     # index defaults (configs/production.yaml + README tuning table)
     default_nlist: int = 1024
     default_nprobe: int = 8                  # reference Search default
+    # Opt-in: calibrate nprobe from measured probe coverage at every
+    # epoch build and persist it in the manifest (vdb-tune's measurement,
+    # run automatically). Requests with nprobe unset then serve at the
+    # tuned point instead of default_nprobe.
+    auto_calibrate_nprobe: bool = False
     keep_epochs: int = 3
     # Serving operating points warmed at activation. nprobe is
     # SHAPE-STATIC in the jitted search: an nprobe that warmup skipped

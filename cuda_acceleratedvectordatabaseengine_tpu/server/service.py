@@ -484,6 +484,20 @@ class VdbEngine:
         job.progress = 0.5
         index.add(x, all_ids)
         job.progress = 0.8
+        if self.config.auto_calibrate_nprobe:
+            # Measured-coverage calibration on a corpus sample, persisted
+            # in the epoch manifest — served for requests with nprobe
+            # unset. Opt-in: it costs one full-probe sweep per build.
+            try:
+                rng = np.random.default_rng(0)
+                pick = rng.choice(
+                    len(x), size=min(512, len(x)), replace=False
+                )
+                index.calibrate_nprobe(queries=x[pick])
+            except Exception as e:  # noqa: BLE001 — tuning must not
+                log.warning(                      # fail the build
+                    "auto-calibration skipped for %s: %s", st.name, e
+                )
         if cfg.get("tier") == "pq_capacity":
             # Capacity-tier epoch = codes (device) + raw rows (host rerank).
             from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501

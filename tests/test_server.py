@@ -922,3 +922,41 @@ def test_unset_nprobe_uses_persisted_calibration(live_server):
         assert params.nprobe == 3
     finally:
         st.index.calibrated_nprobe = old
+
+
+def test_auto_calibrate_nprobe_on_build(tmp_path):
+    """With auto_calibrate_nprobe on, every built epoch carries a
+    measured calibration in its manifest and the loaded index serves
+    nprobe-unset requests at that point."""
+    import time
+
+    from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
+        VdbEngine,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.manifest import (
+        IndexManifest,
+    )
+
+    config = ServerConfig(
+        data_path=str(tmp_path), default_nlist=8,
+        auto_calibrate_nprobe=True,
+    )
+    engine = VdbEngine(config)
+    engine.create_index("auto", 16, "L2", 8, 0, 0)
+    rng = np.random.default_rng(5)
+    engine.add_vectors(
+        "auto", rng.standard_normal((600, 16)).astype(np.float32),
+        np.arange(600, dtype=np.uint64),
+    )
+    engine.build_epoch("auto")
+    deadline = time.time() + 60
+    while not engine.build_jobs["auto"].done:
+        assert time.time() < deadline, "build never finished"
+        time.sleep(0.2)
+    assert not engine.build_jobs["auto"].error
+    st = engine.get_state("auto")
+    epoch = engine.build_jobs["auto"].epoch_id
+    engine._load_epoch_into(st, epoch)
+    assert st.index.calibrated_nprobe is not None
+    man = IndexManifest.load(engine.epochs.epoch_dir("auto", epoch))
+    assert man.extra["calibrated_nprobe"] == st.index.calibrated_nprobe
