@@ -286,10 +286,14 @@ class VdbEngine:
         if self.config.max_batch_size not in sizes:
             sizes.append(self.config.max_batch_size)
         # nprobe is shape-static too: warm every configured serving
-        # operating point, not just the default (warm_nprobes).
+        # operating point, not just the default (warm_nprobes) — and the
+        # snapshot's persisted calibration, which nprobe-unset requests
+        # will serve at.
         nprobes = sorted(
             {int(self.config.default_nprobe)}
             | {int(p) for p in (self.config.warm_nprobes or ())}
+            | ({int(index.calibrated_nprobe)}
+               if getattr(index, "calibrated_nprobe", None) else set())
         )
         try:
             index.warmup_lists(batch_sizes=tuple(sizes),
