@@ -960,3 +960,61 @@ def test_auto_calibrate_nprobe_on_build(tmp_path):
     assert st.index.calibrated_nprobe is not None
     man = IndexManifest.load(engine.epochs.epoch_dir("auto", epoch))
     assert man.extra["calibrated_nprobe"] == st.index.calibrated_nprobe
+
+
+def test_activation_warms_calibrated_nprobe(tmp_path, monkeypatch):
+    """Activation must compile-warm the persisted calibrated nprobe:
+    nprobe-unset requests serve at it (see
+    test_unset_nprobe_uses_persisted_calibration), and nprobe is
+    shape-static — an unwarmed point pays a cold compile on the first
+    live request (the recurring ~1 s server-p99 outlier)."""
+    import time
+
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        IVFFlatIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
+        VdbEngine,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.storage.manifest import (
+        IndexManifest,
+    )
+
+    config = ServerConfig(
+        data_path=str(tmp_path), default_nlist=8,
+        auto_calibrate_nprobe=True,
+    )
+    engine = VdbEngine(config)
+    engine.create_index("warmcal", 16, "L2", 8, 0, 0)
+    rng = np.random.default_rng(11)
+    engine.add_vectors(
+        "warmcal", rng.standard_normal((600, 16)).astype(np.float32),
+        np.arange(600, dtype=np.uint64),
+    )
+    engine.build_epoch("warmcal")
+    deadline = time.time() + 60
+    while not engine.build_jobs["warmcal"].done:
+        assert time.time() < deadline, "build never finished"
+        time.sleep(0.2)
+    assert not engine.build_jobs["warmcal"].error
+    epoch = engine.build_jobs["warmcal"].epoch_id
+    man = IndexManifest.load(engine.epochs.epoch_dir("warmcal", epoch))
+    calibrated = int(man.extra["calibrated_nprobe"])
+    # Make the assertion non-vacuous: the calibration must not already
+    # be a configured warm point.
+    assert calibrated != config.default_nprobe
+    assert calibrated not in (config.warm_nprobes or ())
+
+    warmed: list[int] = []
+    orig = IVFFlatIndex.warmup_lists
+
+    def spy(self, list_ids=None, batch_sizes=(1, 8, 64), nprobes=None):
+        warmed.extend(int(p) for p in (nprobes or ()))
+        return orig(self, list_ids=list_ids, batch_sizes=batch_sizes,
+                    nprobes=nprobes)
+
+    monkeypatch.setattr(IVFFlatIndex, "warmup_lists", spy)
+    st = engine.get_state("warmcal")
+    engine._load_epoch_into(st, epoch)
+    assert calibrated in warmed
+    assert config.default_nprobe in warmed
