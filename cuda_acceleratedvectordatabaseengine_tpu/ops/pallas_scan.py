@@ -444,11 +444,14 @@ def _row_topk(d, cnt, k, out_d_ref, out_s_ref, topk_impl: str = "auto"):
     auto picks the tournament when quarters stay lane-tile aligned
     (cap % 512 == 0), k is big enough to amortize the one-time 4-way
     sort (k ≥ 3), and the row is wide enough that per-op issue overhead
-    doesn't dominate (m ≥ 32 — measured at 10M×768 p16: t4 58.7→53.4
-    ms/batch at m=48/b8192 but 12.7→21.5 at m=8/b512)."""
+    doesn't dominate (m ≥ 16 — measured at 10M×768 b8192: t4 wins at
+    m=48/p16 (58.7→53.4 ms/batch), m=24/p4 (29.9→28.0) and m=16/p4
+    (28.2→27.5, the auto-nprobe headline point), but LOSES at m=8/b512
+    (12.7→21.5 ms/batch: too few rows to amortize the extraction
+    passes)."""
     m, cap = d.shape
     if topk_impl == "t4" or (
-        topk_impl == "auto" and cap % 512 == 0 and k >= 3 and m >= 32
+        topk_impl == "auto" and cap % 512 == 0 and k >= 3 and m >= 16
     ):
         _emit_row_topk_t4(d, cnt, k, out_d_ref, out_s_ref)
     else:
