@@ -39,7 +39,8 @@ def main():
              "pallas_grouped:512:16:bf16,k1,p16 (flags: bf16 = stage_bf16, "
              "kN = override k for timing isolation, pN = override nprobe, "
              "ip = inner-product metric for timing isolation, inline = "
-             "stage_inline experimental kernel variant)",
+             "stage_inline experimental kernel variant, cb16 = bf16 "
+             "coarse-probe matmul)",
     )
     args = p.parse_args()
     if not args.config:
@@ -152,6 +153,7 @@ def main():
         flags = set(parts[3].split(",")) if len(parts) > 3 else set()
         stage_bf16 = "bf16" in flags
         stage_inline = "inline" in flags
+        coarse_bf16 = "cb16" in flags
         metric_run = Metric.INNER_PRODUCT if "ip" in flags else Metric.L2
         k_run = args.k
         nprobe_run = args.nprobe
@@ -184,17 +186,20 @@ def main():
             @functools.partial(
                 jax.jit,
                 static_argnames=("_m", "_bf", "_k", "_np", "_met", "_inl",
-                                 "_sc", "_tk"),
+                                 "_sc", "_tk", "_cb"),
             )
             def _dev_search(qq, cents, arena_a, arena_sq, counts, scale,
                             anchors, _m, _bf, _k, _np, _met, _inl, _sc,
-                            _tk):
+                            _tk, _cb):
                 qf = qq.astype(jnp.float32)
                 # Probe with the scan's metric (IP probes by IP, like the
                 # library path); cosine isn't swept here.
                 coarse_met = (Metric.INNER_PRODUCT
                               if _met == Metric.INNER_PRODUCT else Metric.L2)
-                coarse = pairwise_distance(qf, cents, coarse_met)
+                coarse = pairwise_distance(
+                    qf, cents, coarse_met,
+                    compute_dtype=jnp.bfloat16 if _cb else None,
+                )
                 _, probe = topk_smallest(coarse, _np)
                 return pallas_scan.scan_probed_lists_pallas_grouped(
                     qf, arena_a, arena_sq, counts,
@@ -206,12 +211,13 @@ def main():
 
             def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
                            _np=nprobe_run, _met=metric_run,
-                           _inl=inline_opt, _sc=scan_cap, _tk=topk_impl):
+                           _inl=inline_opt, _sc=scan_cap, _tk=topk_impl,
+                           _cb=coarse_bf16):
                 return _dev_search(
                     qq, idx.centroids, arena.arena, arena.arena_sq,
                     arena.counts, arena.arena_scale, arena.anchors,
                     _m=_m, _bf=_bf, _k=_k, _np=_np, _met=_met, _inl=_inl,
-                    _sc=_sc, _tk=_tk,
+                    _sc=_sc, _tk=_tk, _cb=_cb,
                 )
         else:
             def dev_search(qq, _impl=impl, _bf=stage_bf16, _k=k_run,

@@ -64,3 +64,32 @@ def brute_force_oracle(queries, data, k, metric="L2"):
 @pytest.fixture(scope="session")
 def oracle():
     return brute_force_oracle
+
+
+# ---------------------------------------------------------------------------
+# Teardown-crash dodge. With enough modules in one process (observed minimal
+# trigger: test_pallas_scan + test_server + test_tools), interpreter exit
+# aborts INSIDE a third-party C++ thread being force-unwound ("terminate
+# called ... FATAL: exception not rethrown", SIGABRT/SIGSEGV) — after every
+# test has passed and the summary has printed. All of our own threads are
+# joined (native parallel_for) or stopped by fixtures (grpc servers,
+# coalescers); the abort comes from grpc-core/XLA-CPU at-exit ordering we
+# don't control. Record pytest's real exit status and hard-exit with it
+# after unconfigure, so the post-success abort can't corrupt the suite's
+# exit code.
+_EXIT_STATUS = 0
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_sessionfinish(session, exitstatus):
+    global _EXIT_STATUS
+    _EXIT_STATUS = int(exitstatus)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_EXIT_STATUS)
