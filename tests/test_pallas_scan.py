@@ -402,3 +402,37 @@ def test_grouped_row_bound_guard_and_probe_chunking(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
     np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_auto_gate_t4_at_m16_parity(rng):
+    """The auto gate lowers to the tournament at m >= 16 (measured win at
+    the 10M headline, KERNEL_r03.json t4_gate_update_late_r03) — exercise
+    the AUTO path at exactly the gate boundary (cap % 512 == 0, m=16)
+    against the reference scan."""
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.pallas_scan import (
+        scan_probed_lists_pallas_grouped,
+    )
+
+    nlist, cap, dim, B, P, k = 8, 512, 32, 12, 4, 10
+    arena = rng.standard_normal((nlist, cap, dim)).astype(np.float32)
+    arena_sq = (arena ** 2).sum(-1).astype(np.float32)
+    q = rng.standard_normal((B, dim)).astype(np.float32)
+    probe = np.stack([
+        rng.choice(nlist, P, replace=False) for _ in range(B)
+    ]).astype(np.int32)
+    counts = rng.integers(1, cap + 1, (nlist,)).astype(np.int32)
+    args = (
+        jnp.asarray(q), jnp.asarray(arena), jnp.asarray(arena_sq),
+        jnp.asarray(counts), jnp.asarray(probe), k, Metric.L2,
+    )
+    rd, rp = scan_probed_lists(*args)
+    d, p = scan_probed_lists_pallas_grouped(
+        *args, interpret=True, m_budget=16,   # topk_impl defaults to auto
+    )
+    rd, rp = np.asarray(rd), np.asarray(rp)
+    d, p = np.asarray(d), np.asarray(p)
+    fin = np.isfinite(rd)
+    np.testing.assert_allclose(d[fin], rd[fin], rtol=1e-5, atol=1e-5)
+    assert ((p >= 0) == fin).all()
+    for b in range(B):
+        assert set(p[b][fin[b]].tolist()) == set(rp[b][fin[b]].tolist())
