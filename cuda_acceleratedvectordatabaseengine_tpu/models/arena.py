@@ -91,7 +91,7 @@ def _remove_device(arena, arena_sq, counts, src, dst, count_delta,
 
 def plan_removals(
     counts: np.ndarray, lists: np.ndarray, slots: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host-side swap-from-tail plan for deleting ``(lists[i], slots[i])``.
 
     Returns ``(move_lists, src_slots, dst_slots, new_counts)``: moving row
@@ -129,6 +129,26 @@ def plan_removals(
         np.asarray(moves_dst, np.int64),
         new_counts,
     )
+
+
+def apply_removal_to_ids(
+    ids_table: np.ndarray,
+    move_l: np.ndarray,
+    src_s: np.ndarray,
+    dst_s: np.ndarray,
+    new_counts: np.ndarray,
+    old_counts: np.ndarray,
+) -> np.ndarray:
+    """Mirror a ``plan_removals`` plan onto a host id table (copy-on-write:
+    concurrent readers may hold the old table): apply the swap-from-tail
+    moves, then invalidate each shrunken list's tail. The single id-side
+    implementation behind ``PackedListArena.remove`` and
+    ``IVFPQIndex.remove_ids``'s codes-only path."""
+    new_ids = ids_table.copy()
+    new_ids[move_l, dst_s] = new_ids[move_l, src_s]
+    for l in np.flatnonzero(new_counts != old_counts):
+        new_ids[l, new_counts[l]: old_counts[l]] = INVALID_ID
+    return new_ids
 
 
 def _round_up(x: int, m: int) -> int:
@@ -324,10 +344,9 @@ class PackedListArena:
         if n_removed == 0:
             return self, 0
         # Host id table mirrors the same moves, then invalidates the tail.
-        new_ids = self.ids.copy()
-        new_ids[move_l, dst_s] = new_ids[move_l, src_s]
-        for l in np.unique(lists.astype(np.int64)):
-            new_ids[l, new_counts[l]: counts_h[l]] = INVALID_ID
+        new_ids = apply_removal_to_ids(
+            self.ids, move_l, src_s, dst_s, new_counts, counts_h
+        )
         gsrc = jnp.asarray(move_l * self.capacity + src_s, jnp.int32)
         gdst = jnp.asarray(move_l * self.capacity + dst_s, jnp.int32)
         delta = jnp.asarray((new_counts - counts_h).astype(np.int32))

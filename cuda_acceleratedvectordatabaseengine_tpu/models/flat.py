@@ -85,6 +85,10 @@ class FlatIndex:
         exact-index twin of ``IVFFlatIndex.remove_ids`` — no reference
         analog). Unknown ids are ignored; rows keep prefix packing so the
         count-masked search is untouched."""
+        from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+            plan_removals,
+        )
+
         ids = np.unique(np.asarray(ids, np.uint64))
         ids = ids[ids != INVALID_ID]
         if ids.size == 0 or self._n == 0:
@@ -92,18 +96,20 @@ class FlatIndex:
         d = np.flatnonzero(np.isin(self._ids[: self._n], ids))
         if d.size == 0:
             return 0
-        new_n = self._n - d.size
-        dset = set(d.tolist())
-        holes = np.asarray([s for s in d.tolist() if s < new_n], np.int64)
-        tail = np.asarray(
-            [s for s in range(new_n, self._n) if s not in dset], np.int64
+        # The flat block is the single-list case of the shared
+        # swap-from-tail plan (counts=[n], every row in list 0).
+        _, src_s, dst_s, new_counts = plan_removals(
+            np.asarray([self._n], np.int64),
+            np.zeros(d.size, np.int64),
+            d.astype(np.int64),
         )
-        if holes.size:
-            hj = jnp.asarray(holes)
-            tj = jnp.asarray(tail)
+        new_n = int(new_counts[0])
+        if src_s.size:
+            hj = jnp.asarray(dst_s)
+            tj = jnp.asarray(src_s)
             self._data = self._data.at[hj].set(self._data[tj])
             self._data_sq = self._data_sq.at[hj].set(self._data_sq[tj])
-            self._ids[holes] = self._ids[tail]
+            self._ids[dst_s] = self._ids[src_s]
         self._ids[new_n: self._n] = INVALID_ID
         removed = self._n - new_n
         self._n = new_n

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -439,6 +440,15 @@ class IVFFlatIndex:
         # reference's per-list access_count/last_access
         # (``ivf_flat_index.h:32-35``).
         self.list_access_count = np.zeros(config.nlist, np.int64)
+        # Serializes DONATING arena mutations (append/remove invalidate
+        # the old device buffers at dispatch) against search dispatches:
+        # a search thread's snapshotted arena handle does not survive a
+        # concurrently dispatched donation (wire-reachable via
+        # RemoveVectors/AddVectors racing the coalescer's search worker).
+        # Held across mutation dispatch and search dispatch only — once a
+        # search program is dispatched, in-order device execution runs it
+        # before any later-donated update, so the fetch needs no lock.
+        self._mutate_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     # build
@@ -518,7 +528,10 @@ class IVFFlatIndex:
         assignments = np.asarray(
             kmeans_assign(vec_d, self.centroids, assign_metric)
         )
-        self.arena = self.arena.append(vec_d, np.asarray(ids), assignments)
+        with self._mutate_lock:
+            self.arena = self.arena.append(
+                vec_d, np.asarray(ids), assignments
+            )
 
     def remove_ids(self, ids: np.ndarray) -> int:
         """Delete vectors by user id; returns how many were removed.
@@ -535,11 +548,12 @@ class IVFFlatIndex:
         ids = ids[ids != INVALID_ID]
         if ids.size == 0 or self.ntotal == 0:
             return 0
-        mask = np.isin(self.arena.ids, ids)
-        lists, slots = np.nonzero(mask)
-        if lists.size == 0:
-            return 0
-        self.arena, n_removed = self.arena.remove(lists, slots)
+        with self._mutate_lock:
+            mask = np.isin(self.arena.ids, ids)
+            lists, slots = np.nonzero(mask)
+            if lists.size == 0:
+                return 0
+            self.arena, n_removed = self.arena.remove(lists, slots)
         return n_removed
 
     def train_from_device(self, x_dev: jax.Array) -> None:
@@ -662,9 +676,10 @@ class IVFFlatIndex:
         )
         if ids is None:
             ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
-        self.arena = self.arena.append(
-            x_dev.astype(jnp.float32), np.asarray(ids), assignments
-        )
+        with self._mutate_lock:
+            self.arena = self.arena.append(
+                x_dev.astype(jnp.float32), np.asarray(ids), assignments
+            )
 
     # ------------------------------------------------------------------ #
     # search
@@ -701,43 +716,49 @@ class IVFFlatIndex:
             # default (SearchParams().nprobe).
             nprobe = self.calibrated_nprobe or SearchParams().nprobe
         nprobe = min(nprobe, self.config.nlist)
-        # Snapshot the arena handle ONCE: a concurrent add() (e.g. gRPC
-        # AddVectors) swaps self.arena, and mixing a new ids table/capacity
-        # with positions computed against the old arrays would silently
-        # return wrong user ids.
-        arena = self.arena
-        rerank_k = 0
-        if params.use_exact_rerank and arena.arena_lo is not None:
-            rerank_k = min(max(4 * params.k, params.k), 256)
-        scan_impl = self.config.scan_impl
-        if scan_impl == "auto":
-            scan_impl = (
-                "pallas_grouped" if jax.default_backend() == "tpu"
-                else "gather"
-            )
+        # Snapshot the arena handle ONCE, and dispatch under the mutation
+        # lock: a concurrent add()/remove_ids() (e.g. gRPC AddVectors /
+        # RemoveVectors) swaps self.arena via a DONATING program that
+        # invalidates the old buffers at dispatch — mixing a new ids
+        # table/capacity with positions computed against the old arrays
+        # would return wrong user ids, and dispatching against donated
+        # buffers raises. In-order device execution makes the fetch safe
+        # outside the lock (the search runs before any later donation).
+        with self._mutate_lock:
+            arena = self.arena
+            rerank_k = 0
+            if params.use_exact_rerank and arena.arena_lo is not None:
+                rerank_k = min(max(4 * params.k, params.k), 256)
+            scan_impl = self.config.scan_impl
+            if scan_impl == "auto":
+                scan_impl = (
+                    "pallas_grouped" if jax.default_backend() == "tpu"
+                    else "gather"
+                )
 
-        # One dispatch + ONE packed fetch (see _ivf_search_device_packed):
-        # per-output fetches cost a relay round trip each on remote
-        # runtimes, tripling per-request serving latency.
-        packed = np.asarray(_ivf_search_device_packed(
-            jnp.asarray(queries),
-            self.centroids,
-            arena.arena,
-            arena.arena_sq,
-            arena.counts,
-            nprobe,
-            params.k,
-            self.metric,
-            scan_impl,
-            self.config.approx_topk,
-            rerank_k,
-            arena.arena_lo,
-            arena.arena_scale,
-            arena.anchors,
-            self.config.m_budget,
-            self.config.stage_bf16,
-            arena.scan_capacity_hint(),
-        ))[:b]
+            # One dispatch + ONE packed fetch (_ivf_search_device_packed):
+            # per-output fetches cost a relay round trip each on remote
+            # runtimes, tripling per-request serving latency.
+            packed_d = _ivf_search_device_packed(
+                jnp.asarray(queries),
+                self.centroids,
+                arena.arena,
+                arena.arena_sq,
+                arena.counts,
+                nprobe,
+                params.k,
+                self.metric,
+                scan_impl,
+                self.config.approx_topk,
+                rerank_k,
+                arena.arena_lo,
+                arena.arena_scale,
+                arena.anchors,
+                self.config.m_budget,
+                self.config.stage_bf16,
+                arena.scan_capacity_hint(),
+            )
+        packed = np.asarray(packed_d)[:b]
         k = params.k
         # explicit copy: np.asarray of a device array is read-only, and a
         # contiguous slice (b=1) would pass through ascontiguousarray as-is
@@ -869,7 +890,12 @@ class IVFFlatIndex:
             save_ivf_flat,
         )
 
-        save_ivf_flat(path, self)
+        # Hold the mutation gate: a donating add/remove dispatched while
+        # the snapshot fetches arena planes device→host would invalidate
+        # the buffers mid-read (and the written planes must be one
+        # consistent arena state anyway).
+        with self._mutate_lock:
+            save_ivf_flat(path, self)
 
     @classmethod
     def load(cls, path: str) -> "IVFFlatIndex":

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -343,6 +344,13 @@ class IVFPQIndex:
         # true neighbor lives in the query's home list), so exact is the
         # default.
         self.host_rerank_k_inner = 0
+        # Serializes DONATING arena mutations (_scatter_codes/_remove_codes
+        # and the raw arena's append/remove) against search dispatches —
+        # same invariant as IVFFlatIndex._mutate_lock: a dispatched search
+        # runs before any later-donated update (in-order execution), but a
+        # donation dispatched first invalidates the buffers a concurrent
+        # search snapshotted.
+        self._mutate_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
 
@@ -568,17 +576,24 @@ class IVFPQIndex:
         deq = _pq_decode(codes, self.codebooks) + self.centroids[
             jnp.asarray(assignments)
         ]
-        self.code_arena_t, self.code_sq = _scatter_codes(
-            self.code_arena_t, self.code_sq, lists_d, slots_d, codes,
-            jnp.sum(deq * deq, axis=-1),
-        )
-        if self.raw is not None:
-            self.raw = self.raw.append(vec_d, np.asarray(ids), assignments)
-        else:
-            self._counts = self._counts + jnp.asarray(
-                per_list.astype(np.int32)
+        with self._mutate_lock:
+            self.code_arena_t, self.code_sq = _scatter_codes(
+                self.code_arena_t, self.code_sq, lists_d, slots_d, codes,
+                jnp.sum(deq * deq, axis=-1),
             )
-            self._ids[assignments, slots] = np.asarray(ids, np.uint64)
+            if self.raw is not None:
+                self.raw = self.raw.append(
+                    vec_d, np.asarray(ids), assignments
+                )
+            else:
+                self._counts = self._counts + jnp.asarray(
+                    per_list.astype(np.int32)
+                )
+                # copy-on-write: a concurrent _search_finalize may be
+                # mapping positions through the old table
+                new_ids = self._ids.copy()
+                new_ids[assignments, slots] = np.asarray(ids, np.uint64)
+                self._ids = new_ids
 
     def remove_ids(self, ids: np.ndarray) -> int:
         """Delete vectors by user id (the PQ twin of
@@ -589,6 +604,7 @@ class IVFPQIndex:
         SAME deterministic plan inside ``PackedListArena.remove``, so code
         and raw slots stay aligned."""
         from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+            apply_removal_to_ids,
             plan_removals,
         )
 
@@ -596,33 +612,32 @@ class IVFPQIndex:
         ids = ids[ids != INVALID_ID]
         if ids.size == 0 or self.ntotal == 0:
             return 0
-        mask = np.isin(self.ids, ids)
-        lists, slots = np.nonzero(mask)
-        if lists.size == 0:
-            return 0
-        counts_h = np.asarray(self.counts)
-        move_l, src_s, dst_s, new_counts = plan_removals(
-            counts_h, lists.astype(np.int64), slots.astype(np.int64)
-        )
-        n_removed = int((counts_h - new_counts).sum())
-        if n_removed == 0:
-            return 0
-        ml = jnp.asarray(move_l, jnp.int32)
-        src = jnp.asarray(src_s, jnp.int32)
-        dst = jnp.asarray(dst_s, jnp.int32)
-        self.code_arena_t, self.code_sq = _remove_codes(
-            self.code_arena_t, self.code_sq, ml, src, dst
-        )
-        if self.raw is not None:
-            # Same (lists, slots) → same deterministic plan inside.
-            self.raw, _ = self.raw.remove(lists, slots)
-        else:
-            new_ids_t = self._ids.copy()
-            new_ids_t[move_l, dst_s] = new_ids_t[move_l, src_s]
-            for l in np.unique(lists.astype(np.int64)):
-                new_ids_t[l, new_counts[l]: counts_h[l]] = INVALID_ID
-            self._ids = new_ids_t
-            self._counts = jnp.asarray(new_counts.astype(np.int32))
+        with self._mutate_lock:
+            mask = np.isin(self.ids, ids)
+            lists, slots = np.nonzero(mask)
+            if lists.size == 0:
+                return 0
+            counts_h = np.asarray(self.counts)
+            move_l, src_s, dst_s, new_counts = plan_removals(
+                counts_h, lists.astype(np.int64), slots.astype(np.int64)
+            )
+            n_removed = int((counts_h - new_counts).sum())
+            if n_removed == 0:
+                return 0
+            ml = jnp.asarray(move_l, jnp.int32)
+            src = jnp.asarray(src_s, jnp.int32)
+            dst = jnp.asarray(dst_s, jnp.int32)
+            self.code_arena_t, self.code_sq = _remove_codes(
+                self.code_arena_t, self.code_sq, ml, src, dst
+            )
+            if self.raw is not None:
+                # Same (lists, slots) → same deterministic plan inside.
+                self.raw, _ = self.raw.remove(lists, slots)
+            else:
+                self._ids = apply_removal_to_ids(
+                    self._ids, move_l, src_s, dst_s, new_counts, counts_h
+                )
+                self._counts = jnp.asarray(new_counts.astype(np.int32))
         return n_removed
 
     def reserve(self, capacity: int) -> None:
@@ -702,53 +717,67 @@ class IVFPQIndex:
                 max(self.host_rerank_k, params.k), self.capacity * nprobe
             )
 
-        raw_arena = self.raw.arena if self.raw is not None else None
-        raw_sq = self.raw.arena_sq if self.raw is not None else None
-        raw_scale = self.raw.arena_scale if self.raw is not None else None
-        raw_anchors = self.raw.anchors if self.raw is not None else None
-        scan_impl = self.config.scan_impl
-        if scan_impl == "auto":
-            scan_impl = (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Snapshot device handles + the host id table and dispatch under
+        # the mutation gate (see _mutate_lock); finalize maps positions
+        # through the SNAPSHOTTED table so a concurrent donating
+        # append/remove can neither invalidate the dispatched buffers nor
+        # remap positions to the wrong user ids.
+        with self._mutate_lock:
+            raw_arena = self.raw.arena if self.raw is not None else None
+            raw_sq = self.raw.arena_sq if self.raw is not None else None
+            raw_scale = (
+                self.raw.arena_scale if self.raw is not None else None
             )
-        interpret = scan_impl == "pallas" and jax.default_backend() != "tpu"
-        d, pos = _ivf_pq_search_device(
-            jnp.asarray(queries),
-            self.centroids,
-            self.codebooks,
-            self.code_arena_t,
-            self.code_sq,
-            self.counts,
-            raw_arena,
-            raw_sq,
-            raw_scale,
-            raw_anchors,
-            nprobe,
-            k_dev,
-            self.metric,
-            rerank_k,
-            scan_impl,
-            interpret,
-            opq_R=self.opq_R,
-            # Deep host-rerank shortlists cap the in-kernel top-k at a
-            # per-list depth (the exact rerank absorbs the truncation);
-            # exact searches keep the full k-pass.
-            k_inner=(self.host_rerank_k_inner if host_rr else 0),
-            scan_capacity=self._scan_capacity_hint(),
-        )
-        return d, pos, b, host_rr, queries, params
+            raw_anchors = self.raw.anchors if self.raw is not None else None
+            ids_table = self.ids
+            capacity = self.capacity
+            scan_impl = self.config.scan_impl
+            if scan_impl == "auto":
+                scan_impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "xla"
+                )
+            interpret = (
+                scan_impl == "pallas" and jax.default_backend() != "tpu"
+            )
+            d, pos = _ivf_pq_search_device(
+                jnp.asarray(queries),
+                self.centroids,
+                self.codebooks,
+                self.code_arena_t,
+                self.code_sq,
+                self.counts,
+                raw_arena,
+                raw_sq,
+                raw_scale,
+                raw_anchors,
+                nprobe,
+                k_dev,
+                self.metric,
+                rerank_k,
+                scan_impl,
+                interpret,
+                opq_R=self.opq_R,
+                # Deep host-rerank shortlists cap the in-kernel top-k at a
+                # per-list depth (the exact rerank absorbs the truncation);
+                # exact searches keep the full k-pass.
+                k_inner=(self.host_rerank_k_inner if host_rr else 0),
+                scan_capacity=self._scan_capacity_hint(),
+            )
+        return d, pos, b, host_rr, queries, params, ids_table, capacity
 
-    def _search_finalize(self, d, pos, b, host_rr, queries, params):
+    def _search_finalize(
+        self, d, pos, b, host_rr, queries, params, ids_table, capacity
+    ):
         """Stage 2: force the device results (blocks), map arena positions
         to ids, and run the host-store exact rerank when attached."""
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
-        flat_ids = self.ids.reshape(-1)
+        flat_ids = ids_table.reshape(-1)
         safe = np.clip(pos, 0, flat_ids.size - 1)
         out_ids = flat_ids[safe]
         out_ids[pos < 0] = INVALID_ID
         d[pos < 0] = FLT_MAX
-        probed = np.unique(pos[pos >= 0] // self.capacity)
+        probed = np.unique(pos[pos >= 0] // capacity)
         self.list_access_count[probed] += 1
         if host_rr:
             q_rr = queries[:b]
@@ -934,7 +963,11 @@ class IVFPQIndex:
             save_ivf_pq,
         )
 
-        save_ivf_pq(path, self)
+        # Mutation gate: the snapshot must fetch one consistent arena
+        # state, and a donating append/remove dispatched mid-fetch would
+        # invalidate the buffers being read (see _mutate_lock).
+        with self._mutate_lock:
+            save_ivf_pq(path, self)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":

@@ -122,6 +122,12 @@ class VdbEngine:
         self.lock = threading.RLock()
         self.indices: dict[str, IndexState] = {}
         self.build_jobs: dict[str, BuildJob] = {}
+        # In-memory mirror of each index's tombstone log (sorted unique
+        # u64). The file is the WAL; this cache makes the per-AddVectors
+        # unmark check O(set) instead of a full-file read under the
+        # engine lock, and lets appends dedupe so repeated deletes of the
+        # same id can't grow the log unboundedly between builds.
+        self._tomb_cache: dict[str, np.ndarray] = {}
         self._recover()
 
     # ------------------------------------------------------------------ #
@@ -301,6 +307,18 @@ class VdbEngine:
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         with self.lock:
+            # Deletes accepted during the (tens of seconds of) warmup
+            # above hit the OLD index + the log but missed this replay —
+            # apply the delta before the new index goes live, under the
+            # lock so no further RemoveVectors can race the swap.
+            fresh = self._read_tombstones(st.name)
+            delta = (
+                fresh[~np.isin(fresh, tombs)] if tombs.size else fresh
+            )
+            if delta.size and hasattr(index, "remove_ids") and not getattr(
+                index, "read_only", False
+            ):
+                index.remove_ids(delta)
             st.index = index
             st.epoch = epoch_id
             if st.coalescer is None:
@@ -380,43 +398,90 @@ class VdbEngine:
         return os.path.join(self.indices_dir, name, "deletions.u64")
 
     def _append_tombstones(self, name: str, ids: np.ndarray) -> None:
-        if ids.size == 0:
-            return
-        with open(self._tombstone_path(name), "ab") as f:
-            f.write(np.ascontiguousarray(ids, "<u8").tobytes())
+        with self.lock:
+            existing = self._read_tombstones(name)
+            fresh = np.asarray(ids, np.uint64)
+            if existing.size:
+                fresh = fresh[~np.isin(fresh, existing)]
+            fresh = np.unique(fresh)
+            if fresh.size == 0:
+                return
+            with open(self._tombstone_path(name), "ab") as f:
+                f.write(np.ascontiguousarray(fresh, "<u8").tobytes())
+            self._tomb_cache[name] = np.union1d(existing, fresh)
 
     def _read_tombstones(self, name: str) -> np.ndarray:
-        try:
-            raw = open(self._tombstone_path(name), "rb").read()
-        except FileNotFoundError:
-            return np.zeros(0, np.uint64)
-        # Tolerate a torn final record (crash mid-append): drop the
-        # trailing partial u64 instead of failing the whole index load.
-        # Complete earlier records are still applied — same recovery
-        # stance as the epoch registry (epochs.json last-good state).
-        raw = raw[: len(raw) - (len(raw) % 8)]
-        return np.unique(np.frombuffer(raw, "<u8"))
+        with self.lock:
+            cached = self._tomb_cache.get(name)
+            if cached is not None:
+                return cached
+            try:
+                raw = open(self._tombstone_path(name), "rb").read()
+            except FileNotFoundError:
+                raw = b""
+            # Tolerate a torn final record (crash mid-append): drop the
+            # trailing partial u64 instead of failing the whole index load.
+            # Complete earlier records are still applied — same recovery
+            # stance as the epoch registry (epochs.json last-good state).
+            raw = raw[: len(raw) - (len(raw) % 8)]
+            tombs = np.unique(np.frombuffer(raw, "<u8"))
+            self._tomb_cache[name] = tombs
+            return tombs
+
+    def _write_tombstones(self, name: str, ids: np.ndarray) -> None:
+        """Atomic full rewrite (temp + rename): a crash mid-rewrite must
+        never leave a truncated log that silently resurrects deletions."""
+        path = self._tombstone_path(name)
+        ids = np.unique(np.asarray(ids, np.uint64))
+        if ids.size == 0:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        else:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(np.ascontiguousarray(ids, "<u8").tobytes())
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        self._tomb_cache[name] = ids
 
     def _clear_tombstones(self, name: str) -> None:
-        try:
-            os.remove(self._tombstone_path(name))
-        except FileNotFoundError:
-            pass
+        with self.lock:
+            self._tomb_cache[name] = np.zeros(0, np.uint64)
+            try:
+                os.remove(self._tombstone_path(name))
+            except FileNotFoundError:
+                pass
+
+    def _consume_tombstones(self, name: str, baked: np.ndarray) -> None:
+        """Drop exactly the tombstones a finished build baked into its
+        snapshot — NOT the whole log: deletions accepted while the build
+        was training/packing (minutes on TPU) are absent from that
+        snapshot and must survive to be replayed on the next load."""
+        with self.lock:
+            existing = self._read_tombstones(name)
+            if existing.size == 0:
+                return
+            kept = existing[~np.isin(existing, np.asarray(baked, np.uint64))]
+            if kept.size == existing.size:
+                return
+            self._write_tombstones(name, kept)
 
     def _unmark_tombstones(self, name: str, ids: np.ndarray) -> None:
         """Re-adding an id revokes its tombstone — otherwise the next
         build's bake would silently drop a legitimately re-used id."""
-        existing = self._read_tombstones(name)
-        if existing.size == 0:
-            return
-        kept = existing[~np.isin(existing, np.asarray(ids, np.uint64))]
-        if kept.size == existing.size:
-            return
-        if kept.size:
-            with open(self._tombstone_path(name), "wb") as f:
-                f.write(np.ascontiguousarray(kept, "<u8").tobytes())
-        else:
-            self._clear_tombstones(name)
+        with self.lock:
+            existing = self._read_tombstones(name)
+            if existing.size == 0:
+                return
+            kept = existing[
+                ~np.isin(existing, np.asarray(ids, np.uint64))
+            ]
+            if kept.size == existing.size:
+                return
+            self._write_tombstones(name, kept)
 
     def build_epoch(self, name: str, source_path: str = "") -> str:
         """Asynchronous epoch build (reference S3 BuildJob pattern,
@@ -475,9 +540,13 @@ class VdbEngine:
             and not getattr(st.index, "read_only", False)
         ):
             # re-snapshot the live index (epoch checkpoint of current
-            # state; in-place deletes are already baked into the arena)
+            # state; in-place deletes are already baked into the arena).
+            # Read the log BEFORE save: a delete accepted mid-save may or
+            # may not land in the snapshot, so its tombstone must survive
+            # to be replayed on load — consume only what save captured.
+            tombs = self._read_tombstones(st.name)
             st.index.save(epoch_dir)
-            self._clear_tombstones(st.name)
+            self._consume_tombstones(st.name, tombs)
             job.progress = 1.0
             return
         else:
@@ -511,7 +580,10 @@ class VdbEngine:
             save_ivf_pq(epoch_dir, index, host_rows=(x, all_ids))
         else:
             index.save(epoch_dir)
-        self._clear_tombstones(st.name)
+        # Consume exactly the tombstones this build baked out (read at
+        # progress 0.1) — deletions accepted during the minutes-long
+        # train/add/save are NOT in the snapshot and must stay in the log.
+        self._consume_tombstones(st.name, tombs)
         job.progress = 1.0
 
     # ------------------------------------------------------------------ #

@@ -124,15 +124,26 @@ def main(argv=None) -> int:
     }
 
     if args.measure_qps:
-        rng = np.random.default_rng(0)
-        if queries is not None and queries.shape[0] >= args.batch:
-            qb = queries[:args.batch]
+        if queries is not None:
+            # held-out queries, tiled up to the batch size if short
+            reps = -(-args.batch // queries.shape[0])
+            qb = np.tile(queries, (reps, 1))[: args.batch]
         else:
-            # reuse the calibration trick: stored rows as stand-in queries
-            qb = np.asarray(
-                rng.standard_normal((args.batch, idx.config.dimension)),
-                np.float32,
+            # The calibration's stand-in workload: sampled stored rows.
+            # (Gaussian noise probes near-uniformly over lists and would
+            # report a QPS the recommended nprobe never serves at.)
+            from cuda_acceleratedvectordatabaseengine_tpu.models.calibrate import (  # noqa: E501
+                sample_stored_rows,
             )
+
+            arena = getattr(idx, "arena", None)
+            if arena is None:
+                arena = getattr(idx, "raw", None)  # IVF-PQ keep_raw=True
+            qb = sample_stored_rows(arena, args.batch, seed=1)
+            if getattr(idx, "opq_R", None) is not None:
+                # raw rows live in the OPQ frame; rotate back so the
+                # search path applies the boundary transform once
+                qb = qb @ np.asarray(idx.opq_R).T
         params = SearchParams(nprobe=cal["nprobe"], k=args.k)
         idx.search(qb, params)  # warm the executable
         t0 = time.monotonic()

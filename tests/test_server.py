@@ -886,6 +886,9 @@ def test_tombstone_wal_tolerates_torn_write(live_server):
     )
     with open(path, "ab") as f:
         f.write(b"\x01\x02\x03")  # torn final record
+    # drop the in-memory mirror: recovery reads the FILE, as a restarted
+    # process would
+    engine._tomb_cache.pop("torn-scratch", None)
     got = engine._read_tombstones("torn-scratch")
     assert np.array_equal(got, np.array([11, 22, 33], np.uint64))
 
@@ -1018,3 +1021,98 @@ def test_activation_warms_calibrated_nprobe(tmp_path, monkeypatch):
     engine._load_epoch_into(st, epoch)
     assert calibrated in warmed
     assert config.default_nprobe in warmed
+
+
+def test_tombstone_consume_keeps_deletes_accepted_during_build(live_server):
+    """A finished build clears only the tombstones it BAKED (read at bake
+    time) — a delete accepted while the build trained/packed is absent
+    from that snapshot and must survive in the log to replay on the next
+    load (the round-3 review's resurrected-delete hole)."""
+    import os
+
+    engine = live_server["engine"]
+    name = "consume-scratch"
+    os.makedirs(os.path.join(engine.indices_dir, name), exist_ok=True)
+    engine._clear_tombstones(name)
+    engine._append_tombstones(name, np.array([1, 2, 3], np.uint64))
+    # build read {1,2,3}; a delete of 9 lands mid-build
+    baked = engine._read_tombstones(name)
+    engine._append_tombstones(name, np.array([9], np.uint64))
+    engine._consume_tombstones(name, baked)
+    # survivor: the mid-build delete — from the in-memory mirror AND from
+    # a cold read of the rewritten file (restart path)
+    assert np.array_equal(
+        engine._read_tombstones(name), np.array([9], np.uint64)
+    )
+    engine._tomb_cache.pop(name, None)
+    assert np.array_equal(
+        engine._read_tombstones(name), np.array([9], np.uint64)
+    )
+    # the atomic rewrite leaves no temp droppings
+    d = os.path.dirname(engine._tombstone_path(name))
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+
+def test_tombstone_append_dedupes(live_server):
+    """Repeated deletes of the same id must not grow the WAL unboundedly
+    between builds: appends dedupe against the in-memory mirror."""
+    import os
+
+    engine = live_server["engine"]
+    name = "dedupe-scratch"
+    os.makedirs(os.path.join(engine.indices_dir, name), exist_ok=True)
+    engine._clear_tombstones(name)
+    for _ in range(5):
+        engine._append_tombstones(name, np.array([7, 7, 8], np.uint64))
+    path = engine._tombstone_path(name)
+    assert os.path.getsize(path) == 2 * 8  # two unique records, once each
+    assert np.array_equal(
+        engine._read_tombstones(name), np.array([7, 8], np.uint64)
+    )
+
+
+def test_delete_during_warmup_lands_in_swapped_index(live_server,
+                                                     monkeypatch):
+    """A RemoveVectors accepted while _load_epoch_into warms the NEW index
+    (tens of seconds of cold compiles on TPU) hits the OLD index + the
+    WAL — the locked swap must replay that delta or the reload resurrects
+    the id until the next reload."""
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        IVFFlatIndex,
+    )
+
+    engine = live_server["engine"]
+    admin, query = live_server["admin"], live_server["query"]
+    st = engine.get_state("docs")
+    victim = np.uint64(57)
+    assert np.isin(victim, st.index.arena.ids)
+
+    orig = IVFFlatIndex.warmup_lists
+    fired = []
+
+    def delete_mid_warmup(self, list_ids=None, batch_sizes=(1, 8, 64),
+                          nprobes=None):
+        out = orig(self, list_ids=list_ids, batch_sizes=batch_sizes,
+                   nprobes=nprobes)
+        if not fired:  # only the reload's warmup, once
+            fired.append(True)
+            engine.remove_vectors("docs", np.array([victim], np.uint64))
+        return out
+
+    monkeypatch.setattr(IVFFlatIndex, "warmup_lists", delete_mid_warmup)
+    try:
+        engine._load_epoch_into(st, engine.epochs.active_epoch("docs"))
+        assert fired, "warmup hook never ran"
+        # the delete raced the reload — the swapped-in index must not
+        # serve the id, and its tombstone must still be in the WAL
+        assert not np.isin(victim, st.index.arena.ids)
+        assert np.isin(victim, engine._read_tombstones("docs"))
+    finally:
+        # restore the corpus for later tests: re-add revokes the tombstone
+        vec = np.random.default_rng(57).standard_normal(16).astype(
+            np.float32
+        )
+        admin.AddVectors(vdb_pb2.AddVectorsRequest(
+            index="docs",
+            vectors=[vdb_pb2.Vector(id=int(victim), values=vec)],
+        ))
