@@ -561,22 +561,27 @@ class IVFPQIndex:
             vec_d - self.centroids[jnp.asarray(assignments)], self.codebooks
         )
 
-        counts_h = np.asarray(self.counts)
-        per_list = np.bincount(assignments, minlength=cfg.nlist)
-        max_needed = int((counts_h + per_list).max())
-        if max_needed > self.capacity:
-            new_cap = max(max_needed, int(self.capacity * 1.5))
-            new_cap = -(-new_cap // PackedListArena.SLOT_ALIGN) * \
-                PackedListArena.SLOT_ALIGN
-            self._grow(new_cap)
-        slots = compute_append_slots(np.asarray(self.counts), assignments)
-
-        lists_d = jnp.asarray(assignments.astype(np.int32))
-        slots_d = jnp.asarray(slots.astype(np.int32))
         deq = _pq_decode(codes, self.codebooks) + self.centroids[
             jnp.asarray(assignments)
         ]
+        # The whole grow→slot-plan→scatter sequence sits inside the
+        # mutation gate: a search dispatched between _grow's arena pad and
+        # the ids-table growth (or between _grow and the scatter) would
+        # otherwise snapshot the new-capacity arena against the old-stride
+        # ids table and map flat positions to wrong user ids.
         with self._mutate_lock:
+            counts_h = np.asarray(self.counts)
+            per_list = np.bincount(assignments, minlength=cfg.nlist)
+            max_needed = int((counts_h + per_list).max())
+            if max_needed > self.capacity:
+                new_cap = max(max_needed, int(self.capacity * 1.5))
+                new_cap = -(-new_cap // PackedListArena.SLOT_ALIGN) * \
+                    PackedListArena.SLOT_ALIGN
+                self._grow(new_cap)
+            slots = compute_append_slots(np.asarray(self.counts), assignments)
+
+            lists_d = jnp.asarray(assignments.astype(np.int32))
+            slots_d = jnp.asarray(slots.astype(np.int32))
             self.code_arena_t, self.code_sq = _scatter_codes(
                 self.code_arena_t, self.code_sq, lists_d, slots_d, codes,
                 jnp.sum(deq * deq, axis=-1),
@@ -648,7 +653,9 @@ class IVFPQIndex:
         cap = -(-capacity // PackedListArena.SLOT_ALIGN) * \
             PackedListArena.SLOT_ALIGN
         if cap > self.capacity:
-            self._grow(cap)
+            with self._mutate_lock:
+                if cap > self.capacity:
+                    self._grow(cap)
 
     def _grow(self, new_cap: int) -> None:
         pad = new_cap - self.capacity
@@ -694,7 +701,7 @@ class IVFPQIndex:
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
         nprobe = params.nprobe
-        if nprobe == 0:  # measured-coverage calibration, as in IVF-Flat
+        if nprobe <= 0:  # measured-coverage calibration, as in IVF-Flat
             nprobe = self.calibrated_nprobe or SearchParams().nprobe
         nprobe = min(nprobe, self.config.nlist)
         rerank_k = 0

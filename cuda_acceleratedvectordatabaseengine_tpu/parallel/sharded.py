@@ -220,7 +220,133 @@ def _pack_stripe(
     return fn(arena_s, sq_s, scale_s, x, lists, slots, anchors)
 
 
-class ShardedIVFFlatIndex:
+class _ShardedServingSurface:
+    """The server-facing index protocol over a sharded view.
+
+    ``server.service.VdbEngine`` drives every live index through one
+    duck-typed surface — ``trained``/``ntotal``/``add``/``remove_ids``/
+    ``save``/``warmup_lists``/``memory_stats``/``calibrated_nprobe`` — so a
+    sharded index can swap in at epoch activation (the multi-GPU serving the
+    reference *claimed* with zero code behind it:
+    ``/root/reference/README.md:25``, ``configs/production.yaml:11``).
+
+    Mutations delegate to the single-chip base index, then ``refresh()``
+    re-publishes the stripes — one resharding ``device_put`` per mutation
+    batch, amortized over every subsequent SPMD search. A view built by
+    ``build_on_mesh`` has no base and is read-only: like the streaming
+    tier, its mutation path is the epoch rebuild pipeline.
+
+    Publication is guarded by ``_publish_lock``: ``refresh`` stages every
+    new array first and swaps the attributes atomically, while ``search``
+    snapshots them under the same lock — a search concurrent with a
+    mutation serves the *previous* consistent epoch of stripes (device
+    arrays are functional; nothing donates them, so in-flight scans stay
+    valid).
+    """
+
+    base = None
+
+    def _init_serving(self) -> None:
+        import threading
+
+        self._publish_lock = threading.Lock()
+
+    def _require_base(self, op: str) -> None:
+        if self.base is None:
+            raise PermissionError(
+                f"{op}: mesh-built sharded index has no base to mutate; "
+                "rebuild an epoch instead (read-only serving view)"
+            )
+
+    @property
+    def trained(self) -> bool:
+        return bool(getattr(self, "_published", False))
+
+    @property
+    def read_only(self) -> bool:
+        return self.base is None or getattr(self.base, "read_only", False)
+
+    @property
+    def ntotal(self) -> int:
+        if self.base is not None:
+            return self.base.ntotal
+        return int(np.asarray(self.counts).sum())
+
+    @property
+    def calibrated_nprobe(self):
+        return getattr(self.base, "calibrated_nprobe", None)
+
+    @calibrated_nprobe.setter
+    def calibrated_nprobe(self, value):
+        self._require_base("calibrated_nprobe")
+        self.base.calibrated_nprobe = value
+
+    def add(self, vectors, ids=None) -> None:
+        self._require_base("add")
+        self.base.add(vectors, ids)
+        self.refresh()
+
+    def remove_ids(self, ids) -> int:
+        self._require_base("remove_ids")
+        n = self.base.remove_ids(ids)
+        if n:
+            self.refresh()
+        return n
+
+    def save(self, path: str) -> None:
+        self._require_base("save")
+        self.base.save(path)
+
+    def _warmup_params(self):
+        return (SearchParams(),)
+
+    def warmup_lists(self, list_ids=None, batch_sizes=(1, 8, 64),
+                     nprobes=None) -> None:
+        """Compile-warm the SPMD search executable per batch bucket ×
+        nprobe (× rerank variant on PQ) — same contract as the single-chip
+        ``warmup_lists`` the server calls at epoch activation. ``list_ids``
+        is accepted for signature parity (stripes are HBM-resident; there
+        is no per-list residency to warm)."""
+        if not self.trained:
+            return
+        if nprobes is None:
+            nprobes = (SearchParams().nprobe,)
+        dim = self.config.dimension
+        dummy = np.zeros((1, dim), np.float32)
+        for np_ in nprobes:
+            for bs in batch_sizes:
+                q = np.repeat(dummy, bs, axis=0)
+                for base_params in self._warmup_params():
+                    import dataclasses as _dc
+
+                    self.search(
+                        q, _dc.replace(base_params, nprobe=int(np_))
+                    )
+
+    def _device_arrays(self) -> dict:
+        raise NotImplementedError
+
+    def memory_stats(self) -> dict:
+        """Mesh-wide device accounting. ``total_bytes`` sums the published
+        stripes and replicated smalls across ALL shards, plus the retained
+        base arena (held for mutation/persistence) when present."""
+        striped = sum(int(a.nbytes) for a in self._device_arrays().values())
+        base_bytes = (
+            self.base.memory_stats()["total_bytes"]
+            if self.base is not None else 0
+        )
+        return {
+            "striped_bytes": striped,
+            "base_bytes": base_bytes,
+            "total_bytes": striped + base_bytes,
+            "total_vectors": self.ntotal,
+            "nlist": self.config.nlist,
+            "n_shards": self.n_shards,
+            "capacity_per_list": self.global_cap,
+        }
+
+
+class ShardedIVFFlatIndex(_ShardedServingSurface):
     """Multi-chip serving view over a trained :class:`IVFFlatIndex`.
 
     Build/ingest happen on the base index; ``refresh()`` (re)publishes its
@@ -242,6 +368,7 @@ class ShardedIVFFlatIndex:
         self.n_shards = mesh.devices.size
         self.metric = base.metric
         self._set_scan_impl(scan_impl)
+        self._init_serving()
         self._published = False
         self.refresh()
 
@@ -286,6 +413,7 @@ class ShardedIVFFlatIndex:
         n_shards = self.n_shards = mesh.devices.size
         self.metric = config.metric
         self._set_scan_impl(scan_impl)
+        self._init_serving()
 
         n, dim = x.shape
         if ids is None:
@@ -413,28 +541,40 @@ class ShardedIVFFlatIndex:
         shard3 = NamedSharding(self.mesh, P(None, SHARD_AXIS, None))
         shard2 = NamedSharding(self.mesh, P(None, SHARD_AXIS))
         repl = NamedSharding(self.mesh, P())
-        self.arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
-        self.arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
-        self.counts = jax.device_put(arena.counts, repl)
-        self._counts_max = arena.counts_max
-        self.centroids = jax.device_put(self.base.centroids, repl)
+        # Stage every new array first, publish atomically below: a search
+        # thread snapshotting mid-refresh must never mix stripe epochs
+        # (e.g. a grown arena with the previous ids table).
+        arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
+        arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
+        counts = jax.device_put(arena.counts, repl)
+        centroids = jax.device_put(self.base.centroids, repl)
         # int8 arenas: per-row dequant scales stripe with the slot axis;
         # residual anchors (tiny [nlist, D]) replicate.
-        self.has_scale = arena.arena_scale is not None
-        self.arena_scale = jax.device_put(
-            arena.arena_scale[:, perm] if self.has_scale
+        has_scale = arena.arena_scale is not None
+        arena_scale = jax.device_put(
+            arena.arena_scale[:, perm] if has_scale
             else jnp.zeros((arena.nlist, n), jnp.float32),
             shard2,
         )
-        self.has_anchor = arena.anchors is not None
-        self.arena_anchors = jax.device_put(
-            arena.anchors if self.has_anchor
+        has_anchor = arena.anchors is not None
+        arena_anchors = jax.device_put(
+            arena.anchors if has_anchor
             else jnp.zeros((arena.nlist, arena.dim), jnp.float32),
             repl,
         )
-        self._ids_table = arena.ids
-        self.global_cap = cap
-        self._published = True
+        with self._publish_lock:
+            self.arena_s = arena_s
+            self.arena_sq_s = arena_sq_s
+            self.counts = counts
+            self._counts_max = arena.counts_max
+            self.centroids = centroids
+            self.has_scale = has_scale
+            self.arena_scale = arena_scale
+            self.has_anchor = has_anchor
+            self.arena_anchors = arena_anchors
+            self._ids_table = arena.ids
+            self.global_cap = cap
+            self._published = True
 
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
@@ -447,29 +587,50 @@ class ShardedIVFFlatIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
-        nprobe = min(params.nprobe, self.config.nlist)
+        nprobe = params.nprobe
+        if nprobe <= 0:
+            # auto: the base's measured-coverage calibration, same contract
+            # as the single-chip search (SearchParams(nprobe=0)).
+            nprobe = self.calibrated_nprobe or SearchParams().nprobe
+        nprobe = min(nprobe, self.config.nlist)
+        with self._publish_lock:
+            # one consistent stripe epoch (see refresh)
+            centroids, arena_s, arena_sq_s = (
+                self.centroids, self.arena_s, self.arena_sq_s
+            )
+            counts, scale, anchors = (
+                self.counts, self.arena_scale, self.arena_anchors
+            )
+            has_scale, has_anchor = self.has_scale, self.has_anchor
+            counts_max = getattr(self, "_counts_max", None)
+            global_cap, ids_table = self.global_cap, self._ids_table
         d, pos = _sharded_search(
             jax.device_put(
                 jnp.asarray(queries), NamedSharding(self.mesh, P())
             ),
-            self.centroids, self.arena_s, self.arena_sq_s, self.counts,
-            self.arena_scale, self.arena_anchors,
+            centroids, arena_s, arena_sq_s, counts, scale, anchors,
             self.mesh, nprobe, params.k, self.metric, self.n_shards,
-            self.global_cap, self.scan_impl, self.has_scale,
-            self.has_anchor, self.interpret,
-            _stripe_scan_capacity(
-                getattr(self, "_counts_max", None),
-                self.global_cap, self.n_shards,
-            ),
+            global_cap, self.scan_impl, has_scale,
+            has_anchor, self.interpret,
+            _stripe_scan_capacity(counts_max, global_cap, self.n_shards),
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
-        flat = self._ids_table.reshape(-1)
+        flat = ids_table.reshape(-1)
         safe = np.clip(pos, 0, flat.size - 1)
         ids = flat[safe]
         ids[pos < 0] = INVALID_ID
         d[pos < 0] = FLT_MAX
         return d, ids
+
+    def _device_arrays(self) -> dict:
+        return {
+            "arena": self.arena_s,
+            "arena_sq": self.arena_sq_s,
+            "scale": self.arena_scale,
+            "centroids": self.centroids,
+            "anchors": self.arena_anchors,
+        }
 
 
 @functools.partial(
@@ -573,7 +734,7 @@ def _sharded_pq_search(
               raw_s, raw_sq_s, raw_scale_s, raw_anchors)
 
 
-class ShardedIVFPQIndex:
+class ShardedIVFPQIndex(_ShardedServingSurface):
     """Multi-chip serving view over a trained :class:`IVFPQIndex`.
 
     Same striping design as :class:`ShardedIVFFlatIndex`: the code arena's
@@ -587,12 +748,14 @@ class ShardedIVFPQIndex:
         if not base.trained:
             raise RuntimeError("base index must be trained")
         self.base = base
+        self.config = base.config
         self.mesh = mesh
         self.n_shards = mesh.devices.size
         self.metric = base.metric
         # Only the grouped Pallas ADC kernel is striping-aware; off-TPU it
         # runs in interpret mode (CPU-mesh tests).
         self.interpret = jax.default_backend() != "tpu"
+        self._init_serving()
         self._published = False
         self.refresh()
 
@@ -610,53 +773,70 @@ class ShardedIVFPQIndex:
         shard2 = NamedSharding(self.mesh, P(None, SHARD_AXIS))
         shard3 = NamedSharding(self.mesh, P(None, SHARD_AXIS, None))
         repl = NamedSharding(self.mesh, P())
-        self.codes_t_s = jax.device_put(base.code_arena_t[:, :, perm],
-                                        shard_codes)
-        self.code_sq_s = jax.device_put(base.code_sq[:, perm], shard2)
-        self.counts = jax.device_put(base.counts, repl)
+        # Stage first, publish atomically (see _ShardedServingSurface).
+        codes_t_s = jax.device_put(base.code_arena_t[:, :, perm],
+                                   shard_codes)
+        code_sq_s = jax.device_put(base.code_sq[:, perm], shard2)
+        counts = jax.device_put(base.counts, repl)
         # One device sync per refresh (epoch activation), amortized across
         # every search: per-stripe occupied-prefix for the ADC kernel.
-        self._counts_max = (
+        counts_max = (
             int(np.asarray(jnp.max(base.counts)))
             if base.counts.shape[0] else 0
         )
-        self.centroids = jax.device_put(base.centroids, repl)
-        self.codebooks = jax.device_put(base.codebooks, repl)
+        centroids = jax.device_put(base.centroids, repl)
+        codebooks = jax.device_put(base.codebooks, repl)
         raw = base.raw
-        self.has_raw = raw is not None
-        if self.has_raw:
+        has_raw = raw is not None
+        if has_raw:
             if raw.capacity < cap:
                 base.raw = raw = raw.grow(cap)
-            self.raw_s = jax.device_put(raw.arena[:, perm, :], shard3)
-            self.raw_sq_s = jax.device_put(raw.arena_sq[:, perm], shard2)
-            self.has_scale = raw.arena_scale is not None
-            self.raw_scale_s = jax.device_put(
-                raw.arena_scale[:, perm] if self.has_scale
+            raw_s = jax.device_put(raw.arena[:, perm, :], shard3)
+            raw_sq_s = jax.device_put(raw.arena_sq[:, perm], shard2)
+            has_scale = raw.arena_scale is not None
+            raw_scale_s = jax.device_put(
+                raw.arena_scale[:, perm] if has_scale
                 else jnp.zeros((raw.nlist, n), jnp.float32), shard2,
             )
-            self.has_anchor = raw.anchors is not None
-            self.raw_anchors = jax.device_put(
-                raw.anchors if self.has_anchor
+            has_anchor = raw.anchors is not None
+            raw_anchors = jax.device_put(
+                raw.anchors if has_anchor
                 else jnp.zeros((raw.nlist, raw.dim), jnp.float32), repl,
             )
         else:
             nlist = base.config.nlist
             dim = base.config.dimension
-            self.has_scale = self.has_anchor = False
-            self.raw_s = jax.device_put(
+            has_scale = has_anchor = False
+            raw_s = jax.device_put(
                 jnp.zeros((nlist, n, dim), jnp.bfloat16), shard3
             )
-            self.raw_sq_s = jax.device_put(
+            raw_sq_s = jax.device_put(
                 jnp.zeros((nlist, n), jnp.float32), shard2
             )
-            self.raw_scale_s = jax.device_put(
+            raw_scale_s = jax.device_put(
                 jnp.zeros((nlist, n), jnp.float32), shard2
             )
-            self.raw_anchors = jax.device_put(
+            raw_anchors = jax.device_put(
                 jnp.zeros((nlist, dim), jnp.float32), repl
             )
-        self.global_cap = cap
-        self._published = True
+        ids_table = base.ids
+        with self._publish_lock:
+            self.codes_t_s = codes_t_s
+            self.code_sq_s = code_sq_s
+            self.counts = counts
+            self._counts_max = counts_max
+            self.centroids = centroids
+            self.codebooks = codebooks
+            self.has_raw = has_raw
+            self.raw_s = raw_s
+            self.raw_sq_s = raw_sq_s
+            self.has_scale = has_scale
+            self.raw_scale_s = raw_scale_s
+            self.has_anchor = has_anchor
+            self.raw_anchors = raw_anchors
+            self._ids_table = ids_table
+            self.global_cap = cap
+            self._published = True
 
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
@@ -669,9 +849,26 @@ class ShardedIVFPQIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
-        nprobe = min(params.nprobe, self.base.config.nlist)
+        nprobe = params.nprobe
+        if nprobe <= 0:
+            nprobe = self.calibrated_nprobe or SearchParams().nprobe
+        nprobe = min(nprobe, self.config.nlist)
+        with self._publish_lock:
+            # one consistent stripe epoch (see refresh)
+            centroids, codebooks = self.centroids, self.codebooks
+            codes_t_s, code_sq_s = self.codes_t_s, self.code_sq_s
+            counts = self.counts
+            raw_s, raw_sq_s, raw_scale_s, raw_anchors = (
+                self.raw_s, self.raw_sq_s, self.raw_scale_s,
+                self.raw_anchors,
+            )
+            has_raw, has_scale, has_anchor = (
+                self.has_raw, self.has_scale, self.has_anchor
+            )
+            counts_max = getattr(self, "_counts_max", None)
+            global_cap, ids_table = self.global_cap, self._ids_table
         rerank_k = 0
-        if params.use_exact_rerank and self.has_raw:
+        if params.use_exact_rerank and has_raw:
             rerank_k = min(max(4 * params.k, params.k), 256)
         q = jnp.asarray(queries)
         if getattr(self.base, "opq_R", None) is not None:
@@ -680,24 +877,39 @@ class ShardedIVFPQIndex:
             q = q @ self.base.opq_R
         d, pos = _sharded_pq_search(
             jax.device_put(q, NamedSharding(self.mesh, P())),
-            self.centroids, self.codebooks, self.codes_t_s, self.code_sq_s,
-            self.counts, self.raw_s, self.raw_sq_s, self.raw_scale_s,
-            self.raw_anchors, self.mesh, nprobe, params.k, self.metric,
-            self.n_shards, self.global_cap, rerank_k, self.has_raw,
-            self.has_scale, self.has_anchor, self.interpret,
-            _stripe_scan_capacity(
-                getattr(self, "_counts_max", None),
-                self.global_cap, self.n_shards,
-            ),
+            centroids, codebooks, codes_t_s, code_sq_s,
+            counts, raw_s, raw_sq_s, raw_scale_s,
+            raw_anchors, self.mesh, nprobe, params.k, self.metric,
+            self.n_shards, global_cap, rerank_k, has_raw,
+            has_scale, has_anchor, self.interpret,
+            _stripe_scan_capacity(counts_max, global_cap, self.n_shards),
         )
         d = np.asarray(d)[:b].copy()
         pos = np.asarray(pos)[:b]
-        flat_ids = self.base.ids.reshape(-1)
+        flat_ids = ids_table.reshape(-1)
         safe = np.clip(pos, 0, flat_ids.size - 1)
         ids = flat_ids[safe]
         ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
         d[pos < 0] = FLT_MAX
         return d, ids
+
+    def _warmup_params(self):
+        # The rerank path is a different device program (shape-static
+        # shortlist depth): warm both when a raw arena exists.
+        if self.has_raw:
+            return (SearchParams(), SearchParams(use_exact_rerank=True))
+        return (SearchParams(),)
+
+    def _device_arrays(self) -> dict:
+        return {
+            "codes": self.codes_t_s,
+            "code_sq": self.code_sq_s,
+            "raw": self.raw_s,
+            "raw_sq": self.raw_sq_s,
+            "raw_scale": self.raw_scale_s,
+            "centroids": self.centroids,
+            "codebooks": self.codebooks,
+        }
 
 
 @functools.partial(

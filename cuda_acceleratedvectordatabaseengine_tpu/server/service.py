@@ -408,6 +408,11 @@ class VdbEngine:
                 return
             with open(self._tombstone_path(name), "ab") as f:
                 f.write(np.ascontiguousarray(fresh, "<u8").tobytes())
+                # An acked RemoveVectors must survive power loss just like
+                # the rewrite path (_write_tombstones fsyncs) — otherwise a
+                # deleted id can resurrect on reload.
+                f.flush()
+                os.fsync(f.fileno())
             self._tomb_cache[name] = np.union1d(existing, fresh)
 
     def _read_tombstones(self, name: str) -> np.ndarray:

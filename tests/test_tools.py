@@ -220,7 +220,7 @@ def test_autotune_cli_recommends_and_persists(tmp_path, capsys):
     assert rep["recommended_nprobe"] >= 1
     assert str(rep["recommended_nprobe"]) in rep["coverage_curve"]
     assert rep["measured_coverage"] >= 0.9 or rep["coverage_limited"]
-    assert rep["qps_at_recommended"] > 0
+    assert rep["sequential_qps"] > 0
     assert rep["persisted"] is True
     assert rep["reference_static_nprobe"] == 16  # <1M tier
 
