@@ -41,6 +41,21 @@ class ServerConfig:
     # fed to the host-store exact reranker on rerank_exact searches.
     pq_rerank_k: int = 128
 
+    # Multi-chip serving (SURVEY §2.9). The reference *claims* multi-GPU
+    # (configs/production.yaml:11 ``enable_multi_gpu: true``) but no code
+    # reads the flag; here epoch activation loads resident and streaming
+    # indices into the sharded SPMD views (``parallel/``) and the
+    # coalescer dispatches one mesh-wide search per batch.
+    #   auto — shard when more than one device is visible (default)
+    #   on   — always build a mesh (1-device mesh allowed, for tests)
+    #   off  — single-chip serving regardless of topology
+    shard_serving: str = "auto"
+    mesh_shards: int = 0        # 0 = all visible devices
+    # jax.profiler trace server for op-level device inspection (the
+    # reference's dormant Jaeger tracing block,
+    # configs/production.yaml:49-51). 0 = disabled.
+    profile_port: int = 0
+
     # rate limiting (configs/production.yaml:32-33)
     rate_limit_rps: float = 10000.0
     rate_limit_burst: int = 200
@@ -102,6 +117,12 @@ class ServerConfig:
             k = aliases.get(k, k)
             if k in known:
                 kwargs[k] = v
+        # The reference's multi-GPU bool maps onto the mesh mode (an
+        # explicit shard_serving key wins over the legacy alias).
+        if "enable_multi_gpu" in flat and "shard_serving" not in kwargs:
+            kwargs["shard_serving"] = (
+                "auto" if flat["enable_multi_gpu"] else "off"
+            )
         return cls(**kwargs)
 
     def apply_overrides(self, **kv) -> "ServerConfig":

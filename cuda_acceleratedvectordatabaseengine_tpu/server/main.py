@@ -65,6 +65,12 @@ def main(argv=None) -> int:
     p.add_argument("--coalesce-window", dest="coalesce_window_ms",
                    type=float, help="ms")
     p.add_argument("--metrics-port", dest="metrics_port", type=int)
+    p.add_argument("--profile-port", dest="profile_port", type=int,
+                   help="start a jax.profiler trace server on this port "
+                        "(TensorBoard profile plugin / xprof)")
+    p.add_argument("--shard-serving", dest="shard_serving",
+                   choices=("auto", "on", "off"),
+                   help="multi-chip serving over the device mesh")
     args = p.parse_args(argv)
 
     config = (
@@ -76,6 +82,8 @@ def main(argv=None) -> int:
         max_batch_size=args.max_batch_size,
         coalesce_window_ms=args.coalesce_window_ms,
         metrics_port=args.metrics_port,
+        profile_port=args.profile_port,
+        shard_serving=args.shard_serving,
     )
     os.makedirs(config.data_path, exist_ok=True)
 
@@ -87,6 +95,19 @@ def main(argv=None) -> int:
     print(f"[vdb] listening on {config.address}, data at {config.data_path}")
 
     server, engine, health, port = build_server(config)
+    if engine.mesh is not None:
+        print(f"[vdb] sharded serving over "
+              f"{engine.mesh.devices.size} devices")
+    if config.profile_port:
+        from cuda_acceleratedvectordatabaseengine_tpu.utils.profiling import (
+            start_trace_server,
+        )
+
+        if start_trace_server(config.profile_port):
+            print(f"[vdb] jax profiler serving on :{config.profile_port} "
+                  "(TensorBoard profile plugin / xprof)")
+        else:
+            print("[vdb] jax profiler unavailable")
     if config.metrics_enabled:
         try:
             engine.metrics.start_exposition(

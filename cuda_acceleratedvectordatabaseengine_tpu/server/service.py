@@ -128,6 +128,30 @@ class VdbEngine:
         # engine lock, and lets appends dedupe so repeated deletes of the
         # same id can't grow the log unboundedly between builds.
         self._tomb_cache: dict[str, np.ndarray] = {}
+        # Multi-chip serving mesh (SURVEY §2.9): the capability the
+        # reference claims with a dead flag
+        # (``/root/reference/configs/production.yaml:11``
+        # ``enable_multi_gpu: true`` — nothing reads it). When active,
+        # epoch activation wraps resident indices in the sharded SPMD
+        # views and builds streaming tiers directly on the mesh, so every
+        # coalesced batch dispatches one mesh-wide search.
+        self.mesh = None
+        mode = config.shard_serving
+        if mode not in ("auto", "on", "off"):
+            raise ValueError(
+                f"shard_serving must be auto|on|off, got {mode!r}"
+            )
+        if mode != "off":
+            import jax
+
+            n = config.mesh_shards or len(jax.devices())
+            if n > 1 or mode == "on":
+                from cuda_acceleratedvectordatabaseengine_tpu.parallel import (  # noqa: E501
+                    make_mesh,
+                )
+
+                self.mesh = make_mesh(n)
+                log.info("sharded serving over %d devices", n)
         self._recover()
 
     # ------------------------------------------------------------------ #
@@ -237,13 +261,34 @@ class VdbEngine:
                     cfg.nlist,
                     max(cfg.nlist // 4, self.config.max_batch_size),
                 )
-            index = StreamingIVFFlatIndex.from_store(
-                store, jnp.asarray(centroids), cfg,
-                cache_slots=slots,
-                max_device_bytes=self.config.streaming_cache_bytes or None,
-                capacity=cap,
-                policy=self.config.streaming_cache_policy,
-            )
+            if self.mesh is not None:
+                # Mesh-served streaming tier: the HBM cache's slot bytes
+                # stripe across the mesh, so the aggregate cached working
+                # set (and miss-upload H2D bandwidth) scales with the
+                # slice. Same host store, same serving surface.
+                from cuda_acceleratedvectordatabaseengine_tpu.parallel import (  # noqa: E501
+                    ShardedStreamingIVFFlatIndex,
+                )
+
+                index = ShardedStreamingIVFFlatIndex(
+                    self.mesh, store, jnp.asarray(centroids), cfg,
+                    cache_slots=slots,
+                    max_device_bytes=(
+                        self.config.streaming_cache_bytes or None
+                    ),
+                    capacity=cap,
+                    policy=self.config.streaming_cache_policy,
+                )
+            else:
+                index = StreamingIVFFlatIndex.from_store(
+                    store, jnp.asarray(centroids), cfg,
+                    cache_slots=slots,
+                    max_device_bytes=(
+                        self.config.streaming_cache_bytes or None
+                    ),
+                    capacity=cap,
+                    policy=self.config.streaming_cache_policy,
+                )
         elif (
             st.config.get("tier") == "pq_capacity" and man.kind == "ivf_pq"
         ):
@@ -287,6 +332,28 @@ class VdbEngine:
                     "serving tier) — rebuild an epoch to bake them",
                     st.name, int(tombs.size),
                 )
+
+        if (
+            self.mesh is not None
+            and isinstance(index, (IVFFlatIndex, IVFPQIndex))
+            and not getattr(index, "read_only", False)
+        ):
+            # Resident tier on a mesh: publish the freshly loaded (and
+            # tombstone-replayed) arena as slot stripes and serve the SPMD
+            # search. The base index stays attached for mutations and
+            # re-snapshots; the pq_capacity tier stays single-chip (its
+            # second stage is the host reranker, which has no mesh to
+            # ride — it is excluded here by read_only).
+            from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+                ShardedIVFFlatIndex,
+                ShardedIVFPQIndex,
+            )
+
+            index = (
+                ShardedIVFPQIndex(index, self.mesh)
+                if isinstance(index, IVFPQIndex)
+                else ShardedIVFFlatIndex(index, self.mesh)
+            )
 
         sizes = [b for b in BUCKETS if b <= self.config.max_batch_size]
         if self.config.max_batch_size not in sizes:

@@ -36,6 +36,7 @@ DIM = 16
 def adm_server(tmp_path_factory):
     """Live server with fast breaker recovery and a built index."""
     config = ServerConfig(
+        shard_serving="off",  # single-chip semantics under the 8-dev CPU mesh
         address="127.0.0.1:0",
         data_path=str(tmp_path_factory.mktemp("vdb-adm")),
         coalesce_window_ms=1.0,

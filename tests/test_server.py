@@ -25,6 +25,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.server.proto import (
 @pytest.fixture(scope="module")
 def live_server(tmp_path_factory):
     config = ServerConfig(
+        shard_serving="off",  # single-chip semantics under the 8-dev CPU mesh
         address="127.0.0.1:0",
         data_path=str(tmp_path_factory.mktemp("vdb-data")),
         coalesce_window_ms=1.0,
@@ -941,6 +942,7 @@ def test_auto_calibrate_nprobe_on_build(tmp_path):
     )
 
     config = ServerConfig(
+        shard_serving="off",  # single-chip semantics under the 8-dev CPU mesh
         data_path=str(tmp_path), default_nlist=8,
         auto_calibrate_nprobe=True,
     )
@@ -984,6 +986,7 @@ def test_activation_warms_calibrated_nprobe(tmp_path, monkeypatch):
     )
 
     config = ServerConfig(
+        shard_serving="off",  # single-chip semantics under the 8-dev CPU mesh
         data_path=str(tmp_path), default_nlist=8,
         auto_calibrate_nprobe=True,
     )

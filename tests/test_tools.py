@@ -102,6 +102,7 @@ def test_load_test_cli_against_live_server(tmp_path, capsys, rng):
     from cuda_acceleratedvectordatabaseengine_tpu.tools.load_test import main
 
     config = ServerConfig(
+        shard_serving="off",  # single-chip semantics under the 8-dev CPU mesh
         address="127.0.0.1:0", data_path=str(tmp_path / "data"),
         default_nlist=4,
     )
