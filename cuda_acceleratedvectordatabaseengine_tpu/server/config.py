@@ -74,6 +74,11 @@ class ServerConfig:
     metrics_port: int = 8080
     metrics_enabled: bool = True
 
+    # Chunked epoch builds: rows streamed off the source file per chunk
+    # (peak host RAM ≈ one chunk; same chunk size the headline bench
+    # build uses). BuildEpoch never concatenates the corpus in RAM.
+    build_chunk_rows: int = 500_000
+
     # index defaults (configs/production.yaml + README tuning table)
     default_nlist: int = 1024
     default_nprobe: int = 8                  # reference Search default

@@ -581,54 +581,120 @@ class VdbEngine:
         return epoch_id
 
     def _build_worker(self, st, job, epoch_dir, source_path) -> None:
+        """CHUNKED build pipeline (the reference's ghost ``indexmgr``
+        builder, ``indexmgr/CMakeLists.txt:8-47``, for real): the source
+        file streams through the balanced device pack one chunk at a
+        time — peak host RAM ≈ one chunk + the training sample, the arena
+        capacity is clamped by the same 1.35×-mean law as the headline
+        bench build, and BuildJob progress advances per chunk."""
         cfg = st.config
-        vectors, ids = [], []
-        if source_path:
-            from cuda_acceleratedvectordatabaseengine_tpu.storage import (
-                ArrowStorage,
-            )
-
-            sid, svec = ArrowStorage.read_vectors(source_path)
-            vectors.append(svec)
-            ids.append(sid)
         with self.lock:
-            vectors.extend(st.pending_vectors)
-            ids.extend(st.pending_ids)
+            pending_v = st.pending_vectors
+            pending_i = st.pending_ids
             st.pending_vectors, st.pending_ids = [], []
-        job.progress = 0.1
-        index = self._new_index(cfg)
-        if vectors:
-            x = np.concatenate(vectors).astype(np.float32)
-            all_ids = np.concatenate(ids).astype(np.uint64)
-            # Bake tombstones: ids deleted since the last build must not
-            # enter the new epoch, whether they came from pending buffers
-            # or a source file. The log clears once baked.
-            tombs = self._read_tombstones(st.name)
-            if tombs.size:
-                keep = ~np.isin(all_ids, tombs)
-                x, all_ids = x[keep], all_ids[keep]
-        elif (
-            st.index is not None and st.index.trained
-            and not getattr(st.index, "read_only", False)
-        ):
-            # re-snapshot the live index (epoch checkpoint of current
-            # state; in-place deletes are already baked into the arena).
-            # Read the log BEFORE save: a delete accepted mid-save may or
-            # may not land in the snapshot, so its tombstone must survive
-            # to be replayed on load — consume only what save captured.
-            tombs = self._read_tombstones(st.name)
-            st.index.save(epoch_dir)
-            self._consume_tombstones(st.name, tombs)
-            job.progress = 1.0
-            return
-        else:
+        if not source_path and not pending_v:
+            if (
+                st.index is not None and st.index.trained
+                and not getattr(st.index, "read_only", False)
+            ):
+                # re-snapshot the live index (epoch checkpoint of current
+                # state; in-place deletes are already baked into the
+                # arena). Read the log BEFORE save: a delete accepted
+                # mid-save may or may not land in the snapshot, so its
+                # tombstone must survive to be replayed on load — consume
+                # only what save captured.
+                tombs = self._read_tombstones(st.name)
+                st.index.save(epoch_dir)
+                self._consume_tombstones(st.name, tombs)
+                job.progress = 1.0
+                return
             raise ValueError(
                 "no data: provide source_path or AddVectors first"
             )
-        index.train(x)
-        job.progress = 0.5
-        index.add(x, all_ids)
-        job.progress = 0.8
+
+        from cuda_acceleratedvectordatabaseengine_tpu.builder import (
+            build_index_chunked,
+            train_sample_rows,
+        )
+        from cuda_acceleratedvectordatabaseengine_tpu.storage import (
+            ArrowStorage,
+        )
+
+        # Tombstones read up front: ids deleted since the last build must
+        # not enter the new epoch (filtered per chunk); the log entries
+        # baked here clear once the build succeeds.
+        tombs = self._read_tombstones(st.name)
+        index = self._new_index(cfg)
+        chunk_rows = max(1, self.config.build_chunk_rows)
+        n_pending = sum(len(v) for v in pending_v)
+        n_source = ArrowStorage.num_rows(source_path) if source_path else 0
+        n_total = n_source + n_pending
+        job.progress = 0.05
+
+        # Training sample: evenly spaced slices across the source file
+        # (bounded RAM, robust to clustered file order) + the pending
+        # buffers (which already sit in RAM).
+        budget = train_sample_rows(index.config)
+        parts = []
+        if n_source:
+            parts.append(ArrowStorage.read_train_sample(
+                source_path, min(budget, n_source)
+            ))
+        parts.extend(
+            np.ascontiguousarray(v, np.float32) for v in pending_v
+        )
+        sample = np.concatenate(parts)
+        job.progress = 0.1
+
+        # pq_capacity epochs stream their host-rerank rows to the epoch's
+        # vectors file as chunks ingest (arrival order; the loader matches
+        # rows to the arena by id) — the fp32 corpus never sits in RAM.
+        writer = None
+        row_sink = None
+        if cfg.get("tier") == "pq_capacity":
+            from cuda_acceleratedvectordatabaseengine_tpu.storage.arrow_store import (  # noqa: E501
+                VectorFileWriter,
+            )
+            from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501
+                VECTORS_FILE,
+            )
+
+            os.makedirs(epoch_dir, exist_ok=True)
+            writer = VectorFileWriter(os.path.join(epoch_dir, VECTORS_FILE))
+            normalize = Metric.parse(cfg["metric"]) == Metric.COSINE
+
+            def row_sink(ids_c, vecs_c):
+                if normalize:
+                    vecs_c = vecs_c / np.maximum(
+                        np.linalg.norm(vecs_c, axis=1, keepdims=True),
+                        1e-12,
+                    )
+                writer.append(ids_c, vecs_c)
+
+        def chunks():
+            if source_path:
+                yield from ArrowStorage.iter_vector_chunks(
+                    source_path, chunk_rows
+                )
+            for v, i in zip(pending_v, pending_i):
+                yield (
+                    np.asarray(i, np.uint64),
+                    np.ascontiguousarray(v, np.float32),
+                )
+
+        try:
+            build_index_chunked(
+                index, chunks(), n_total,
+                train_sample=sample, tombstones=tombs,
+                progress=lambda f: setattr(
+                    job, "progress", 0.1 + 0.75 * f
+                ),
+                row_sink=row_sink,
+            )
+        finally:
+            if writer is not None:
+                writer.close()
+        job.progress = 0.85
         if self.config.auto_calibrate_nprobe:
             # Measured-coverage calibration on a corpus sample, persisted
             # in the epoch manifest — served for requests with nprobe
@@ -636,25 +702,26 @@ class VdbEngine:
             try:
                 rng = np.random.default_rng(0)
                 pick = rng.choice(
-                    len(x), size=min(512, len(x)), replace=False
+                    len(sample), size=min(512, len(sample)), replace=False
                 )
-                index.calibrate_nprobe(queries=x[pick])
+                index.calibrate_nprobe(queries=sample[pick])
             except Exception as e:  # noqa: BLE001 — tuning must not
                 log.warning(                      # fail the build
                     "auto-calibration skipped for %s: %s", st.name, e
                 )
         if cfg.get("tier") == "pq_capacity":
-            # Capacity-tier epoch = codes (device) + raw rows (host rerank).
+            # Capacity-tier epoch = codes (device) + the raw rows the
+            # sink already streamed to the epoch's vectors file.
             from cuda_acceleratedvectordatabaseengine_tpu.storage.snapshot import (  # noqa: E501
                 save_ivf_pq,
             )
 
-            save_ivf_pq(epoch_dir, index, host_rows=(x, all_ids))
+            save_ivf_pq(epoch_dir, index, host_rows_file=True)
         else:
             index.save(epoch_dir)
         # Consume exactly the tombstones this build baked out (read at
-        # progress 0.1) — deletions accepted during the minutes-long
-        # train/add/save are NOT in the snapshot and must stay in the log.
+        # progress 0.05) — deletions accepted during the minutes-long
+        # train/ingest/save are NOT in the snapshot and stay in the log.
         self._consume_tombstones(st.name, tombs)
         job.progress = 1.0
 

@@ -22,6 +22,42 @@ CODES_SCHEMA = pa.schema(
 )
 
 
+class VectorFileWriter:
+    """Chunk-appending writer for the vectors schema: one record batch per
+    ``append``, so a >RAM corpus streams to disk without ever
+    concatenating (readers slice across batches transparently). Used by
+    the chunked epoch builder for the pq_capacity tier's host-rerank
+    rows."""
+
+    def __init__(self, path: str):
+        self._writer = ipc.new_file(path, VECTOR_SCHEMA)
+        self.rows = 0
+
+    def append(self, ids: np.ndarray, vectors: np.ndarray) -> None:
+        n, dim = vectors.shape
+        flat = pa.array(
+            np.ascontiguousarray(vectors, np.float32).reshape(-1)
+        )
+        offsets = pa.array(
+            np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        )
+        vec_col = pa.ListArray.from_arrays(offsets, flat)
+        self._writer.write_batch(pa.record_batch(
+            {"id": pa.array(np.asarray(ids, np.uint64)), "vector": vec_col},
+            schema=VECTOR_SCHEMA,
+        ))
+        self.rows += n
+
+    def close(self) -> None:
+        self._writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class ArrowStorage:
     """Stateless read/write helpers over Arrow IPC files."""
 
@@ -66,6 +102,57 @@ class ArrowStorage:
         n = len(ids)
         dim = flat.size // max(n, 1)
         return ids.astype(np.uint64), flat.reshape(n, dim).copy()
+
+    @staticmethod
+    def num_rows(path: str) -> int:
+        """Total row count from file metadata — no vector data is read
+        (the chunked builder sizes arena capacity from this before any
+        chunk loads)."""
+        with pa.memory_map(path) as source:
+            reader = ipc.open_file(source)
+            return sum(
+                reader.get_batch(i).num_rows
+                for i in range(reader.num_record_batches)
+            )
+
+    @staticmethod
+    def iter_vector_chunks(path: str, chunk_rows: int):
+        """Yield ``(ids, vectors)`` slices of at most ``chunk_rows`` rows.
+        Each chunk is materialized independently off the memory map, so
+        peak host RAM is one chunk regardless of corpus size — the
+        streaming read the reference's offset/length API was built for
+        (``format/storage.cpp:160-180``) but its builder never used."""
+        total = ArrowStorage.num_rows(path)
+        for off in range(0, total, chunk_rows):
+            yield ArrowStorage.read_vectors(
+                path, offset=off, length=min(chunk_rows, total - off)
+            )
+
+    @staticmethod
+    def read_train_sample(
+        path: str, rows: int, n_slices: int = 32
+    ) -> np.ndarray:
+        """Gather ≈``rows`` training vectors as evenly spaced slices
+        across the whole file (bounded RAM, robust to sorted/clustered
+        row order — a head-of-file sample would train on whatever the
+        first chunk happens to contain)."""
+        total = ArrowStorage.num_rows(path)
+        rows = min(rows, total)
+        n_slices = max(1, min(n_slices, rows))
+        per = -(-rows // n_slices)
+        stride = max(total // n_slices, per)
+        parts = []
+        got = 0
+        for i in range(n_slices):
+            off = min(i * stride, max(total - per, 0))
+            take = min(per, total - off, rows - got)
+            if take <= 0:
+                break
+            parts.append(
+                ArrowStorage.read_vectors(path, offset=off, length=take)[1]
+            )
+            got += take
+        return np.concatenate(parts) if parts else np.zeros((0, 0))
 
     # ------------------------------------------------------------------ #
     # centroids / codebooks — same schema, synthetic ids

@@ -172,8 +172,15 @@ def load_ivf_flat_host(path: str):
 # IVF-PQ
 # ---------------------------------------------------------------------- #
 
-def save_ivf_pq(path: str, index, host_rows=None) -> None:
+def save_ivf_pq(path: str, index, host_rows=None,
+                host_rows_file: bool = False) -> None:
     """Snapshot an IVF-PQ index.
+
+    ``host_rows_file=True`` marks that the caller ALREADY streamed the
+    raw rows to the epoch's vectors file chunk-by-chunk
+    (``ArrowStorage``/``VectorFileWriter`` — the chunked builder path),
+    in arrival order; ``load_ivf_pq_capacity`` matches rows to the arena
+    by id, so the full fp32 corpus never has to sit in host RAM here.
 
     ``host_rows=(vectors, ids)`` additionally persists the ORIGINAL-frame
     raw rows (any order; matched to the arena by id) even when
@@ -238,7 +245,9 @@ def save_ivf_pq(path: str, index, host_rows=None) -> None:
         shards=_shard_table(counts),
         extra={
             "keep_raw": "arena" in state,
-            "host_rows": "arena" in state or host_rows is not None,
+            "host_rows": (
+                "arena" in state or host_rows is not None or host_rows_file
+            ),
             **({"calibrated_nprobe": int(index.calibrated_nprobe)}
                if getattr(index, "calibrated_nprobe", None) else {}),
         },
@@ -336,11 +345,28 @@ def load_ivf_pq_capacity(path: str, rerank_k: int = 128):
         )
     idx = load_ivf_pq(path)
     ids, vecs = ArrowStorage.read_vectors(os.path.join(path, VECTORS_FILE))
-    counts = np.array([s.num_vectors for s in man.shards], np.int64)
-    # Rows are already in (list, slot) order; synthesize assignments so the
-    # store's tested int8 quantization path does the packing. Anchors must
-    # be in the rows' ORIGINAL frame: un-rotate OPQ centroids.
-    assignments = np.repeat(np.arange(man.nlist, dtype=np.int64), counts)
+    # Rows may be in (list, slot) order (RAM-path save) or arrival order
+    # (the chunked builder streams them per chunk) — derive each row's
+    # list by matching its id against the code arena's id table, so the
+    # store's tested int8 quantization path does the packing either way.
+    # Anchors must be in the rows' ORIGINAL frame: un-rotate OPQ
+    # centroids.
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        INVALID_ID,
+    )
+
+    ids_tab = np.asarray(idx.ids)
+    valid = ids_tab != INVALID_ID
+    a_lists = np.nonzero(valid)[0]
+    a_ids = ids_tab[valid]
+    order = np.argsort(a_ids, kind="stable")
+    pos = np.searchsorted(a_ids[order], ids)
+    pos = np.minimum(pos, max(len(a_ids) - 1, 0))
+    if len(a_ids) == 0 or not (a_ids[order][pos] == ids).all():
+        raise ValueError(
+            "vectors file ids do not match the code arena's id table"
+        )
+    assignments = a_lists[order][pos].astype(np.int64)
     centroids = np.asarray(idx.centroids, np.float32)
     if idx.opq_R is not None:
         centroids = centroids @ np.asarray(idx.opq_R, np.float32).T

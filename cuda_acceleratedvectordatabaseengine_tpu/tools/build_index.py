@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                         "EpochManager base dir")
     p.add_argument("--index-name", default="default")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--chunk-rows", type=int, default=500_000,
+                   help="rows streamed off --source per chunk (peak host "
+                        "RAM ≈ one chunk; the arena is balanced with the "
+                        "same capacity clamp the headline bench uses)")
     args = p.parse_args(argv)
 
     from cuda_acceleratedvectordatabaseengine_tpu import (
@@ -51,26 +55,40 @@ def main(argv=None) -> int:
         IVFPQConfig,
         IVFPQIndex,
     )
+    from cuda_acceleratedvectordatabaseengine_tpu.builder import (
+        build_index_chunked,
+        train_sample_rows,
+    )
     from cuda_acceleratedvectordatabaseengine_tpu.storage import ArrowStorage
 
     t0 = time.time()
     if args.source:
-        ids, vectors = ArrowStorage.read_vectors(args.source)
-        dim = vectors.shape[1]
+        n_total = ArrowStorage.num_rows(args.source)
+        # one slice, just for the dimension — not a whole-file read
+        _, head = ArrowStorage.read_vectors(args.source, 0, 1)
+        dim = head.shape[1]
+        chunks = ArrowStorage.iter_vector_chunks(
+            args.source, max(1, args.chunk_rows)
+        )
     elif args.synthetic:
         if not args.dimension:
             p.error("--dimension required with --synthetic")
         rng = np.random.default_rng(args.seed)
-        vectors = rng.standard_normal(
-            (args.synthetic, args.dimension)
-        ).astype(np.float32)
-        ids = np.arange(args.synthetic, dtype=np.uint64)
-        dim = args.dimension
+        n_total, dim = args.synthetic, args.dimension
+
+        def _synth():
+            for off in range(0, n_total, max(1, args.chunk_rows)):
+                m = min(args.chunk_rows, n_total - off)
+                yield (
+                    np.arange(off, off + m, dtype=np.uint64),
+                    rng.standard_normal((m, dim)).astype(np.float32),
+                )
+
+        chunks = _synth()
     else:
         p.error("need --source or --synthetic")
     t_load = time.time() - t0
-    print(f"[build] {vectors.shape[0]} vectors, dim {dim} "
-          f"(load {t_load:.1f}s)")
+    print(f"[build] {n_total} vectors, dim {dim} (scan {t_load:.1f}s)")
 
     if args.pq_m:
         index = IVFPQIndex(IVFPQConfig(
@@ -83,13 +101,24 @@ def main(argv=None) -> int:
             dtype=args.dtype,
         ))
     t0 = time.time()
-    index.train(vectors)
+    if args.source:
+        sample = ArrowStorage.read_train_sample(
+            args.source, min(train_sample_rows(index.config), n_total)
+        )
+    else:
+        sample = np.random.default_rng(args.seed + 1).standard_normal(
+            (min(train_sample_rows(index.config), n_total), dim)
+        ).astype(np.float32)
+    index.train(sample)
     t_train = time.time() - t0
     t0 = time.time()
-    index.add(vectors, ids)
+    built = build_index_chunked(
+        index, chunks, n_total,
+        progress=lambda f: print(f"[build] ingest {f:.0%}", flush=True),
+    )
     t_add = time.time() - t0
-    print(f"[build] train {t_train:.1f}s, add {t_add:.1f}s "
-          f"({vectors.shape[0] / max(t_add, 1e-9):.0f} vec/s)")
+    print(f"[build] train {t_train:.1f}s, ingest {t_add:.1f}s "
+          f"({built / max(t_add, 1e-9):.0f} vec/s)")
 
     out_dir = args.output
     epoch_id = ""
@@ -104,7 +133,7 @@ def main(argv=None) -> int:
     index.save(out_dir)
     print(f"[build] snapshot → {out_dir} (save {time.time() - t0:.1f}s)")
     print(json.dumps({
-        "vectors": int(vectors.shape[0]),
+        "vectors": int(built),
         "dimension": dim,
         "nlist": args.nlist,
         "pq_m": args.pq_m,
