@@ -99,6 +99,18 @@ class ListPrefetcher:
             self._counts[list_id] = prev + n
             self._last[list_id] = now
 
+    def record_many(self, list_ids, counts) -> None:
+        """Bulk accounting for one search batch's probe table (one lock
+        acquisition instead of B·nprobe) — the feed the serving path uses
+        (``io_host/streaming.StreamingIVFFlatIndex.search``)."""
+        now = time.monotonic()
+        with self._lock:
+            for lid, n in zip(list_ids, counts):
+                lid = int(lid)
+                prev = self._decayed(lid, now)
+                self._counts[lid] = prev + int(n)
+                self._last[lid] = now
+
     def _decayed(self, list_id: int, now: float) -> float:
         c = self._counts.get(list_id, 0.0)
         last = self._last.get(list_id, now)

@@ -336,6 +336,22 @@ class StreamingIVFFlatIndex:
             scan_impl.startswith("pallas")
             and jax.default_backend() != "tpu"
         )
+        import threading
+
+        from cuda_acceleratedvectordatabaseengine_tpu.io_host.prefetcher import (  # noqa: E501
+            ListPrefetcher,
+        )
+
+        # Hotness-driven residency (P3, ``engine/prefetcher.h:139-183``
+        # declared intent): every search feeds its probe table in, and
+        # the server's background loop calls ``prefetch_hot_lists`` to
+        # re-stage the decayed-hot working set after cold traffic evicted
+        # it — so a returning hot query hits instead of missing.
+        self.list_prefetcher = ListPrefetcher(stage_fn=self.prefetch_lists)
+        # Serializes cache mutation vs the search wave pipeline: a
+        # background staging that evicts a list between a search's slot
+        # mapping and its scan dispatch would scan the wrong rows.
+        self._cache_gate = threading.RLock()
 
     def _make_cache(self, cache_slots, cap, dim, dtype, policy):
         """Cache construction hook (the mesh tier substitutes a
@@ -394,9 +410,21 @@ class StreamingIVFFlatIndex:
 
     def prefetch_lists(self, list_ids) -> None:
         """Warmup/prefetch path (ListPrefetcher → cache)."""
-        self.cache.ensure_resident(
-            np.asarray(list_ids, np.int64), self.store.fetch
-        )
+        with self._cache_gate:
+            self.cache.ensure_resident(
+                np.asarray(list_ids, np.int64), self.store.fetch
+            )
+
+    def prefetch_hot_lists(self, max_lists: int | None = None) -> list[int]:
+        """Stage the hottest lists (recency-decayed access counts from
+        every served search) back into the HBM cache — called by the
+        server's background prefetch loop through the
+        ``PrefetchScheduler``. Capped at half the cache by default so
+        re-staging never wipes the live working set."""
+        if max_lists is None:
+            max_lists = max(1, self.cache.n_slots // 2)
+        max_lists = min(max_lists, self.cache.n_slots)
+        return self.list_prefetcher.prefetch_hot_lists(max_lists)
 
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
@@ -416,6 +444,9 @@ class StreamingIVFFlatIndex:
             jnp.asarray(queries), self.centroids, nprobe, self.metric
         )
         probe_h = np.asarray(probe)           # D2H: [B, nprobe] int32, tiny
+        # hotness accounting: this batch's probe working set (P3 feed)
+        uniq, cnt = np.unique(probe_h[:b], return_counts=True)
+        self.list_prefetcher.record_many(uniq, cnt)
 
         # A single probe column whose unique-list count exceeds the cache
         # is un-stageable in one wave (every query's column-j list must be
@@ -470,24 +501,31 @@ class StreamingIVFFlatIndex:
         ]
         for wi, cols in enumerate(waves):
             wave_probe = probe_h[:, cols]
-            mapping = self.cache.ensure_resident(
-                wave_probe.reshape(-1), self.store.fetch,
-                soft_protect=(
-                    wave_sets[wi + 1] if wi + 1 < len(waves) else None
-                ),
-            )
-            lut = np.full(self.config.nlist, -1, np.int32)
-            for l, s in mapping.items():
-                lut[l] = s
-            # Fixed-width probes: pad every wave to nprobe columns with -1
-            # (invalid probe — all scan impls skip it natively; the grouped
-            # kernel never even DMAs its rows) so each wave reuses one
-            # compiled executable.
-            slot_probe = np.full(
-                (probe_h.shape[0], nprobe), -1, np.int32
-            )
-            slot_probe[:, : len(cols)] = lut[wave_probe]
-            d_dev, pos_dev = self._run_cache_scan(q, slot_probe, k)
+            # The gate spans staging → scan DISPATCH: a background
+            # hotness staging (prefetch_hot_lists) evicting one of this
+            # wave's lists between its slot mapping and the scan dispatch
+            # would scan the wrong rows. Once dispatched, in-order device
+            # execution sequences any later donated scatter after it, so
+            # the gate releases between waves.
+            with self._cache_gate:
+                mapping = self.cache.ensure_resident(
+                    wave_probe.reshape(-1), self.store.fetch,
+                    soft_protect=(
+                        wave_sets[wi + 1] if wi + 1 < len(waves) else None
+                    ),
+                )
+                lut = np.full(self.config.nlist, -1, np.int32)
+                for l, s in mapping.items():
+                    lut[l] = s
+                # Fixed-width probes: pad every wave to nprobe columns
+                # with -1 (invalid probe — all scan impls skip it
+                # natively; the grouped kernel never even DMAs its rows)
+                # so each wave reuses one compiled executable.
+                slot_probe = np.full(
+                    (probe_h.shape[0], nprobe), -1, np.int32
+                )
+                slot_probe[:, : len(cols)] = lut[wave_probe]
+                d_dev, pos_dev = self._run_cache_scan(q, slot_probe, k)
             # slot→list mapping captured NOW, before the next wave remaps
             rev = np.full(self.cache.n_slots + 1, -1, np.int64)
             for l, s in mapping.items():

@@ -74,6 +74,17 @@ class ServerConfig:
     metrics_port: int = 8080
     metrics_enabled: bool = True
 
+    # Hotness-driven residency (the declared GpuCache/ListPrefetcher
+    # semantics, engine/prefetcher.h:139-230): every this-many seconds the
+    # server re-stages each streaming-tier index's decayed-hot lists into
+    # its HBM cache through the throttled PrefetchScheduler, so a hot
+    # working set evicted by cold traffic is resident again before the
+    # next hot query. 0 = disabled.
+    prefetch_hot_interval_s: float = 5.0
+    # P4 byte-rate throttle for background staging (reference default
+    # 10 GB/s, engine/prefetcher.h:185-230).
+    prefetch_bandwidth_bps: float = 10e9
+
     # Chunked epoch builds: rows streamed off the source file per chunk
     # (peak host RAM ≈ one chunk; same chunk size the headline bench
     # build uses). BuildEpoch never concatenates the corpus in RAM.

@@ -133,6 +133,7 @@ def main(argv=None) -> int:
     stop_event.wait()
     health.stop()
     server.stop(grace=5).wait()
+    engine.close()
     return 0
 
 

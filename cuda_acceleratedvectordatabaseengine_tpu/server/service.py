@@ -152,7 +152,58 @@ class VdbEngine:
 
                 self.mesh = make_mesh(n)
                 log.info("sharded serving over %d devices", n)
+        # Background hotness-driven residency (P3+P4 wired together —
+        # declared-only in the reference, engine/prefetcher.h:139-230):
+        # a timer enqueues each streaming-tier index's hot-list re-staging
+        # into the byte-rate-throttled PrefetchScheduler.
+        from cuda_acceleratedvectordatabaseengine_tpu.io_host.prefetcher import (  # noqa: E501
+            PrefetchScheduler,
+        )
+
+        self.prefetch_scheduler = PrefetchScheduler(
+            bandwidth_limit_bps=config.prefetch_bandwidth_bps
+        )
+        self._stop_event = threading.Event()
+        self._hotness_thread = None
+        if config.prefetch_hot_interval_s > 0:
+            self._hotness_thread = threading.Thread(
+                target=self._hotness_loop, name="hotness-prefetch",
+                daemon=True,
+            )
+            self._hotness_thread.start()
         self._recover()
+
+    def _hotness_loop(self) -> None:
+        interval = self.config.prefetch_hot_interval_s
+        while not self._stop_event.wait(interval):
+            with self.lock:
+                live = [
+                    st.index for st in self.indices.values()
+                    if st.index is not None
+                    and hasattr(st.index, "prefetch_hot_lists")
+                ]
+            for idx in live:
+                cache = getattr(idx, "cache", None)
+                if cache is None:
+                    continue
+                n_max = max(1, cache.n_slots // 2)
+                per_slot = int(cache.memory_bytes() // max(cache.n_slots, 1))
+                self.prefetch_scheduler.schedule(
+                    idx.prefetch_hot_lists,
+                    priority=0, nbytes=per_slot * n_max,
+                )
+
+    def close(self) -> None:
+        """Stop background machinery (hotness loop + prefetch scheduler);
+        idempotent."""
+        self._stop_event.set()
+        if self._hotness_thread is not None:
+            self._hotness_thread.join(timeout=2)
+            self._hotness_thread = None
+        try:
+            self.prefetch_scheduler.stop()
+        except RuntimeError:
+            pass
 
     # ------------------------------------------------------------------ #
     # recovery: re-register created indices, reload active epochs
