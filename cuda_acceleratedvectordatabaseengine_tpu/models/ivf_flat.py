@@ -695,6 +695,17 @@ class IVFFlatIndex:
         """Batched ANN search. Returns ``(distances [B, k] fp32, ids [B, k]
         uint64)`` ascending, with FLT_MAX/UINT64_MAX sentinels for underfull
         rows (``ivf_flat_index.cpp:474-518``)."""
+        return self.search_async(queries, params)()
+
+    def search_async(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Dispatch/finalize split: dispatches the (async) device search
+        NOW and returns a thunk that forces + post-processes the result.
+        The serving coalescer uses this to overlap batch N's device
+        compute with batch N−1's result fetch — on remote runtimes the
+        fetch is a full relay round trip, the single biggest term in the
+        per-request wire latency (WIRE_r03 decomposition)."""
         params = params or SearchParams()
         if not self.trained:
             raise RuntimeError("index must be trained before search()")
@@ -758,20 +769,25 @@ class IVFFlatIndex:
                 self.config.stage_bf16,
                 arena.scan_capacity_hint(),
             )
-        packed = np.asarray(packed_d)[:b]
         k = params.k
-        # explicit copy: np.asarray of a device array is read-only, and a
-        # contiguous slice (b=1) would pass through ascontiguousarray as-is
-        d = packed[:, :k].copy().view(np.float32)
-        pos = packed[:, k:2 * k]
-        ids = arena.positions_to_ids(pos)
-        d[pos < 0] = FLT_MAX
-        # Hotness accounting (GpuCache/ListPrefetcher analog) over the
-        # actual probe set — lists probed but contributing no results still
-        # accumulate heat.
-        probed = np.unique(packed[:, 2 * k:])
-        self.list_access_count[probed[probed >= 0]] += 1
-        return d, ids
+
+        def finalize():
+            packed = np.asarray(packed_d)[:b]
+            # explicit copy: np.asarray of a device array is read-only,
+            # and a contiguous slice (b=1) would pass through
+            # ascontiguousarray as-is
+            d = packed[:, :k].copy().view(np.float32)
+            pos = packed[:, k:2 * k]
+            ids = arena.positions_to_ids(pos)
+            d[pos < 0] = FLT_MAX
+            # Hotness accounting (GpuCache/ListPrefetcher analog) over the
+            # actual probe set — lists probed but contributing no results
+            # still accumulate heat.
+            probed = np.unique(packed[:, 2 * k:])
+            self.list_access_count[probed[probed >= 0]] += 1
+            return d, ids
+
+        return finalize
 
     def search_batch(
         self, queries: np.ndarray, params: SearchParams | None = None

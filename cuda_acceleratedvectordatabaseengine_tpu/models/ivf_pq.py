@@ -682,6 +682,16 @@ class IVFPQIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         return self._search_finalize(*self._search_dispatch(queries, params))
 
+    def search_async(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Dispatch/finalize split with the IVF-Flat contract (see
+        ``IVFFlatIndex.search_async``): the returned thunk forces the
+        device shortlist and runs the host-side stages (id mapping +
+        host-store exact rerank when attached)."""
+        state = self._search_dispatch(queries, params)
+        return lambda: self._search_finalize(*state)
+
     def _search_dispatch(
         self, queries: np.ndarray, params: SearchParams | None = None
     ):

@@ -579,6 +579,15 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
+        return self.search_async(queries, params)()
+
+    def search_async(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Dispatch/finalize split (``IVFFlatIndex.search_async``
+        contract): the SPMD search dispatches now; the thunk forces the
+        ICI-merged results and maps positions through the snapshotted
+        stripe-epoch id table."""
         params = params or SearchParams()
         queries = np.ascontiguousarray(queries, np.float32)
         if queries.ndim == 1:
@@ -604,7 +613,7 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
             has_scale, has_anchor = self.has_scale, self.has_anchor
             counts_max = getattr(self, "_counts_max", None)
             global_cap, ids_table = self.global_cap, self._ids_table
-        d, pos = _sharded_search(
+        d_dev, pos_dev = _sharded_search(
             jax.device_put(
                 jnp.asarray(queries), NamedSharding(self.mesh, P())
             ),
@@ -614,14 +623,18 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
             has_anchor, self.interpret,
             _stripe_scan_capacity(counts_max, global_cap, self.n_shards),
         )
-        d = np.asarray(d)[:b].copy()
-        pos = np.asarray(pos)[:b]
-        flat = ids_table.reshape(-1)
-        safe = np.clip(pos, 0, flat.size - 1)
-        ids = flat[safe]
-        ids[pos < 0] = INVALID_ID
-        d[pos < 0] = FLT_MAX
-        return d, ids
+
+        def finalize():
+            d = np.asarray(d_dev)[:b].copy()
+            pos = np.asarray(pos_dev)[:b]
+            flat = ids_table.reshape(-1)
+            safe = np.clip(pos, 0, flat.size - 1)
+            ids = flat[safe]
+            ids[pos < 0] = INVALID_ID
+            d[pos < 0] = FLT_MAX
+            return d, ids
+
+        return finalize
 
     def _device_arrays(self) -> dict:
         return {
@@ -841,6 +854,13 @@ class ShardedIVFPQIndex(_ShardedServingSurface):
     def search(
         self, queries: np.ndarray, params: SearchParams | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
+        return self.search_async(queries, params)()
+
+    def search_async(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Dispatch/finalize split (``IVFFlatIndex.search_async``
+        contract) over the SPMD ADC search."""
         params = params or SearchParams()
         queries = np.ascontiguousarray(queries, np.float32)
         if queries.ndim == 1:
@@ -875,7 +895,7 @@ class ShardedIVFPQIndex(_ShardedServingSurface):
             # The striped arenas were published in the OPQ frame (the base
             # index lives rotated end-to-end); rotate queries to match.
             q = q @ self.base.opq_R
-        d, pos = _sharded_pq_search(
+        d_dev, pos_dev = _sharded_pq_search(
             jax.device_put(q, NamedSharding(self.mesh, P())),
             centroids, codebooks, codes_t_s, code_sq_s,
             counts, raw_s, raw_sq_s, raw_scale_s,
@@ -884,14 +904,18 @@ class ShardedIVFPQIndex(_ShardedServingSurface):
             has_scale, has_anchor, self.interpret,
             _stripe_scan_capacity(counts_max, global_cap, self.n_shards),
         )
-        d = np.asarray(d)[:b].copy()
-        pos = np.asarray(pos)[:b]
-        flat_ids = ids_table.reshape(-1)
-        safe = np.clip(pos, 0, flat_ids.size - 1)
-        ids = flat_ids[safe]
-        ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
-        d[pos < 0] = FLT_MAX
-        return d, ids
+
+        def finalize():
+            d = np.asarray(d_dev)[:b].copy()
+            pos = np.asarray(pos_dev)[:b]
+            flat_ids = ids_table.reshape(-1)
+            safe = np.clip(pos, 0, flat_ids.size - 1)
+            ids = flat_ids[safe]
+            ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            d[pos < 0] = FLT_MAX
+            return d, ids
+
+        return finalize
 
     def _warmup_params(self):
         # The rerank path is a different device program (shape-static

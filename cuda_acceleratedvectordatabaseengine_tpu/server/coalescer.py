@@ -61,14 +61,24 @@ class RequestCoalescer:
 
     def __init__(
         self,
-        batch_fn: Callable[[list], list],
+        batch_fn: Callable[[list], list] | None = None,
         window_s: float = 0.002,
         max_batch: int = 64,
         name: str = "coalescer",
         max_batch_fn: Callable[[], int] | None = None,
         max_queue: int | None = None,
+        dispatch_fn: Callable[[list], Callable[[], list]] | None = None,
     ):
+        """``dispatch_fn(payloads) -> finalize_thunk`` enables the
+        PIPELINED mode: the drain loop dispatches batch N (async device
+        work), then finalizes batch N−1 — so N−1's result fetch (a full
+        relay round trip on remote runtimes) overlaps N's device compute.
+        With only ``batch_fn`` the loop is synchronous (dispatch+fetch
+        back-to-back), the reference's serial batcher shape."""
+        if (batch_fn is None) == (dispatch_fn is None):
+            raise ValueError("exactly one of batch_fn/dispatch_fn")
         self.batch_fn = batch_fn
+        self.dispatch_fn = dispatch_fn
         self.window_s = window_s
         self.max_batch = max_batch
         self.max_batch_fn = max_batch_fn
@@ -139,8 +149,28 @@ class RequestCoalescer:
                 pass
         return self.max_batch
 
+    def _resolve(self, batch: list, thunk) -> None:
+        """Force a dispatched batch's finalize thunk and scatter results
+        (or the failure) onto its futures."""
+        try:
+            results = thunk()
+            for p, r in zip(batch, results):
+                p.future.set_result(r)
+        except Exception as e:  # noqa: BLE001 — fail the whole batch
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+
     def _loop(self) -> None:
+        prev: tuple[list, Callable] | None = None   # dispatched, unfetched
         while True:
+            if prev is not None and len(self._queue) == 0:
+                # No new work queued: the in-flight batch's clients are
+                # the only waiters — finalize immediately (overlap only
+                # pays when there is a next batch to dispatch first).
+                self._resolve(*prev)
+                prev = None
+                continue
             drained = self._queue.drain(
                 self._current_max_batch(), self.window_s
             )
@@ -156,14 +186,31 @@ class RequestCoalescer:
                 if batch:
                     self._batches += 1
                     self._items += len(batch)
-            try:
-                if batch:
-                    results = self.batch_fn([p.payload for p in batch])
-                    for p, r in zip(batch, results):
-                        p.future.set_result(r)
-            except Exception as e:  # noqa: BLE001 — fail the whole batch
-                for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(e)
+            current: tuple[list, Callable] | None = None
+            if batch:
+                if self.dispatch_fn is not None:
+                    # Pipelined: dispatch NOW (async), fetch on the next
+                    # iteration — batch N computes while N−1 fetches.
+                    try:
+                        thunk = self.dispatch_fn(
+                            [p.payload for p in batch]
+                        )
+                        current = (batch, thunk)
+                    except Exception as e:  # noqa: BLE001
+                        for p in batch:
+                            if not p.future.done():
+                                p.future.set_exception(e)
+                else:
+                    self._resolve(
+                        batch,
+                        lambda: self.batch_fn(
+                            [p.payload for p in batch]
+                        ),
+                    )
+            if prev is not None:
+                self._resolve(*prev)
+            prev = current
             if stopping and len(self._queue) == 0:
+                if prev is not None:
+                    self._resolve(*prev)
                 return

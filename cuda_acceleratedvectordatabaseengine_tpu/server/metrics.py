@@ -37,6 +37,7 @@ class MetricsCollector:
         self.registry = registry or CollectorRegistry()
         self._lock = threading.Lock()
         self._latencies: dict[str, collections.deque] = {}
+        self._stages: dict[str, collections.deque] = {}
         self._recalls: dict[str, collections.deque] = {}
         self._search_counts: dict[str, int] = {}
         self._started = time.monotonic()
@@ -90,6 +91,32 @@ class MetricsCollector:
         self.h_latency.labels(index=index).observe(latency_ms)
         self.c_searches.labels(index=index).inc()
 
+    def record_stage(self, stage: str, ms: float) -> None:
+        """Per-stage serving span (decode / queue_wait / dispatch / fetch /
+        encode): the decomposition of server-side request latency the
+        wire benchmarks report (WIRE_r04). The reference's per-request
+        chrono timer measured one undifferentiated total
+        (``query_service.cpp:132-139``)."""
+        with self._lock:
+            self._stages.setdefault(
+                stage, collections.deque(maxlen=self.MAX_SAMPLES)
+            ).append(ms)
+
+    def get_stage_percentiles(self) -> dict:
+        """{stage: {p50, p95, p99, mean, count}} over the sample window."""
+        with self._lock:
+            snap = {k: np.asarray(v) for k, v in self._stages.items() if v}
+        return {
+            k: {
+                "p50": float(np.percentile(a, 50)),
+                "p95": float(np.percentile(a, 95)),
+                "p99": float(np.percentile(a, 99)),
+                "mean": float(a.mean()),
+                "count": int(a.size),
+            }
+            for k, a in snap.items()
+        }
+
     def record_recall(self, index: str, recall: float) -> None:
         with self._lock:
             buf = self._recalls.setdefault(
@@ -136,7 +163,25 @@ class MetricsCollector:
     # ------------------------------------------------------------------ #
 
     def prometheus_text(self) -> bytes:
-        return generate_latest(self.registry)
+        base = generate_latest(self.registry)
+        stages = self.get_stage_percentiles()
+        if not stages:
+            return base
+        lines = [
+            "# TYPE vdb_stage_milliseconds gauge",
+            "# HELP vdb_stage_milliseconds Serving stage latency "
+            "decomposition",
+        ]
+        for stage, q in sorted(stages.items()):
+            for stat in ("p50", "p95", "p99", "mean"):
+                lines.append(
+                    f'vdb_stage_milliseconds{{stage="{stage}",'
+                    f'stat="{stat}"}} {q[stat]:.4f}'
+                )
+            lines.append(
+                f'vdb_stage_samples{{stage="{stage}"}} {q["count"]}'
+            )
+        return base + ("\n".join(lines) + "\n").encode()
 
     def start_exposition(self, port: int, health_fn=None) -> int:
         """Real ``/metrics`` + ``/health`` HTTP endpoints (what S10 stubbed:

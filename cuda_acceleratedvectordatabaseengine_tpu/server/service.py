@@ -268,7 +268,7 @@ class VdbEngine:
 
     def _make_coalescer(self, st: IndexState) -> RequestCoalescer:
         return RequestCoalescer(
-            batch_fn=lambda items: self._run_batch(st, items),
+            dispatch_fn=lambda items: self._dispatch_batch(st, items),
             window_s=self.config.coalesce_window_ms / 1000.0,
             max_batch=self.config.max_batch_size,
             name=f"coalesce-{st.name}",
@@ -780,34 +780,66 @@ class VdbEngine:
     # the batched search path
     # ------------------------------------------------------------------ #
 
-    def _run_batch(self, st: IndexState, items: list) -> list:
-        """Drained coalescer batch → grouped fixed-shape device calls.
-        items: [(queries [m, D] np, SearchParams)] → per-item
-        (dists, ids) slices. Groups by search params so each group is one
-        device dispatch (reference groups by index only and would mix
-        params, ``query_service.cpp:330-370``)."""
+    def _dispatch_batch(self, st: IndexState, items: list):
+        """Dispatch stage of a drained coalescer batch → grouped
+        fixed-shape ASYNC device calls; returns the finalize thunk the
+        pipelined coalescer forces one batch later (batch N's device
+        compute overlaps batch N−1's result fetch — the fetch is a full
+        relay round trip on remote runtimes, the dominant term of
+        WIRE_r03's 30 ms server-side overhead).
+
+        items: [(queries [m, D] np, SearchParams, t_submit)] → thunk() →
+        per-item (dists, ids) slices. Groups by search params so each
+        group is one device dispatch (the reference groups by index only
+        and would mix params, ``query_service.cpp:330-370``). Indices
+        without a dispatch/finalize split (streaming tier: host-driven
+        waves) run synchronously here, preserving behavior."""
         index = st.index
+        t_start = time.monotonic()
         groups: dict[tuple, list[int]] = {}
-        for i, (_, p) in enumerate(items):
+        for i, (_, p, *_) in enumerate(items):
             groups.setdefault(
                 (p.nprobe, p.k, p.use_exact_rerank), []
             ).append(i)
-        results: list = [None] * len(items)
+        for it in items:
+            if len(it) > 2:
+                self.metrics.record_stage(
+                    "queue_wait", (t_start - it[2]) * 1000
+                )
+        thunks: list[tuple[list[int], object]] = []
         for (nprobe, k, rerank), idxs in groups.items():
             qs = np.concatenate([items[i][0] for i in idxs])
-            t0 = time.monotonic()
-            d, out_ids = index.search(
-                qs, SearchParams(nprobe=nprobe, k=k, use_exact_rerank=rerank)
+            params = SearchParams(
+                nprobe=nprobe, k=k, use_exact_rerank=rerank
             )
-            self.adaptive.record_latency_ms(
-                (time.monotonic() - t0) * 1000
-            )
-            off = 0
-            for i in idxs:
-                m = items[i][0].shape[0]
-                results[i] = (d[off:off + m], out_ids[off:off + m])
-                off += m
-        return results
+            if hasattr(index, "search_async"):
+                fin = index.search_async(qs, params)
+            else:
+                d, out_ids = index.search(qs, params)
+                fin = lambda d=d, out_ids=out_ids: (d, out_ids)  # noqa: E731
+            thunks.append((idxs, fin))
+        self.metrics.record_stage(
+            "dispatch", (time.monotonic() - t_start) * 1000
+        )
+
+        def finalize() -> list:
+            t_f = time.monotonic()
+            results: list = [None] * len(items)
+            for idxs, fin in thunks:
+                d, out_ids = fin()
+                off = 0
+                for i in idxs:
+                    m = items[i][0].shape[0]
+                    results[i] = (d[off:off + m], out_ids[off:off + m])
+                    off += m
+            now = time.monotonic()
+            self.metrics.record_stage("fetch", (now - t_f) * 1000)
+            # Adaptive sizing sees the full dispatch→fetch wall time of
+            # this batch (what a caller would have paid unpipelined).
+            self.adaptive.record_latency_ms((now - t_start) * 1000)
+            return results
+
+        return finalize
 
 
 def _abort(context, code, msg):
@@ -835,7 +867,11 @@ class QueryServiceImpl:
     def Search(self, request, context):
         # validation first — client errors (INVALID_ARGUMENT/NOT_FOUND) must
         # never trip the breaker; same codes as query_service.cpp:72-92.
+        t_in = time.monotonic()
         st, queries, params = self._validate(request, context)
+        self.engine.metrics.record_stage(
+            "decode", (time.monotonic() - t_in) * 1000
+        )
         t0 = time.monotonic()
         fut = self._admit_and_submit(st, queries, params, request, context)
         return self._finish(fut, request, context, t0, queries.shape[0])
@@ -903,7 +939,8 @@ class QueryServiceImpl:
                    "too many concurrent requests")
         try:
             return st.coalescer.submit(
-                (queries, params), priority=_wire_priority(request)
+                (queries, params, time.monotonic()),
+                priority=_wire_priority(request),
             )
         except QueueFullError as e:
             eng.limiter.exit()
@@ -930,6 +967,7 @@ class QueryServiceImpl:
                     + ("cancelled while queued" if cancelled
                        else "batch already running") + ")",
                 )
+            t_enc = time.monotonic()
             resp = vdb_pb2.SearchResponse()
             if request.packed_response:
                 # One memcpy instead of b·k python-proto message appends.
@@ -948,6 +986,9 @@ class QueryServiceImpl:
                         result.neighbors.add(
                             id=int(nid), distance=float(dist)
                         )
+            eng.metrics.record_stage(
+                "encode", (time.monotonic() - t_enc) * 1000
+            )
             ok = True
             return resp
         finally:

@@ -36,9 +36,20 @@ else
 fi
 
 echo "[wire] phase 2: server boot"
+# Throughput-mode config: deep worker pool (each StreamSearch holds one),
+# device batches up to 512 (the pipelined coalescer overlaps batch N's
+# compute with N-1's fetch, so throughput ≈ 1 batch per relay round trip).
+cat > "${OUT}/server.yaml" <<EOF
+grpc_workers: 64
+max_batch_size: 512
+stream_window: 16
+max_concurrent_requests: 512
+coalesce_window_ms: 1.0
+EOF
 python -m cuda_acceleratedvectordatabaseengine_tpu.server.main \
+    --config "${OUT}/server.yaml" \
     --address "127.0.0.1:${PORT}" --data-path "${DATA}" \
-    --metrics-port "${MPORT}" --coalesce-window 1.0 \
+    --metrics-port "${MPORT}" \
     > "${LOG}" 2>&1 &
 SRV_PID=$!
 
@@ -71,6 +82,9 @@ run_load() {  # name threads requests nprobe batch [--packed]
   echo "[wire] $1:"; cat "${OUT}/$1.json"
 }
 run_load warm 8 50 32 1 || exit 1    # post-boot warm pass (not reported)
+# b1 latency runs: the stage decomposition targets (decode/queue/dispatch/
+# fetch/encode); sequential single client = the honest b1 p50
+run_load b1_seq 1 200 32 1 --packed || exit 1
 run_load t16_np32 16 200 32 1 || exit 1
 run_load t16_np32_packed 16 200 32 1 --packed || exit 1
 run_load t48_np32_packed 48 200 32 1 --packed || exit 1
@@ -82,13 +96,27 @@ run_load b64_packed 8 100 32 64 --packed || exit 1
 # through the coalescer (no per-request HTTP/2 stream setup)
 run_load s16_packed_stream 16 200 32 1 "--packed --stream" || exit 1
 run_load s8_b8_packed_stream 8 200 32 8 "--packed --stream" || exit 1
+# throughput mode (the reference's 10K rps design point,
+# query_service.h:172-173): deep stream windows feeding 512-query device
+# batches through the pipelined coalescer
+run_load s16_b16_packed_stream 16 400 32 16 "--packed --stream" || exit 1
+run_load s16_b32_packed_stream 16 400 32 32 "--packed --stream" || exit 1
+run_load s32_b32_packed_stream 32 300 32 32 "--packed --stream" || exit 1
+
+echo "[wire] phase 3b: capture stage decomposition"
+curl -s "http://127.0.0.1:${MPORT}/metrics" > "${OUT}/stages.txt" || true
 
 echo "[wire] phase 4: report"
 python scripts/wire_bench.py report \
+  --run "${OUT}/b1_seq.json" \
   --run "${OUT}/t16_np32.json" --run "${OUT}/t16_np32_packed.json" \
   --run "${OUT}/t48_np32_packed.json" --run "${OUT}/b8_packed.json" \
   --run "${OUT}/b64_packed.json" \
   --run "${OUT}/s16_packed_stream.json" \
   --run "${OUT}/s8_b8_packed_stream.json" \
+  --run "${OUT}/s16_b16_packed_stream.json" \
+  --run "${OUT}/s16_b32_packed_stream.json" \
+  --run "${OUT}/s32_b32_packed_stream.json" \
+  --stages "${OUT}/stages.txt" \
   --output "WIRE_r${ROUND}.json" || exit 1
 echo "[wire] done -> WIRE_r${ROUND}.json"

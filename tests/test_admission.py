@@ -100,12 +100,16 @@ def test_breaker_opens_on_server_faults_and_recovers(adm_server):
     (``load_balancer.cpp:193-268``), wired and proven here."""
     query, engine = adm_server["query"], adm_server["engine"]
     st = engine.get_state("adm")
+    # the serving path dispatches through search_async (pipelined
+    # coalescer); break both entry points
     good_search = st.index.search
+    good_async = st.index.search_async
 
     def broken(*a, **k):
         raise RuntimeError("injected device fault")
 
     st.index.search = broken
+    st.index.search_async = broken
     try:
         codes = []
         deadline = time.time() + 30
@@ -123,6 +127,7 @@ def test_breaker_opens_on_server_faults_and_recovers(adm_server):
             grpc.StatusCode.UNAVAILABLE
     finally:
         st.index.search = good_search
+        st.index.search_async = good_async
 
     # recovery: after open_seconds (1 s here) the next request is the
     # half-open probe; it succeeds and closes the breaker.
