@@ -322,6 +322,7 @@ def main():
     itemsize = 2  # bf16 corpus chunks
     chunked = args.force_chunked or args.n * args.dim * itemsize > 4 << 30
     x_host = None
+    chunk_build_s: list = []
     if not chunked:
         # One (even-sized) natural cluster per list with moderate spread:
         # the trained quantizer aligns with the structure, keeping lists
@@ -355,6 +356,7 @@ def main():
         mean = args.n // args.nlist
         capacity = -(-int(mean * 1.35) // 128) * 128
         t_gen = t_train = t_build = 0.0
+        chunk_build_s: list = []
         starts = list(range(0, args.n, chunk_n))
         kx = key
         chunk_keys = []
@@ -430,7 +432,8 @@ def main():
                 capacity=capacity,
             )
             jax.block_until_ready(idx.arena.arena)
-            t_build += time.time() - tb
+            chunk_build_s.append(time.time() - tb)
+            t_build += chunk_build_s[-1]
             # exact ground truth, updated on device (no corpus download)
             for qi in range(n_slices):
                 s = slice(qi * q_slice, (qi + 1) * q_slice)
@@ -665,6 +668,21 @@ def main():
         "ingest_vs_baseline": (
             round(args.n / t_build / 1e6 * 60 / 3.8, 2)
             if t_build and args.n >= 1_000_000 else None
+        ),
+        # Run-to-run ingest variance decomposition (VERDICT r3 item 8: the
+        # 11.4 vs 17.9 Mvec/min discrepancy): per-chunk append walls show
+        # where the time went. Chunk 0 carries the append/assign compiles;
+        # the rest vary with relay state (lazy HBM frees, compile-cache
+        # warmth — CLAUDE.md gotchas). ingest_steady strips chunk 0, so it
+        # is the reproducible figure; ingest_mvec_per_min (whole build,
+        # compiles included) stays the conservative artifact of record.
+        "chunk_build_s": [round(s, 2) for s in chunk_build_s],
+        "ingest_steady_mvec_per_min": (
+            round(
+                (args.n - args.n // len(chunk_build_s))
+                / max(sum(chunk_build_s[1:]), 1e-9) / 1e6 * 60, 2
+            )
+            if len(chunk_build_s) > 1 and args.n >= 1_000_000 else None
         ),
         "device": str(jax.devices()[0]),
     }

@@ -136,16 +136,28 @@ def opq_fit(
     cannot (the reference has no PQ trainer at all — ``pq_trainer.cpp`` is
     a build ghost, ``indexmgr/CMakeLists.txt:8-47``).
 
+    One refinement over the plain alternation (PQ_r03's deep-rerank
+    plateau named the alternation's warm Lloyd-refreshed codebooks —
+    dragged through a moving rotation — as a bias source): a FRESH
+    per-subspace k-means retrain at the converged rotation replaces
+    them. Measured on the anisotropic probe workload: mean distortion
+    1.3075→1.2981 and the p99.9 tail 3.16→2.98 (the tail is what deep
+    shortlists die on). Eigenvalue-allocation init (OPQ-P) was also
+    tried and measured WORSE than identity on rotated decaying spectra
+    (1.62 vs 1.31 post-alternation) — not used.
+
     Returns ``(R, codebooks)``. Rotation is an isometry, so callers apply
     it once at the index boundary (rotate centroids/ingest/queries) and
     every distance downstream is unchanged — no kernel changes needed."""
     x = x.astype(jnp.float32)
-    codebooks = train_product_quantizer(key, x, m, ks, iters)
+    k1, k2 = jax.random.split(key)
+    codebooks = train_product_quantizer(k1, x, m, ks, iters)
     R = jnp.eye(x.shape[1], dtype=jnp.float32)
     for _ in range(opq_iters):
         # One jitted alternation per step (executable reused across iters).
         R, codebooks = _opq_step(x, R, codebooks)
     R.block_until_ready()
+    codebooks = train_product_quantizer(k2, x @ R, m, ks, iters)
     return R, codebooks
 
 
