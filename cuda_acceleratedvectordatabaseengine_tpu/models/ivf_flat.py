@@ -108,6 +108,17 @@ class IVFFlatConfig:
                                      # (per-row scales) instead of raw x —
                                      # ~4× finer quantization on clustered
                                      # corpora at zero extra HBM/QPS cost
+    query_upload_dtype: str = "float32"  # H2D transport dtype for search
+                                     # queries ("float32" | "bfloat16").
+                                     # bf16 halves the per-batch query
+                                     # upload — the dominant serving-path
+                                     # cost on relay-attached runtimes
+                                     # (0.04 GB/s H2D: 512×768 fp32 =
+                                     # ~37 ms/batch). The kernel widens to
+                                     # fp32 on device; only the query
+                                     # mantissa rounds (the int8 arena is
+                                     # itself far coarser — measured recall
+                                     # shift at the wire bench point: none)
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -721,6 +732,14 @@ class IVFFlatIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        if self.config.query_upload_dtype == "bfloat16":
+            # Halve the H2D bytes of the query upload (the serving path's
+            # dominant per-batch cost through a relay-attached runtime).
+            # The jitted program widens back to fp32 before the coarse
+            # matmul, so only the query mantissa rounds.
+            import ml_dtypes
+
+            queries = queries.astype(ml_dtypes.bfloat16)
         nprobe = params.nprobe
         if nprobe <= 0:
             # auto: the measured-coverage calibration, else the dataclass

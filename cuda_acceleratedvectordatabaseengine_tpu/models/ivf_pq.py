@@ -83,6 +83,10 @@ class IVFPQConfig:
                                 # once, every kernel downstream is unchanged
                                 # (rotation is an isometry)
     opq_iters: int = 6          # OPQ alternations (Procrustes + Lloyd)
+    query_upload_dtype: str = "float32"  # H2D transport dtype for search
+                                # queries (see IVFFlatConfig: bf16 halves
+                                # the serving path's query upload; the
+                                # device program widens back to fp32)
 
     def __post_init__(self):
         if isinstance(self.metric, str):
@@ -710,6 +714,11 @@ class IVFPQIndex:
         bs = bucket_size(b)
         if bs > b:
             queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        if self.config.query_upload_dtype == "bfloat16":
+            # Halved H2D query upload (see IVFFlatIndex.search_async).
+            import ml_dtypes
+
+            queries = queries.astype(ml_dtypes.bfloat16)
         nprobe = params.nprobe
         if nprobe <= 0:  # measured-coverage calibration, as in IVF-Flat
             nprobe = self.calibrated_nprobe or SearchParams().nprobe

@@ -120,11 +120,23 @@ class ConcurrencyLimiter:
 
 
 class AdaptiveController:
-    """EMA latency → adaptive timeout (3× avg, clamped) and load-based batch
-    size 16/32/64 (``load_balancer.cpp:75-101``)."""
+    """EMA latency → adaptive timeout (3× avg, clamped) and LATENCY-aware
+    batch sizing.
 
-    def __init__(self, base_batch: int = 64):
+    The reference's heuristic shrinks batches as request concurrency rises
+    (``load_balancer.cpp:75-101``) — correct when per-item GPU time
+    dominates, but backwards on hardware where each device dispatch pays a
+    large fixed cost (TPU through a remote runtime: ~29 ms dispatch + the
+    query H2D transfer per batch). There, halving the batch roughly halves
+    throughput, which *lengthens* queues under exactly the load that
+    triggered the shrink (measured: wire bench r4 collapsed to deadline
+    cascades at high stream fan-in). Batches therefore stay at full width
+    unless the measured batch latency itself blows the budget — the only
+    signal that actually says "this batch is too big"."""
+
+    def __init__(self, base_batch: int = 64, latency_budget_ms: float = 500.0):
         self.base_batch = base_batch
+        self.latency_budget_ms = latency_budget_ms
         self._ema_ms = 10.0
         self._lock = threading.Lock()
 
@@ -138,11 +150,17 @@ class AdaptiveController:
         with self._lock:
             return min(max(3 * self._ema_ms / 1000.0, 10.0), 60.0)
 
-    def batch_size(self, active: int, cap: int) -> int:
-        load = active / max(cap, 1)
-        if load > 0.75:
+    def batch_size(self, active: int = 0, cap: int = 0) -> int:
+        """Device-batch weight cap. Load-invariant; shrinks only when the
+        EMA dispatch→fetch wall time exceeds the latency budget (so one
+        batch can never monopolize the device for longer than the SLA
+        allows), and never below a quarter of base (below that, fixed
+        dispatch cost dominates and shrinking is strictly worse)."""
+        with self._lock:
+            ema = self._ema_ms
+        if ema > 2 * self.latency_budget_ms:
             return max(self.base_batch // 4, 1)
-        if load > 0.5:
+        if ema > self.latency_budget_ms:
             return max(self.base_batch // 2, 1)
         return self.base_batch
 
@@ -179,12 +197,26 @@ class PriorityRequestQueue:
                 return None
             return heapq.heappop(self._heap)[2]
 
-    def drain(self, max_n: int, window_s: float) -> list:
+    def drain(
+        self,
+        max_n: int,
+        window_s: float,
+        weight_fn=None,
+        max_weight: int | None = None,
+    ) -> list:
         """Batch dequeue: block until at least one item arrives, then wait
         out the coalescing window (or until ``max_n`` items are queued) and
         pop up to ``max_n`` items in priority order — the batcher-facing
         surface (used by ``RequestCoalescer``; the reference declared this
-        queue and never called it, ``load_balancer.cpp:273-329``)."""
+        queue and never called it, ``load_balancer.cpp:273-329``).
+
+        ``weight_fn(item) -> int`` + ``max_weight`` bound the drained batch
+        by total WEIGHT (for the serving coalescer: queries, not requests —
+        a multi-query request counts its true device-batch contribution).
+        Without it, 512 drained requests of 16 queries each once built an
+        8192-query device tensor, far past every warmed bucket: a cold XLA
+        compile mid-SLA, and a deadline cascade under stream fan-in. The
+        first item is always taken, whatever its weight."""
         with self._cv:
             while not self._heap:
                 self._cv.wait()
@@ -194,8 +226,22 @@ class PriorityRequestQueue:
                 if remaining <= 0:
                     break
                 self._cv.wait(timeout=remaining)
-            n = min(max_n, len(self._heap))
-            return [heapq.heappop(self._heap)[2] for _ in range(n)]
+            out = []
+            weight = 0
+            while self._heap and len(out) < max_n:
+                peek = self._heap[0][2]   # None = the coalescer's stop
+                if (                      # sentinel (weightless)
+                    weight_fn is not None and max_weight is not None
+                    and out and peek is not None
+                ):
+                    w = max(1, int(weight_fn(peek)))
+                    if weight + w > max_weight:
+                        break
+                item = heapq.heappop(self._heap)[2]
+                out.append(item)
+                if weight_fn is not None and item is not None:
+                    weight += max(1, int(weight_fn(item)))
+            return out
 
     def __len__(self) -> int:
         with self._lock:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
+import queue as q
 import threading
 import time
 from typing import Any, Callable
@@ -68,13 +69,20 @@ class RequestCoalescer:
         max_batch_fn: Callable[[], int] | None = None,
         max_queue: int | None = None,
         dispatch_fn: Callable[[list], Callable[[], list]] | None = None,
+        weight_fn: Callable[[Any], int] | None = None,
     ):
         """``dispatch_fn(payloads) -> finalize_thunk`` enables the
-        PIPELINED mode: the drain loop dispatches batch N (async device
-        work), then finalizes batch N−1 — so N−1's result fetch (a full
-        relay round trip on remote runtimes) overlaps N's device compute.
-        With only ``batch_fn`` the loop is synchronous (dispatch+fetch
-        back-to-back), the reference's serial batcher shape."""
+        PIPELINED mode: a dedicated finalize thread forces batch N−1's
+        thunk (the result fetch — a full relay round trip on remote
+        runtimes) while the drain thread is already uploading and
+        dispatching batch N, so the two relay directions overlap. With
+        only ``batch_fn`` the loop is synchronous (dispatch+fetch
+        back-to-back), the reference's serial batcher shape.
+
+        ``weight_fn(payload) -> int`` makes ``max_batch`` a bound on total
+        WEIGHT (the serving path: queries per request) instead of item
+        count — a drained batch then never exceeds the device batch width
+        the warmed executables cover."""
         if (batch_fn is None) == (dispatch_fn is None):
             raise ValueError("exactly one of batch_fn/dispatch_fn")
         self.batch_fn = batch_fn
@@ -83,12 +91,26 @@ class RequestCoalescer:
         self.max_batch = max_batch
         self.max_batch_fn = max_batch_fn
         self.max_queue = max_queue
+        self.weight_fn = weight_fn
         self._shed = 0
         self._queue = PriorityRequestQueue()
         self._lock = threading.Lock()
         self._stop = False
         self._batches = 0
         self._items = 0
+        # Pipelined mode: dispatched-but-unfetched batches hand off to the
+        # finalize worker through a depth-1 queue. The put blocks while the
+        # worker is still fetching the batch before last — bounding
+        # in-flight device programs (each holds its buffers on the relay)
+        # to ~2 without ever stalling the first dispatch.
+        self._inflight: "q.Queue" = q.Queue(maxsize=1)
+        self._finalizer = None
+        if dispatch_fn is not None:
+            self._finalizer = threading.Thread(
+                target=self._finalize_loop, name=f"{name}-finalize",
+                daemon=True,
+            )
+            self._finalizer.start()
         self._worker = threading.Thread(
             target=self._loop, name=name, daemon=True
         )
@@ -161,18 +183,29 @@ class RequestCoalescer:
                 if not p.future.done():
                     p.future.set_exception(e)
 
-    def _loop(self) -> None:
-        prev: tuple[list, Callable] | None = None   # dispatched, unfetched
+    def _finalize_loop(self) -> None:
+        """Pipelined-mode fetch worker: forces each dispatched batch's
+        finalize thunk as soon as it lands — concurrently with the drain
+        thread's upload+dispatch of the NEXT batch, so the result fetch
+        (relay D2H round trip) never serializes against the query H2D."""
         while True:
-            if prev is not None and len(self._queue) == 0:
-                # No new work queued: the in-flight batch's clients are
-                # the only waiters — finalize immediately (overlap only
-                # pays when there is a next batch to dispatch first).
-                self._resolve(*prev)
-                prev = None
-                continue
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            self._resolve(*entry)
+
+    def _loop(self) -> None:
+        while True:
             drained = self._queue.drain(
-                self._current_max_batch(), self.window_s
+                self._current_max_batch(), self.window_s,
+                weight_fn=(
+                    (lambda p: self.weight_fn(p.payload))
+                    if self.weight_fn is not None else None
+                ),
+                max_weight=(
+                    self._current_max_batch()
+                    if self.weight_fn is not None else None
+                ),
             )
             # Transition each live item to RUNNING; cancelled futures
             # (caller deadline expired while queued) drop out here and
@@ -186,16 +219,16 @@ class RequestCoalescer:
                 if batch:
                     self._batches += 1
                     self._items += len(batch)
-            current: tuple[list, Callable] | None = None
             if batch:
                 if self.dispatch_fn is not None:
-                    # Pipelined: dispatch NOW (async), fetch on the next
-                    # iteration — batch N computes while N−1 fetches.
+                    # Pipelined: dispatch NOW (async), hand the fetch to
+                    # the finalize worker — batch N's upload+compute
+                    # overlaps N−1's result fetch.
                     try:
                         thunk = self.dispatch_fn(
                             [p.payload for p in batch]
                         )
-                        current = (batch, thunk)
+                        self._inflight.put((batch, thunk))
                     except Exception as e:  # noqa: BLE001
                         for p in batch:
                             if not p.future.done():
@@ -207,10 +240,8 @@ class RequestCoalescer:
                             [p.payload for p in batch]
                         ),
                     )
-            if prev is not None:
-                self._resolve(*prev)
-            prev = current
             if stopping and len(self._queue) == 0:
-                if prev is not None:
-                    self._resolve(*prev)
+                if self._finalizer is not None:
+                    self._inflight.put(None)   # drains in FIFO order —
+                    self._finalizer.join()     # after every real batch
                 return

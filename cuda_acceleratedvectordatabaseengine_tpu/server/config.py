@@ -30,6 +30,13 @@ class ServerConfig:
     # device
     device_memory_limit_gb: float = 0.0     # 0 = no explicit cap
     arena_dtype: str = "bfloat16"
+    # H2D transport dtype for search-query batches ("float32" |
+    # "bfloat16"). bf16 halves the per-batch query upload — the dominant
+    # per-batch serving cost on relay-attached runtimes — and the device
+    # program widens back to fp32 before the coarse matmul (only the query
+    # mantissa rounds; measured recall shift at the wire-bench point:
+    # none). Applied to every index at epoch activation, before warmup.
+    query_upload_dtype: str = "float32"
     # HBM budget for a streaming-tier index's list cache (0 = auto:
     # ~nlist/4 slots). Tier is chosen per index at CreateIndex.
     streaming_cache_bytes: int = 0

@@ -117,6 +117,20 @@ class MetricsCollector:
             for k, a in snap.items()
         }
 
+    def reset_windows(self, index: str | None = None) -> None:
+        """Clear the bounded percentile sample windows (per-index latency
+        when ``index`` given, else all) plus the stage spans — so a
+        benchmark scenario reads ITS OWN percentiles, not a window
+        polluted by earlier traffic (the r4 wire bench's b1 "server p50"
+        was really the previous scenario's). Monotonic Prometheus series
+        (counters/histograms) are untouched."""
+        with self._lock:
+            if index is None:
+                self._latencies.clear()
+            else:
+                self._latencies.pop(index, None)
+            self._stages.clear()
+
     def record_recall(self, index: str, recall: float) -> None:
         with self._lock:
             buf = self._recalls.setdefault(

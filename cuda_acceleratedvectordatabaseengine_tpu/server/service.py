@@ -272,9 +272,17 @@ class VdbEngine:
             window_s=self.config.coalesce_window_ms / 1000.0,
             max_batch=self.config.max_batch_size,
             name=f"coalesce-{st.name}",
-            # Load-adaptive draining (reference intent, never wired there:
-            # ``load_balancer.cpp:75-85``): under concurrency pressure drain
-            # smaller batches so queueing latency stays bounded.
+            # max_batch counts QUERIES, not requests: a drained batch of
+            # multi-query requests must never exceed the device batch
+            # width the warmed executables cover (an 8192-query surprise
+            # tensor = a cold XLA compile mid-SLA — the r4 wire bench's
+            # deadline cascade).
+            weight_fn=lambda item: int(item[0].shape[0]),
+            # Latency-adaptive draining (reference intent, never wired
+            # there: ``load_balancer.cpp:75-85``) — shrinks the batch cap
+            # only when measured batch wall time blows the budget; see
+            # AdaptiveController.batch_size for why load-based shrinking
+            # is backwards on this hardware.
             max_batch_fn=lambda: self.adaptive.batch_size(
                 self.limiter.active, self.limiter.max_concurrent
             ),
@@ -367,6 +375,16 @@ class VdbEngine:
         from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import (
             BUCKETS,
         )
+
+        # Serving-path transport dtype (config: query_upload_dtype): set
+        # BEFORE warmup so the warmed executables compile against the
+        # dtype live traffic will carry.
+        up = self.config.query_upload_dtype
+        if (
+            up and up != "float32"
+            and hasattr(getattr(index, "config", None), "query_upload_dtype")
+        ):
+            index.config.query_upload_dtype = up
 
         # Re-apply persisted tombstones: snapshots are immutable, so
         # deletions accepted since the last build live in the per-index
@@ -1227,6 +1245,10 @@ class AdminServiceImpl:
         except KeyError:
             _abort(context, grpc.StatusCode.NOT_FOUND,
                    f"index {request.index!r} not found")
+        if getattr(request, "reset", False):
+            # Clear this index's percentile windows (and the stage spans)
+            # BEFORE answering: the caller is delimiting a measurement.
+            eng.metrics.reset_windows(request.index)
         total = indexed = 0
         mem_gb = 0.0
         if st.index is not None:

@@ -9,11 +9,33 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import threading
 import time
+import urllib.request
 
 import grpc
 import numpy as np
+
+
+def parse_stage_metrics(text: str) -> dict:
+    """Parse ``vdb_stage_milliseconds{stage=...,stat=...}`` lines from the
+    server's /metrics exposition into ``{stage: {stat: ms, count: n}}`` —
+    the serving-stage decomposition (decode / queue_wait / dispatch /
+    fetch / encode)."""
+    stages: dict = {}
+    pat = re.compile(
+        r'vdb_stage_(milliseconds|samples)\{stage="([^"]+)"'
+        r'(?:,stat="([^"]+)")?\}\s+([0-9.eE+-]+)'
+    )
+    for m in pat.finditer(text):
+        kind, stage, stat, val = m.groups()
+        d = stages.setdefault(stage, {})
+        if kind == "samples":
+            d["count"] = int(float(val))
+        else:
+            d[stat] = float(val)
+    return stages
 
 
 def main(argv=None) -> int:
@@ -36,6 +58,14 @@ def main(argv=None) -> int:
                         "StreamSearch bidirectional stream (pipelined "
                         "through the coalescer) instead of per-request "
                         "unary RPCs")
+    p.add_argument("--timeout", type=float, default=120.0,
+                   help="per-RPC deadline in seconds (a whole stream "
+                        "counts as one RPC)")
+    p.add_argument("--metrics-url", default="",
+                   help="server /metrics URL; when given, the report "
+                        "embeds THIS run's serving-stage decomposition "
+                        "(the stage windows are reset before the run via "
+                        "GetStats reset)")
     args = p.parse_args(argv)
 
     from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
@@ -47,6 +77,20 @@ def main(argv=None) -> int:
     grpc.channel_ready_future(channel).result(timeout=10)
     client = QueryServiceClient(channel)
     rng = np.random.default_rng(12345)
+
+    from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
+        AdminServiceClient,
+    )
+
+    admin = AdminServiceClient(channel)
+    # Isolate this run's server-side percentiles: clear the latency/stage
+    # sample windows first, so server_p50 is THIS scenario's, not the
+    # previous one's (the r3/r4 artifacts' b1 "server p50" was polluted
+    # by the preceding warm pass).
+    try:
+        admin.GetStats(vdb_pb2.StatsRequest(index=args.index, reset=True))
+    except grpc.RpcError:
+        pass
 
     latencies: list[float] = []
     errors: list[str] = []
@@ -76,7 +120,7 @@ def main(argv=None) -> int:
             req = make_request(local_rng)
             t0 = time.monotonic()
             try:
-                client.Search(req)
+                client.Search(req, timeout=args.timeout)
                 ok = True
             except grpc.RpcError as e:
                 ok = False
@@ -102,7 +146,7 @@ def main(argv=None) -> int:
 
         got = 0
         try:
-            for _resp in client.StreamSearch(gen()):
+            for _resp in client.StreamSearch(gen(), timeout=args.timeout):
                 lat = (time.monotonic() - send_times[got]) * 1000
                 got += 1
                 with lock:
@@ -134,7 +178,8 @@ def main(argv=None) -> int:
         "stream": bool(args.stream),
         "batch": args.batch,
         "success_rate": len(latencies) / total,
-        "qps": round(total * args.batch / wall, 1),
+        # successful queries only — failed requests must not inflate QPS
+        "qps": round(len(latencies) * args.batch / wall, 1),
         "avg_ms": round(avg, 2),
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
@@ -146,18 +191,22 @@ def main(argv=None) -> int:
     # excludes client proto serialization / GIL / wire time — on shared-CPU
     # test hosts the client side dominates the client-observed numbers.
     try:
-        from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import (
-            AdminServiceClient,
-        )
-
-        stats = AdminServiceClient(channel).GetStats(
-            vdb_pb2.StatsRequest(index=args.index)
-        )
+        stats = admin.GetStats(vdb_pb2.StatsRequest(index=args.index))
         report["server_p50_ms"] = round(stats.latency_p50_ms, 2)
         report["server_p95_ms"] = round(stats.latency_p95_ms, 2)
         report["server_p99_ms"] = round(stats.latency_p99_ms, 2)
     except grpc.RpcError:
         pass
+    if args.metrics_url:
+        # THIS run's serving-stage decomposition (the windows were reset
+        # above, so the spans cover exactly this scenario's requests).
+        try:
+            with urllib.request.urlopen(args.metrics_url, timeout=5) as r:
+                report["server_stages_ms"] = parse_stage_metrics(
+                    r.read().decode()
+                )
+        except OSError:
+            pass
     print(json.dumps(report, indent=2))
     return 0 if report["success_rate"] >= 0.8 else 1
 

@@ -1,10 +1,10 @@
 #!/usr/bin/env bash
-# Wire-level per-request latency benchmark on the real device (VERDICT #5).
+# Wire-level latency + throughput benchmark on the real device (VERDICT #2).
 #
 # Phases (ONE TPU process at a time — see CLAUDE.md):
 #   1. wire_bench.py prepare  — build index + server data dir, exit
 #   2. server boot            — recovers the active epoch, warms all buckets
-#   3. tools.load_test        — concurrent single-query requests over gRPC
+#   3. tools.load_test        — latency ladder then stream-throughput ladder
 #   4. wire_bench.py report   — merge into WIRE_r${ROUND}.json
 #
 # Usage: bash scripts/run-wire-bench.sh [N] [ROUND]
@@ -12,7 +12,7 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 N="${1:-1000000}"
-ROUND="${2:-02}"
+ROUND="${2:-04}"
 PORT="${PORT:-50351}"
 MPORT="${MPORT:-18380}"
 DATA="${DATA:-$(mktemp -d)}"
@@ -36,15 +36,21 @@ else
 fi
 
 echo "[wire] phase 2: server boot"
-# Throughput-mode config: deep worker pool (each StreamSearch holds one),
-# device batches up to 512 (the pipelined coalescer overlaps batch N's
-# compute with N-1's fetch, so throughput ≈ 1 batch per relay round trip).
+# Throughput-mode config: device batches up to 2048 QUERIES (the coalescer
+# bounds drained batches by query weight, so every batch lands on a warmed
+# bucket), bf16 query upload (halves the relay H2D — the dominant per-batch
+# cost), pipelined dispatch/finalize overlap. default_nprobe pinned to the
+# bench's serving point so warmup compiles exactly the traffic shapes.
 cat > "${OUT}/server.yaml" <<EOF
 grpc_workers: 64
-max_batch_size: 512
+max_batch_size: 2048
 stream_window: 16
-max_concurrent_requests: 512
+max_concurrent_requests: 1024
+max_queued_requests: 4096
 coalesce_window_ms: 1.0
+query_upload_dtype: bfloat16
+default_nprobe: 32
+warm_nprobes: [32]
 EOF
 python -m cuda_acceleratedvectordatabaseengine_tpu.server.main \
     --config "${OUT}/server.yaml" \
@@ -56,7 +62,7 @@ SRV_PID=$!
 # Readiness: wait for the warmed index to serve a real search (bucket warmup
 # on recovery takes a few minutes of compiles on TPU).
 echo "[wire] waiting for warmed readiness"
-for i in $(seq 1 600); do
+for i in $(seq 1 900); do
   if python - "$PORT" <<'EOF' 2>/dev/null
 import sys, grpc, numpy as np
 from cuda_acceleratedvectordatabaseengine_tpu.server.grpc_api import QueryServiceClient
@@ -74,49 +80,46 @@ done
 [[ -n "${READY:-}" ]] || { echo "[wire] never became ready"; tail -30 "${LOG}"; exit 1; }
 
 echo "[wire] phase 3: load tests"
-run_load() {  # name threads requests nprobe batch [--packed]
+FAILED=""
+run_load() {  # name threads requests nprobe batch [extra-flags]
   python -m cuda_acceleratedvectordatabaseengine_tpu.tools.load_test \
     --target "127.0.0.1:${PORT}" --index default --dimension 768 \
     --threads "$2" --requests "$3" --topk 10 --nprobe "$4" --batch "$5" \
-    ${6:-} > "${OUT}/$1.json" || return 1
-  echo "[wire] $1:"; cat "${OUT}/$1.json"
+    --metrics-url "http://127.0.0.1:${MPORT}/metrics" \
+    ${6:-} > "${OUT}/$1.json" \
+    || { echo "[wire] scenario $1 FAILED (recorded, continuing)"; FAILED="${FAILED} $1"; }
+  echo "[wire] $1:"; cat "${OUT}/$1.json" 2>/dev/null || true
 }
-run_load warm 8 50 32 1 || exit 1    # post-boot warm pass (not reported)
-# b1 latency runs: the stage decomposition targets (decode/queue/dispatch/
-# fetch/encode); sequential single client = the honest b1 p50
-run_load b1_seq 1 200 32 1 --packed || exit 1
-run_load t16_np32 16 200 32 1 || exit 1
-run_load t16_np32_packed 16 200 32 1 --packed || exit 1
-run_load t48_np32_packed 48 200 32 1 --packed || exit 1
-# multi-query requests: the packed bytes field amortizes per-float proto
-# cost, letting one RPC carry the batch the device wants
-run_load b8_packed 16 200 32 8 --packed || exit 1
-run_load b64_packed 8 100 32 64 --packed || exit 1
-# bidirectional StreamSearch: one RPC per thread, requests pipelined
-# through the coalescer (no per-request HTTP/2 stream setup)
-run_load s16_packed_stream 16 200 32 1 "--packed --stream" || exit 1
-run_load s8_b8_packed_stream 8 200 32 8 "--packed --stream" || exit 1
-# throughput mode (the reference's 10K rps design point,
-# query_service.h:172-173): deep stream windows feeding 512-query device
-# batches through the pipelined coalescer
-run_load s16_b16_packed_stream 16 400 32 16 "--packed --stream" || exit 1
-run_load s16_b32_packed_stream 16 400 32 32 "--packed --stream" || exit 1
-run_load s32_b32_packed_stream 32 300 32 32 "--packed --stream" || exit 1
+run_load warm 8 50 32 1                  # post-boot warm pass (not reported)
+# --- latency ladder (each scenario's server percentiles are isolated by a
+#     stats reset; b1_seq is the stage-decomposition target) ---
+run_load b1_seq 1 200 32 1 --packed
+run_load t16_np32 16 200 32 1
+run_load t16_np32_packed 16 200 32 1 --packed
+run_load t48_np32_packed 48 200 32 1 --packed
+run_load b8_packed 16 200 32 8 --packed
+run_load b64_packed 16 200 32 64 --packed
+# --- throughput ladder (the reference's 10K rps design point,
+#     query_service.h:172-173): streams pipeline multi-query requests
+#     through the weight-bounded coalescer into 2048-query device batches ---
+run_load s8_b8_packed_stream 8 200 32 8 "--packed --stream"
+run_load s16_b16_packed_stream 16 400 32 16 "--packed --stream"
+run_load s8_b64_packed_stream 8 200 32 64 "--packed --stream"
+run_load s16_b64_packed_stream 16 200 32 64 "--packed --stream"
+run_load s32_b32_packed_stream 32 200 32 32 "--packed --stream"
 
-echo "[wire] phase 3b: capture stage decomposition"
+echo "[wire] phase 3b: capture final stage decomposition"
 curl -s "http://127.0.0.1:${MPORT}/metrics" > "${OUT}/stages.txt" || true
 
 echo "[wire] phase 4: report"
-python scripts/wire_bench.py report \
-  --run "${OUT}/b1_seq.json" \
-  --run "${OUT}/t16_np32.json" --run "${OUT}/t16_np32_packed.json" \
-  --run "${OUT}/t48_np32_packed.json" --run "${OUT}/b8_packed.json" \
-  --run "${OUT}/b64_packed.json" \
-  --run "${OUT}/s16_packed_stream.json" \
-  --run "${OUT}/s8_b8_packed_stream.json" \
-  --run "${OUT}/s16_b16_packed_stream.json" \
-  --run "${OUT}/s16_b32_packed_stream.json" \
-  --run "${OUT}/s32_b32_packed_stream.json" \
+RUNS=""
+for f in b1_seq t16_np32 t16_np32_packed t48_np32_packed b8_packed \
+         b64_packed s8_b8_packed_stream s16_b16_packed_stream \
+         s8_b64_packed_stream s16_b64_packed_stream s32_b32_packed_stream; do
+  [[ -s "${OUT}/$f.json" ]] && RUNS="${RUNS} --run ${OUT}/$f.json"
+done
+python scripts/wire_bench.py report ${RUNS} \
   --stages "${OUT}/stages.txt" \
   --output "WIRE_r${ROUND}.json" || exit 1
+[[ -n "${FAILED}" ]] && echo "[wire] NOTE: failed scenarios:${FAILED}"
 echo "[wire] done -> WIRE_r${ROUND}.json"

@@ -362,3 +362,22 @@ def test_calibrate_nprobe_requires_train():
     idx = IVFFlatIndex(IVFFlatConfig(dimension=8, nlist=4))
     with pytest.raises(RuntimeError):
         idx.calibrate_nprobe()
+
+
+def test_query_upload_bf16_matches_f32_results(rng, oracle):
+    """query_upload_dtype=bfloat16 (the serving path's halved H2D
+    transport) must not change the returned neighbor ids on separated
+    data — the device program widens back to fp32, so only the query
+    mantissa rounds."""
+    idx, x = _build(rng, n=4000, dim=32, nlist=16, dtype="int8")
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    d32, ids32 = idx.search(q, SearchParams(nprobe=16, k=10))
+    idx.config.query_upload_dtype = "bfloat16"
+    d16, ids16 = idx.search(q, SearchParams(nprobe=16, k=10))
+    # bf16 query rounding reorders statistical near-ties (unclustered
+    # gaussians are the worst case) — compare result SETS, not positions
+    assert _recall(ids16, ids32) >= 0.95
+    np.testing.assert_allclose(d16, d32, rtol=2e-2, atol=2e-2)
+    # and the full-probe search still recovers the int8-exact top-k set
+    _, ref = oracle(q, x, 10)
+    assert _recall(ids16, ref.astype(np.uint64)) >= 0.9
