@@ -249,6 +249,22 @@ def main():
     p.add_argument("--skew-s", type=float, default=1.0,
                    help="zipf exponent (1.0: the largest of 4096 modes "
                         "holds ~11%% of the corpus)")
+    p.add_argument("--multi-assign-eps", type=float, default=0.0,
+                   help=">0 stores a SECOND copy of rows whose 2nd-nearest "
+                        "centroid passes d2 <= (1+eps)^2*d1 (the zipf "
+                        "coverage-bound falsification experiment, "
+                        "HOSTILE_r04): replicas lift probe coverage on "
+                        "dense head modes at the cost of arena HBM; "
+                        "search scans 2k and dedups ids. Forces the "
+                        "chunked build path")
+    p.add_argument("--multi-assign-budget", type=float, default=1.0,
+                   help="cap on replicas per chunk (fraction of chunk "
+                        "rows); only the tightest d2/d1 ratios keep their "
+                        "copy — bounds arena HBM on skewed corpora")
+    p.add_argument("--capacity-factor", type=float, default=1.35,
+                   help="chunked-build per-list capacity clamp (x mean "
+                        "rows/list); raise with --multi-assign-eps to "
+                        "leave slack for the replicas")
     p.add_argument("--scan", default=os.environ.get("VDB_SCAN", "pallas_grouped"),
                    choices=["gather", "ragged", "pallas", "pallas_sorted", "pallas_grouped"],
                    help="scan implementation (pallas: DMA-pipelined "
@@ -317,10 +333,16 @@ def main():
         train_sample_per_list=128, max_capacity_factor=4.0,
         split_threshold=args.split_threshold,
         assign_choices=args.assign_choices,
+        multi_assign_eps=args.multi_assign_eps,
+        multi_assign_budget=args.multi_assign_budget,
     )
     idx = IVFFlatIndex(cfg)
     itemsize = 2  # bf16 corpus chunks
-    chunked = args.force_chunked or args.n * args.dim * itemsize > 4 << 30
+    chunked = (
+        args.force_chunked
+        or args.multi_assign_eps > 0  # replication lives in append_balanced
+        or args.n * args.dim * itemsize > 4 << 30
+    )
     x_host = None
     chunk_build_s: list = []
     if not chunked:
@@ -354,7 +376,7 @@ def main():
         # append → exact-oracle update, never holding two chunks at once.
         chunk_n = 500_000
         mean = args.n // args.nlist
-        capacity = -(-int(mean * 1.35) // 128) * 128
+        capacity = -(-int(mean * args.capacity_factor) // 128) * 128
         t_gen = t_train = t_build = 0.0
         chunk_build_s: list = []
         starts = list(range(0, args.n, chunk_n))
@@ -475,9 +497,14 @@ def main():
         idx.centroids, idx.arena.arena, idx.arena.arena_sq, idx.arena.counts,
     )
 
+    # Multi-assignment arenas scan a doubled shortlist (a replicated row
+    # can appear once per copy) and dedup ids host-side — same contract as
+    # IVFFlatIndex.search.
+    k_dev = 2 * args.k if args.multi_assign_eps > 0 else args.k
+
     def device_search(q):
         d, pos, probes = _ivf_search_device(
-            q, *search_args, min(args.nprobe, args.nlist), args.k,
+            q, *search_args, min(args.nprobe, args.nlist), k_dev,
             Metric.L2, args.scan, False, 0, None, idx.arena.arena_scale,
             idx.arena.anchors, args.m_budget or None,
             scan_capacity=idx.arena.scan_capacity_hint(),
@@ -529,6 +556,18 @@ def main():
     )
     matched = sorted_ids[locs] == truth.astype(np.uint64)
     true_list = order_ids[locs] // cap
+    # Multi-assignment: a true id may have a SECOND resident copy
+    # (adjacent in the sorted table). Coverage/auto-nprobe must count a
+    # true neighbor as covered when EITHER copy's list is probed.
+    matched2 = np.zeros_like(matched)
+    true_list2 = true_list
+    if args.multi_assign_eps > 0:
+        locs2 = np.minimum(locs + 1, sorted_ids.size - 1)
+        matched2 = (
+            (sorted_ids[locs2] == truth.astype(np.uint64))
+            & (locs2 != locs) & matched
+        )
+        true_list2 = order_ids[locs2] // cap
 
     nprobe_curve, coverage_limited = None, False
     if args.nprobe <= 0:
@@ -548,6 +587,15 @@ def main():
         rank_of_true = np.take_along_axis(
             ranks, np.clip(true_list, 0, args.nlist - 1), axis=1
         )
+        if matched2.any():
+            # replicated true ids: covered at the EARLIER of the two
+            # copies' probe ranks
+            rank2 = np.take_along_axis(
+                ranks, np.clip(true_list2, 0, args.nlist - 1), axis=1
+            )
+            rank_of_true = np.where(
+                matched2, np.minimum(rank_of_true, rank2), rank_of_true
+            )
         n_valid = max(int(matched.sum()), 1)
         nprobe_curve, chosen = {}, None
         # The grid starts at 4 because the mechanism is coverage-DRIVEN:
@@ -587,7 +635,17 @@ def main():
     jax.block_until_ready((d, pos))
     got = np.asarray(pos)
     # arena position → original row id via the host id table
-    got_ids = idx.arena.positions_to_ids(got).astype(np.int64)
+    got_ids_u = idx.arena.positions_to_ids(got)
+    d_h = np.asarray(d).copy()
+    if args.multi_assign_eps > 0:
+        from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+            dedup_topk,
+        )
+
+        got_ids_u = got_ids_u.copy()
+        got_ids_u[got < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        d_h, got_ids_u = dedup_topk(d_h, got_ids_u, args.k)
+    got_ids = got_ids_u.astype(np.int64)
     recall = np.mean([
         len(set(a.tolist()) & set(b.tolist())) / args.k
         for a, b in zip(got_ids, truth)
@@ -601,7 +659,7 @@ def main():
     # the two failure modes. Returned d is the stored-representation
     # (int8-dequant) distance, truth is exact bf16: the representation
     # gap is ~1%, well inside the 5% tolerance.
-    ret_d = np.sqrt(np.maximum(np.asarray(d)[: truth.shape[0]], 0.0))
+    ret_d = np.sqrt(np.maximum(d_h[: truth.shape[0], : args.k], 0.0))
     true_dk = np.sqrt(np.maximum(truth_d[:, args.k - 1], 0.0))
     recall_eps = float(np.mean(ret_d <= 1.05 * true_dk[:, None] + 1e-6))
 
@@ -609,9 +667,18 @@ def main():
     # splits recall loss into its probe-miss component (coverage < 1) and
     # its quantized-ranking component (coverage − recall).
     probes_h = np.asarray(probes)[: truth.shape[0]]
+
+    def _covered(b):
+        hit = np.isin(true_list[b][matched[b]], probes_h[b])
+        if matched2[b].any():
+            # replicated true ids count as covered via either copy
+            hit |= matched2[b][matched[b]] & np.isin(
+                true_list2[b][matched[b]], probes_h[b]
+            )
+        return float(np.mean(hit))
+
     coverage = np.mean([
-        float(np.mean(np.isin(true_list[b][matched[b]], probes_h[b])))
-        if matched[b].any() else 0.0
+        _covered(b) if matched[b].any() else 0.0
         for b in range(truth.shape[0])
     ])
 
@@ -648,6 +715,13 @@ def main():
         "skew": args.skew,
         "split_threshold": args.split_threshold,
         "assign_choices": args.assign_choices,
+        "multi_assign_eps": args.multi_assign_eps,
+        "multi_assign_budget": args.multi_assign_budget,
+        "replication_factor": (
+            round(idx.arena.total_vectors / args.n, 4)
+            if args.multi_assign_eps > 0 else None
+        ),
+        "capacity_factor": args.capacity_factor,
         "clusters_per_list": cpl,
         "arena_dtype": args.dtype,
         "scan_impl": args.scan,

@@ -30,6 +30,7 @@ from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
 from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
     kmeans_assign,
     kmeans_assign_topk,
+    kmeans_assign_topk_vals,
     kmeans_fit,
 )
 from cuda_acceleratedvectordatabaseengine_tpu.ops.normalize import l2_normalize
@@ -108,6 +109,27 @@ class IVFFlatConfig:
                                      # (per-row scales) instead of raw x —
                                      # ~4× finer quantization on clustered
                                      # corpora at zero extra HBM/QPS cost
+    multi_assign_eps: float = 0.0    # >0 enables multi-assignment: a row
+                                     # whose 2nd-nearest centroid satisfies
+                                     # d2 ≤ (1+ε)²·d1 (squared L2) gets a
+                                     # SECOND resident copy in that list at
+                                     # append_balanced time. Targets
+                                     # coverage-bound geometry (zipf head
+                                     # modes: the true top-k scatter across
+                                     # a dense mode's many cells, so one
+                                     # copy per row caps probe coverage) at
+                                     # the cost of HBM for the replicas.
+                                     # Search then scans top-2k and dedups
+                                     # ids host-side; the ratio test fires
+                                     # almost only inside dense modes, so
+                                     # well-separated corpora pay ~nothing.
+    multi_assign_budget: float = 1.0 # cap on replicas per append as a
+                                     # fraction of appended rows; when the
+                                     # ratio test fires on more, only the
+                                     # TIGHTEST ratios (d2/d1 smallest)
+                                     # keep their copy — bounds the arena
+                                     # HBM cost on mass-skewed corpora
+                                     # where most rows live in dense modes
     query_upload_dtype: str = "float32"  # H2D transport dtype for search
                                      # queries ("float32" | "bfloat16").
                                      # bf16 halves the per-batch query
@@ -209,6 +231,29 @@ def _balance_assignments(
         placed[i] = l
         counts[l] += 1
     return placed.astype(np.int32)
+
+
+def dedup_topk(
+    d: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse duplicate ids in an ascending-by-distance top-k2 result to
+    the first (nearest) occurrence and truncate to ``k``; short rows pad
+    with FLT_MAX/INVALID_ID sentinels.
+
+    The host half of multi-assignment search: replicated rows can appear
+    once per resident copy in the device shortlist, so the device scans
+    ``2k`` and this keeps the nearest copy of each id. Vectorized — an
+    O(B·k2²) boolean compare, trivial next to the result fetch at k2 ≤ 64."""
+    b, k2 = ids.shape
+    earlier = np.tril(np.ones((k2, k2), bool), -1)
+    is_dup = ((ids[:, :, None] == ids[:, None, :]) & earlier).any(-1)
+    order = np.argsort(is_dup, axis=1, kind="stable")  # uniques first,
+    d2 = np.take_along_axis(d, order, 1)[:, :k].copy()  # original order kept
+    i2 = np.take_along_axis(ids, order, 1)[:, :k].copy()
+    tail = np.arange(k)[None, :] >= (k2 - is_dup.sum(1))[:, None]
+    d2[tail] = FLT_MAX
+    i2[tail] = INVALID_ID
+    return d2, i2
 
 
 @functools.partial(jax.jit, static_argnames=("nlist", "metric"))
@@ -663,7 +708,14 @@ class IVFFlatIndex:
         device-resident chunk. Used when the corpus doesn't fit on device
         all at once (e.g. 10M×768 built from 1M chunks): the caller fixes
         ``capacity`` up front; overflow rows spill to next-nearest lists,
-        so the arena never reallocates mid-build."""
+        so the arena never reallocates mid-build.
+
+        With ``config.multi_assign_eps > 0``, rows whose 2nd-nearest
+        centroid is within the ratio test (d2 ≤ (1+ε)²·d1, squared L2)
+        are ALSO appended to that second list: a second resident copy
+        that lifts probe coverage on dense head modes where the true
+        top-k scatter across many cells (the zipf coverage bound —
+        HOSTILE_r03). Search dedups by id, so results stay exact sets."""
         if not self.trained:
             raise RuntimeError("index must be trained before append")
         cfg = self.config
@@ -678,19 +730,53 @@ class IVFFlatIndex:
         if capacity is not None and capacity > self.arena.capacity:
             self.arena = self.arena.grow(capacity)
         cap = self.arena.capacity
-        choices = np.asarray(kmeans_assign_topk(
-            x_dev, self.centroids, cfg.assign_choices, assign_metric
-        ))
+        eps = float(cfg.multi_assign_eps or 0.0)
+        t = max(cfg.assign_choices, 2 if eps > 0 else 1)
+        if eps > 0:
+            vals, choices = kmeans_assign_topk_vals(
+                x_dev, self.centroids, t, assign_metric
+            )
+            vals, choices = np.asarray(vals), np.asarray(choices)
+        else:
+            choices = np.asarray(kmeans_assign_topk(
+                x_dev, self.centroids, t, assign_metric
+            ))
         counts_h = np.asarray(self.arena.counts)
         assignments = _balance_assignments(
             choices, cap, cfg.nlist, initial_counts=counts_h
         )
         if ids is None:
             ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
+        ids = np.asarray(ids)
         with self._mutate_lock:
             self.arena = self.arena.append(
-                x_dev.astype(jnp.float32), np.asarray(ids), assignments
+                x_dev.astype(jnp.float32), ids, assignments
             )
+        if eps > 0:
+            # Replica pass: the ratio test fires almost exclusively inside
+            # dense multi-cell modes (well-separated corpora have d2 ≫ d1).
+            # Placement ranks from the 2nd choice on; a replica can still
+            # collide with a spilled primary's list — harmless (dedup), a
+            # few wasted slots at most.
+            ratio = vals[:, 1] / np.maximum(vals[:, 0], 1e-12)
+            rep = np.flatnonzero(ratio <= (1.0 + eps) ** 2)
+            budget = int(n * max(cfg.multi_assign_budget, 0.0))
+            if rep.size > budget:
+                # over budget: keep the tightest ratios (the rows whose
+                # copies buy the most coverage), a deterministic top-q cut
+                rep = rep[np.argsort(ratio[rep], kind="stable")[:budget]]
+                rep = np.sort(rep)
+            if rep.size:
+                counts_h = np.asarray(self.arena.counts)
+                rep_assign = _balance_assignments(
+                    choices[rep, 1:], cap, cfg.nlist,
+                    initial_counts=counts_h,
+                )
+                x_rep = x_dev[jnp.asarray(rep)]
+                with self._mutate_lock:
+                    self.arena = self.arena.append(
+                        x_rep.astype(jnp.float32), ids[rep], rep_assign
+                    )
 
     # ------------------------------------------------------------------ #
     # search
@@ -754,11 +840,16 @@ class IVFFlatIndex:
         # would return wrong user ids, and dispatching against donated
         # buffers raises. In-order device execution makes the fetch safe
         # outside the lock (the search runs before any later donation).
+        # Multi-assignment indices scan a doubled shortlist: a replicated
+        # row can appear once per resident copy, and the host dedup must
+        # still be able to hand back k unique ids (worst case: k id-pairs
+        # fill exactly 2k slots).
+        k_dev = 2 * params.k if self.config.multi_assign_eps > 0 else params.k
         with self._mutate_lock:
             arena = self.arena
             rerank_k = 0
             if params.use_exact_rerank and arena.arena_lo is not None:
-                rerank_k = min(max(4 * params.k, params.k), 256)
+                rerank_k = min(max(4 * params.k, k_dev), 256)
             scan_impl = self.config.scan_impl
             if scan_impl == "auto":
                 scan_impl = (
@@ -776,7 +867,7 @@ class IVFFlatIndex:
                 arena.arena_sq,
                 arena.counts,
                 nprobe,
-                params.k,
+                k_dev,
                 self.metric,
                 scan_impl,
                 self.config.approx_topk,
@@ -795,15 +886,23 @@ class IVFFlatIndex:
             # explicit copy: np.asarray of a device array is read-only,
             # and a contiguous slice (b=1) would pass through
             # ascontiguousarray as-is
-            d = packed[:, :k].copy().view(np.float32)
-            pos = packed[:, k:2 * k]
+            d = packed[:, :k_dev].copy().view(np.float32)
+            pos = packed[:, k_dev:2 * k_dev]
             ids = arena.positions_to_ids(pos)
             d[pos < 0] = FLT_MAX
             # Hotness accounting (GpuCache/ListPrefetcher analog) over the
             # actual probe set — lists probed but contributing no results
             # still accumulate heat.
-            probed = np.unique(packed[:, 2 * k:])
+            probed = np.unique(packed[:, 2 * k_dev:])
             self.list_access_count[probed[probed >= 0]] += 1
+            if k_dev != k:
+                # multi-assignment: keep the nearest copy of each id
+                # (sentinel slots get INVALID_ID first, so an underfull
+                # row's padding can't shadow or pose as a real id)
+                ids = ids.copy()
+                ids[pos < 0] = INVALID_ID
+                d2, ids2 = dedup_topk(d, ids, k)
+                return d2, ids2
             return d, ids
 
         return finalize

@@ -100,6 +100,45 @@ def kmeans_assign_topk(
     return out.reshape(-1, t)[:n_orig]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("t", "metric", "chunk_size")
+)
+def kmeans_assign_topk_vals(
+    x: jax.Array,
+    centroids: jax.Array,
+    t: int = 4,
+    metric: Metric = Metric.L2,
+    chunk_size: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """``kmeans_assign_topk`` that also returns the distances:
+    ``(vals [N, t] fp32 ascending, idx [N, t] int32)``.
+
+    Backs multi-assignment replication (``IVFFlatConfig.multi_assign_eps``):
+    the d2 ≤ (1+ε)²·d1 ratio test decides whether a row earns a second
+    resident copy, and it needs the top-2 centroid distances — not just
+    their indices. Dense head modes (zipf-skewed mass, many near-equidistant
+    cells) fire the test naturally; well-separated corpora almost never do."""
+    n = x.shape[0]
+
+    def choices(xc):
+        d = pairwise_distance(xc.astype(jnp.float32), centroids, metric)
+        neg, idx = jax.lax.top_k(-d, t)
+        return -neg, idx.astype(jnp.int32)
+
+    if n <= chunk_size:
+        return choices(x)
+    xp, n_orig = _pad_to_multiple(x, chunk_size)
+    chunks = xp.reshape(-1, chunk_size, x.shape[1])
+    _, out = jax.lax.scan(
+        lambda _, xc: (None, choices(xc)), None, chunks
+    )
+    vals, idx = out
+    return (
+        vals.reshape(-1, t)[:n_orig],
+        idx.reshape(-1, t)[:n_orig],
+    )
+
+
 def kmeans_pp_init(
     key: jax.Array,
     x: jax.Array,

@@ -88,6 +88,10 @@ def save_ivf_flat(path: str, index) -> None:
         # survives the snapshot so a recovering server serves nprobe=0
         # requests with the tuned value
         extra["calibrated_nprobe"] = int(index.calibrated_nprobe)
+    if getattr(cfg, "multi_assign_eps", 0.0):
+        # a multi-assignment arena stores replicated ids; a loaded index
+        # must keep scanning 2k + deduping or results would carry dups
+        extra["multi_assign_eps"] = float(cfg.multi_assign_eps)
     IndexManifest(
         kind="ivf_flat",
         dimension=cfg.dimension,
@@ -121,6 +125,7 @@ def load_ivf_flat(path: str):
     cfg = IVFFlatConfig(
         dimension=man.dimension, nlist=man.nlist, metric=man.metric,
         dtype=man.dtype,
+        multi_assign_eps=float(man.extra.get("multi_assign_eps", 0.0)),
     )
     idx = IVFFlatIndex.from_state(cfg, centroids, arena, counts, id_table)
     if man.extra.get("calibrated_nprobe"):

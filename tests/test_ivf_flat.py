@@ -381,3 +381,96 @@ def test_query_upload_bf16_matches_f32_results(rng, oracle):
     # and the full-probe search still recovers the int8-exact top-k set
     _, ref = oracle(q, x, 10)
     assert _recall(ids16, ref.astype(np.uint64)) >= 0.9
+
+
+def test_dedup_topk():
+    """dedup_topk keeps the nearest copy of each id, preserves order, and
+    sentinel-pads rows that end up short."""
+    from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
+        FLT_MAX,
+        dedup_topk,
+    )
+
+    ids = np.array([
+        [5, 5, 7, 9],      # adjacent dup
+        [1, 2, 1, 2],      # two dup pairs -> only 2 unique
+        [3, 4, 5, 6],      # no dups
+    ], np.uint64)
+    d = np.arange(12, dtype=np.float32).reshape(3, 4)
+    d2, i2 = dedup_topk(d, ids, 2)
+    np.testing.assert_array_equal(i2, np.array(
+        [[5, 7], [1, 2], [3, 4]], np.uint64))
+    np.testing.assert_array_equal(d2[0], [0.0, 2.0])
+    np.testing.assert_array_equal(d2[2], [8.0, 9.0])
+    # short row after dedup: k=3 from row 1's 2 uniques pads sentinels
+    d3, i3 = dedup_topk(d, ids, 3)
+    assert i3[1, 2] == INVALID_ID and d3[1, 2] == FLT_MAX
+
+
+def test_multi_assign_replication_and_dedup(rng, oracle):
+    """multi_assign_eps: dense near-tie geometry earns second copies
+    (replication factor > 1), search results carry no duplicate ids, and
+    probe-limited recall does not regress vs the plain build."""
+    # One dense mode spread across several lists (the zipf head-mode shape,
+    # miniaturized): 6000 rows in ONE gaussian ball over 16 lists.
+    n, dim, nlist, k = 6000, 24, 16, 10
+    x = (0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    q = x[:32] + 0.03 * rng.standard_normal((32, dim)).astype(np.float32)
+
+    def build(eps):
+        import jax.numpy as jnp
+
+        cfg = IVFFlatConfig(
+            dimension=dim, nlist=nlist, dtype="float32",
+            multi_assign_eps=eps,
+        )
+        idx = IVFFlatIndex(cfg)
+        idx.train(x)
+        cap = -(-int(n / nlist * (2.0 if eps else 1.35)) // 8) * 8
+        idx.append_balanced(jnp.asarray(x), capacity=cap)
+        return idx
+
+    plain = build(0.0)
+    multi = build(0.25)
+    assert multi.ntotal > n  # the ratio test fired inside the dense mode
+    rep = multi.ntotal / n
+
+    _, ref = oracle(q, x, k)
+    p = SearchParams(nprobe=4, k=k)
+    _, ids_p = plain.search(q, p)
+    d_m, ids_m = multi.search(q, p)
+    # no duplicate ids in any returned row
+    for row in ids_m:
+        real = row[row != INVALID_ID]
+        assert len(set(real.tolist())) == real.size
+    assert (np.diff(d_m, axis=1) >= -1e-5).all()
+    r_plain = _recall(ids_p, ref.astype(np.uint64))
+    r_multi = _recall(ids_m, ref.astype(np.uint64))
+    assert r_multi >= r_plain - 0.02, (r_plain, r_multi, rep)
+
+    # full probe must still be exact (dedup returns the true set)
+    _, ids_full = multi.search(q, SearchParams(nprobe=nlist, k=k))
+    assert _recall(ids_full, ref.astype(np.uint64)) == 1.0
+
+
+def test_multi_assign_snapshot_roundtrip(rng, tmp_path):
+    """A multi-assignment snapshot reloads with the eps (so the loaded
+    index keeps deduping) and identical search results."""
+    import jax.numpy as jnp
+
+    n, dim, nlist = 2000, 16, 8
+    x = (0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=dim, nlist=nlist, dtype="float32",
+                        multi_assign_eps=0.3)
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    idx.append_balanced(jnp.asarray(x), capacity=len(x) // nlist * 2)
+    assert idx.ntotal > n
+    q = x[:8]
+    d0, i0 = idx.search(q, SearchParams(nprobe=nlist, k=5))
+    idx.save(str(tmp_path / "snap"))
+    idx2 = IVFFlatIndex.load(str(tmp_path / "snap"))
+    assert idx2.config.multi_assign_eps == pytest.approx(0.3)
+    d1, i1 = idx2.search(q, SearchParams(nprobe=nlist, k=5))
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
