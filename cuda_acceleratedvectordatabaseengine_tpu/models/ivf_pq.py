@@ -337,6 +337,7 @@ class IVFPQIndex:
         # io_host/host_rerank.HostReranker and attach_host_rerank().
         self._host_rr = None
         self.host_rerank_k = 128
+        self.host_rerank_margin = 0.0
         # Occupied-prefix hint cache: (counts array identity, hint). One
         # tiny D2H max() per arena version keeps scans reading only the
         # filled slot prefix (see pallas_scan._effective_cap).
@@ -810,6 +811,18 @@ class IVFPQIndex:
             if self.metric == Metric.COSINE:
                 nrm = np.linalg.norm(q_rr, axis=1, keepdims=True)
                 q_rr = q_rr / np.maximum(nrm, 1e-12)
+            if self.host_rerank_margin > 0 and d.shape[1] > params.k:
+                # Adaptive depth: candidates whose ADC distance exceeds
+                # (1+margin)× the query's k-th ADC distance can't
+                # plausibly enter the exact top-k — drop them before the
+                # host gather+dot (INVALID_ID candidates map to row -1,
+                # which the rerank kernel skips). ADC distances are on the
+                # squared scale for L2; the margin is calibrated there.
+                dk = d[:, params.k - 1: params.k]
+                cut = dk + self.host_rerank_margin * np.abs(dk)
+                out_ids = np.where(d <= cut, out_ids, INVALID_ID)
+            if q_rr.dtype != np.float32:   # bf16 upload transport
+                q_rr = q_rr.astype(np.float32)
             d, out_ids = self._host_rr.rerank(
                 q_rr, out_ids, self.metric, params.k
             )
@@ -876,7 +889,8 @@ class IVFPQIndex:
             )
 
     def attach_host_rerank(self, store, rerank_k: int = 128,
-                           k_inner: int = 0) -> None:
+                           k_inner: int = 0,
+                           margin: float = 0.0) -> None:
         """Enable exact rerank from a host-RAM :class:`HostListStore` when
         ``keep_raw=False`` (the capacity tier: codes resident on device,
         raw int8 rows in host RAM). After this, ``use_exact_rerank``
@@ -887,7 +901,16 @@ class IVFPQIndex:
         emit_full scan (full distance rows + one top-R — see pallas_scan
         ``emit_full``); >0 opts into per-list k_inner truncation, which
         measured CAPPED recall at 20M on clustered data (all true
-        neighbors share the query's home list)."""
+        neighbors share the query's home list).
+
+        ``margin > 0`` enables ADAPTIVE per-query rerank depth: only
+        candidates whose ADC distance is within ``(1+margin)×`` the
+        query's k-th ADC distance (squared scale for L2) are reranked —
+        the rest cannot plausibly enter the exact top-k, so the host
+        skips their gather+dot entirely. Easy queries (sharp ADC
+        separation) then cost a fraction of ``rerank_k`` while hard ones
+        keep the full depth; the fixed-depth alternative pays the
+        worst-case cost on every query."""
         from cuda_acceleratedvectordatabaseengine_tpu.io_host.host_rerank import (  # noqa: E501
             HostReranker,
         )
@@ -902,6 +925,7 @@ class IVFPQIndex:
         )
         self.host_rerank_k = int(rerank_k)
         self.host_rerank_k_inner = int(k_inner)
+        self.host_rerank_margin = float(margin)
 
     def evict_list(self, list_id: int) -> None:
         self.list_access_count[list_id] = 0

@@ -81,6 +81,7 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,   # qa_cand [b, r] (nullable)
             ]
         _lib = lib
         return _lib
@@ -172,6 +173,9 @@ def rerank(
     sq: np.ndarray | None = None,          # [n_rows] fp32 (L2 only)
     anchor_row: np.ndarray | None = None,  # [n_rows] int32 (int8 store)
     qa: np.ndarray | None = None,          # [b, nlist] fp32 (int8 store)
+    qa_cand: np.ndarray | None = None,     # [b, r] fp32 per-candidate
+                                           # anchor dots (preferred over
+                                           # the dense qa — see vdb_rerank)
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Fused gather+dequant+dot+top-k shortlist rerank (``vdb_rerank``).
 
@@ -205,13 +209,15 @@ def rerank(
         anchor_row = np.ascontiguousarray(anchor_row, np.int32)
     if qa is not None:
         qa = np.ascontiguousarray(qa, np.float32)
+    if qa_cand is not None:
+        qa_cand = np.ascontiguousarray(qa_cand, np.float32)
     lib.vdb_rerank(
         ptr(vecs), 1 if is_int8 else 0, vecs.shape[0], dim,
         ptr(scale), ptr(sq), ptr(anchor_row),
         ptr(qa), qa.shape[1] if qa is not None else 0,
         ptr(queries), ptr(q_sq), b, r,
         ptr(rows), ptr(cand_ids), metric_code, k,
-        ptr(out_d), ptr(out_i),
+        ptr(out_d), ptr(out_i), ptr(qa_cand),
     )
     return out_d, out_i
 

@@ -254,12 +254,20 @@ extern "C" {
 // invalid candidate. metric: 0=L2 (needs sq, q_sq), 1=IP, 2=cosine.
 // Writes out_d/out_i [b, k] ascending by distance, FLT_MAX/UINT64_MAX
 // padding — the same output contract as the NumPy path it replaces.
+//
+// The query·anchor term comes in one of two forms:
+//   qa       [b, nlist] dense — every anchor dot precomputed (a B·nlist·D
+//            GEMM host-side: prohibitive on 1-vCPU hosts at nlist ≥ 4K)
+//   qa_cand  [b, r] per-candidate — the caller dots only each query's
+//            UNIQUE candidate anchors (≤ nprobe of them) and scatters;
+//            preferred (takes precedence when both given)
 void vdb_rerank(const void* vecs, int32_t is_int8, int64_t n_rows,
                 int32_t dim, const float* scale, const float* sq,
                 const int32_t* anchor_row, const float* qa, int32_t nlist,
                 const float* queries, const float* q_sq, int32_t b,
                 int32_t r, const int64_t* rows, const uint64_t* cand_ids,
-                int32_t metric, int32_t k, float* out_d, uint64_t* out_i) {
+                int32_t metric, int32_t k, float* out_d, uint64_t* out_i,
+                const float* qa_cand) {
   const bool simd = cpu_has_avx2_fma();
   const int8_t* v8 = static_cast<const int8_t*>(vecs);
   const float* vf = static_cast<const float*>(vecs);
@@ -267,6 +275,9 @@ void vdb_rerank(const void* vecs, int32_t is_int8, int64_t n_rows,
     const float* q = queries + qi * static_cast<int64_t>(dim);
     const float* qa_row =
         (qa != nullptr) ? qa + qi * static_cast<int64_t>(nlist) : nullptr;
+    const float* qa_c =
+        (qa_cand != nullptr) ? qa_cand + qi * static_cast<int64_t>(r)
+                             : nullptr;
     const float qs = (q_sq != nullptr) ? q_sq[qi] : 0.f;
     // Bounded top-k: unsorted heap-less buffer with tracked current max.
     std::vector<float> best_d(static_cast<size_t>(k), kFltMax);
@@ -283,7 +294,11 @@ void vdb_rerank(const void* vecs, int32_t is_int8, int64_t n_rows,
         const int8_t* vrow = v8 + row * static_cast<int64_t>(dim);
         dot = simd ? dot_i8_avx2(q, vrow, dim) : dot_i8_scalar(q, vrow, dim);
         dot *= scale[row];
-        if (qa_row != nullptr) dot += qa_row[anchor_row[row]];
+        if (qa_c != nullptr) {
+          dot += qa_c[j];
+        } else if (qa_row != nullptr) {
+          dot += qa_row[anchor_row[row]];
+        }
       } else {
         const float* vrow = vf + row * static_cast<int64_t>(dim);
         dot = simd ? dot_f32_avx2(q, vrow, dim)

@@ -223,3 +223,48 @@ def test_attach_rejects_resident_raw(rng):
     store = HostListStore(8, 16)
     with pytest.raises(ValueError, match="keep_raw"):
         idx.attach_host_rerank(store)
+
+
+def test_adaptive_margin_rerank(rng, oracle):
+    """host_rerank_margin: a huge margin reproduces the fixed-depth
+    results exactly (nothing pruned); a moderate margin prunes candidates
+    (cheaper host stage) while keeping recall near the fixed-depth level."""
+    n, dim, nlist, m = 4000, 32, 16, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = IVFPQConfig(dimension=dim, nlist=nlist, m=m, keep_raw=False,
+                      pq_train_sample=2048)
+    idx = IVFPQIndex(cfg)
+    idx.train(x)
+    idx.add(x)
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.kmeans import (
+        kmeans_assign,
+    )
+    import jax.numpy as jnp
+
+    assigns = np.asarray(kmeans_assign(jnp.asarray(x), idx.centroids))
+    store = HostListStore.from_assignments(
+        x, np.arange(n, dtype=np.uint64), assigns, nlist,
+        dtype="int8", anchors=np.asarray(idx.centroids),
+    )
+    q = rng.standard_normal((16, dim)).astype(np.float32)
+    p = SearchParams(nprobe=16, k=10, use_exact_rerank=True)
+
+    idx.attach_host_rerank(store, rerank_k=64)
+    d_fix, ids_fix = idx.search(q, p)
+
+    idx.attach_host_rerank(store, rerank_k=64, margin=1e6)
+    d_inf, ids_inf = idx.search(q, p)
+    np.testing.assert_array_equal(ids_fix, ids_inf)
+    np.testing.assert_allclose(d_fix, d_inf, rtol=1e-6)
+
+    idx.attach_host_rerank(store, rerank_k=64, margin=0.5)
+    d_ad, ids_ad = idx.search(q, p)
+    _, ref = oracle(q, x, 10)
+    r_fix = _recall(ids_fix, ref.astype(np.uint64))
+    r_ad = _recall(ids_ad, ref.astype(np.uint64))
+    assert r_ad >= r_fix - 0.05, (r_fix, r_ad)
+    # rows ascend and carry no INVALID gaps before valid entries
+    for b in range(16):
+        valid = ids_ad[b] != INVALID_ID
+        dv = d_ad[b][valid]
+        assert (np.diff(dv) >= -1e-5).all()
