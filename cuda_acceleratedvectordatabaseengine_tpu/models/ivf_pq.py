@@ -338,6 +338,7 @@ class IVFPQIndex:
         self._host_rr = None
         self.host_rerank_k = 128
         self.host_rerank_margin = 0.0
+        self.last_rerank_kept = None   # adaptive-depth instrumentation
         # Occupied-prefix hint cache: (counts array identity, hint). One
         # tiny D2H max() per arena version keeps scans reading only the
         # filled slot prefix (see pallas_scan._effective_cap).
@@ -820,7 +821,11 @@ class IVFPQIndex:
                 # squared scale for L2; the margin is calibrated there.
                 dk = d[:, params.k - 1: params.k]
                 cut = dk + self.host_rerank_margin * np.abs(dk)
-                out_ids = np.where(d <= cut, out_ids, INVALID_ID)
+                keep = d <= cut
+                # instrumentation: mean kept candidates per query (the
+                # host stage's work scales with this, not rerank_k)
+                self.last_rerank_kept = float(keep.sum(1).mean())
+                out_ids = np.where(keep, out_ids, INVALID_ID)
             if q_rr.dtype != np.float32:   # bf16 upload transport
                 q_rr = q_rr.astype(np.float32)
             d, out_ids = self._host_rr.rerank(

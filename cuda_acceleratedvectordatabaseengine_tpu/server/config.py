@@ -47,6 +47,10 @@ class ServerConfig:
     # PQ capacity tier (tier: pq_capacity): device-side ADC shortlist depth
     # fed to the host-store exact reranker on rerank_exact searches.
     pq_rerank_k: int = 128
+    # Adaptive rerank depth: candidates beyond (1+margin)x the query's
+    # k-th ADC distance skip the host gather+dot (0 = fixed depth). Easy
+    # queries then cost a fraction of pq_rerank_k on the host stage.
+    pq_rerank_margin: float = 0.0
 
     # Multi-chip serving (SURVEY §2.9). The reference *claims* multi-GPU
     # (configs/production.yaml:11 ``enable_multi_gpu: true``) but no code

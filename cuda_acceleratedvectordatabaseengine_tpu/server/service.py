@@ -360,7 +360,8 @@ class VdbEngine:
             )
 
             index = load_ivf_pq_capacity(
-                path, rerank_k=self.config.pq_rerank_k
+                path, rerank_k=self.config.pq_rerank_k,
+                margin=self.config.pq_rerank_margin,
             )
         else:
             index = (

@@ -318,7 +318,8 @@ def load_ivf_pq(path: str):
     return idx
 
 
-def load_ivf_pq_capacity(path: str, rerank_k: int = 128):
+def load_ivf_pq_capacity(path: str, rerank_k: int = 128,
+                         margin: float = 0.0):
     """Load a ``keep_raw=False`` IVF-PQ snapshot as the *capacity* tier:
     codes rebuild the device arena (~m bytes/row), the snapshot's raw rows
     load into an int8 host-RAM store feeding exact second-stage rerank
@@ -378,6 +379,6 @@ def load_ivf_pq_capacity(path: str, rerank_k: int = 128):
     store = HostListStore.from_assignments(
         vecs, ids, assignments, man.nlist, dtype="int8", anchors=centroids
     )
-    idx.attach_host_rerank(store, rerank_k=rerank_k)
+    idx.attach_host_rerank(store, rerank_k=rerank_k, margin=margin)
     idx.read_only = True
     return idx

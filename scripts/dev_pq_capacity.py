@@ -48,7 +48,10 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--n-batches", type=int, default=20)
     p.add_argument("--rerank", default="0,128,256,512",
-                   help="comma list of host rerank depths (0 = ADC only)")
+                   help="comma list of host rerank depths (0 = ADC only); "
+                        "an entry R@M adds an adaptive ADC margin M (only "
+                        "candidates within (1+M)x the k-th ADC distance "
+                        "are gathered+dotted on the host, e.g. 512@0.3)")
     p.add_argument("--k-inner", type=int, default=0,
                    help="0 (default) = exact emit_full deep-shortlist scan; "
                         ">0 opts into per-list k_inner truncation, which "
@@ -234,11 +237,13 @@ def main():
     # ---------------- measure ----------------
     q_host = np.asarray(queries)
     points = []
-    for r in [int(s) for s in args.rerank.split(",")]:
+    for spec in args.rerank.split(","):
+        r, _, mg = spec.partition("@")
+        r, margin = int(r), float(mg or 0.0)
         if r > 0:
             idx._host_rr = None
             idx.attach_host_rerank(reranker, rerank_k=r,
-                                   k_inner=args.k_inner)
+                                   k_inner=args.k_inner, margin=margin)
             params = SearchParams(
                 nprobe=args.nprobe, k=args.k, use_exact_rerank=True
             )
@@ -246,6 +251,8 @@ def main():
             idx._host_rr = None
             params = SearchParams(nprobe=args.nprobe, k=args.k)
         name = f"adc+host_rerank_{r}" if r else "adc_only"
+        if margin:
+            name += f"@m{margin}"
         _stage(f"{name}: compile")
         tc = time.time()
         d, ids = idx.search(q_host, params)
@@ -274,6 +281,11 @@ def main():
         dt_pipe = time.time() - t2
         points.append({
             "name": name, "rerank_k": r,
+            "margin": margin or None,
+            "mean_reranked": (
+                round(idx.last_rerank_kept, 1)
+                if margin and idx.last_rerank_kept is not None else None
+            ),
             "k_inner": args.k_inner if r else None,
             "qps": round(args.n_batches * args.batch / dt, 1),
             "qps_pipelined": round(args.n_batches * args.batch / dt_pipe, 1),
