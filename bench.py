@@ -775,7 +775,9 @@ def main():
             detail["wire"] = {
                 "source": wire_files[-1],
                 "p99_request_ms_best": wire.get("p99_ms_best"),
-                "qps_best": wire.get("qps_best"),
+                "qps_best": wire.get(
+                    "qps_best_sustained", wire.get("qps_best")
+                ),
             }
         except Exception:  # noqa: BLE001 — artifact is optional
             pass
