@@ -155,6 +155,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _append_steps(n: int, max_step: int) -> list[int]:
+    """Decompose an append of ``n`` rows into sub-program sizes drawn from a
+    fixed power-of-two ladder (plus one odd remainder < the ladder floor).
+    Greedy ladder sizes keep the set of distinct jitted shapes — and hence
+    relay compiles (~9 s each) — bounded across a many-chunk build, where a
+    naive fixed-stride split would mint a fresh trailing shape per chunk
+    size. Appends at or under ``max_step`` keep their exact shape (the
+    pre-existing behavior for small/server ingest batches)."""
+    if n <= max_step:
+        return [n]
+    ladder = [max_step >> i for i in range(8)]  # 131072 … 1024 by default
+    out, rem = [], n
+    while rem > 0:
+        step = next((s for s in ladder if s <= rem), rem)
+        out.append(step)
+        rem -= step
+    return out
+
+
 def compute_append_slots(
     counts: np.ndarray, assignments: np.ndarray
 ) -> np.ndarray:
@@ -214,6 +233,15 @@ class PackedListArena:
     # Slot-granularity for capacity growth; multiple of the fp32 sublane
     # tile so every list's block keeps MXU/VPU-friendly shapes.
     SLOT_ALIGN = 128
+
+    # Max rows per `_append_device` program. The append transients scale
+    # with the batch (anchor gather + residual + rounding each materialize
+    # an [n, dim] fp32 plane: 3×1.43 GB at 500K×768 — the HOSTILE_r04 OOM,
+    # 16.04G > 15.75G HBM with a 10M int8 arena live). Sub-chunking bounds
+    # them to ~3×0.38 GB while the donated arena planes alias in place; the
+    # cost is one extra ~29 ms dispatch per sub-chunk, noise next to the
+    # scatter itself.
+    APPEND_DEVICE_ROWS = 131_072
 
     @classmethod
     def create(
@@ -295,25 +323,43 @@ class PackedListArena:
 
         slots = compute_append_slots(counts_h, assignments)
 
-        if isinstance(vectors, jax.Array):
-            vec_d = vectors.astype(jnp.float32)
-        else:
-            vec_d = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
         scale = out.arena_scale
         if out.dtype == jnp.int8 and scale is None:
             scale = jnp.zeros((out.nlist, out.capacity), jnp.float32)
-        arena, arena_sq, counts, arena_lo, scale = _append_device(
-            out.arena,
-            out.arena_sq,
-            out.counts,
-            jnp.asarray(assignments.astype(np.int32)),
-            jnp.asarray(slots.astype(np.int32)),
-            vec_d,
-            jnp.asarray(per_list.astype(np.int32)),
-            out.arena_lo,
-            scale,
-            out.anchors,
+        # Sub-chunked scatter (see APPEND_DEVICE_ROWS): the slot plan above
+        # is global, so disjoint row ranges commute — each program appends
+        # its own rows to its own pre-assigned slots. The fp32 staging cast
+        # happens PER sub-chunk too (casting the whole batch up front would
+        # itself be an [n, dim] fp32 resident, 1.43 GB at 500K×768).
+        arena, arena_sq, counts, arena_lo = (
+            out.arena, out.arena_sq, out.counts, out.arena_lo
         )
+        s0 = 0
+        for step in _append_steps(n, self.APPEND_DEVICE_ROWS):
+            s1 = s0 + step
+            sub_assign = assignments[s0:s1]
+            if isinstance(vectors, jax.Array):
+                vec_d = vectors[s0:s1].astype(jnp.float32)
+            else:
+                vec_d = jnp.asarray(
+                    np.ascontiguousarray(vectors[s0:s1], np.float32)
+                )
+            arena, arena_sq, counts, arena_lo, scale = _append_device(
+                arena,
+                arena_sq,
+                counts,
+                jnp.asarray(sub_assign.astype(np.int32)),
+                jnp.asarray(slots[s0:s1].astype(np.int32)),
+                vec_d,
+                jnp.asarray(
+                    np.bincount(sub_assign, minlength=out.nlist)
+                    .astype(np.int32)
+                ),
+                arena_lo,
+                scale,
+                out.anchors,
+            )
+            s0 = s1
 
         new_ids = out.ids.copy()
         new_ids[assignments, slots] = ids.astype(np.uint64)

@@ -749,9 +749,11 @@ class IVFFlatIndex:
             ids = np.arange(self.ntotal, self.ntotal + n, dtype=np.uint64)
         ids = np.asarray(ids)
         with self._mutate_lock:
-            self.arena = self.arena.append(
-                x_dev.astype(jnp.float32), ids, assignments
-            )
+            # No up-front fp32 cast: arena.append stages sub-chunks to fp32
+            # internally (a whole-chunk cast was a 1.43 GB resident at
+            # 500K×768 on top of the bf16 chunk — part of the HOSTILE_r04
+            # append OOM).
+            self.arena = self.arena.append(x_dev, ids, assignments)
         if eps > 0:
             # Replica pass: the ratio test fires almost exclusively inside
             # dense multi-cell modes (well-separated corpora have d2 ≫ d1).
@@ -766,6 +768,13 @@ class IVFFlatIndex:
                 # copies buy the most coverage), a deterministic top-q cut
                 rep = rep[np.argsort(ratio[rep], kind="stable")[:budget]]
                 rep = np.sort(rep)
+            if rep.size >= 2048:
+                # Round to the append ladder's floor so every chunk's
+                # replica pass reuses the SAME jitted sub-program shapes
+                # (a per-chunk odd size = a fresh ~9 s relay compile × 20
+                # chunks). Dropping <1024 of the loosest-ratio replicas is
+                # immaterial to the coverage experiment.
+                rep = rep[: (rep.size // 1024) * 1024]
             if rep.size:
                 counts_h = np.asarray(self.arena.counts)
                 rep_assign = _balance_assignments(
@@ -775,7 +784,7 @@ class IVFFlatIndex:
                 x_rep = x_dev[jnp.asarray(rep)]
                 with self._mutate_lock:
                     self.arena = self.arena.append(
-                        x_rep.astype(jnp.float32), ids[rep], rep_assign
+                        x_rep, ids[rep], rep_assign
                     )
 
     # ------------------------------------------------------------------ #

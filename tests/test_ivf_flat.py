@@ -474,3 +474,60 @@ def test_multi_assign_snapshot_roundtrip(rng, tmp_path):
     d1, i1 = idx2.search(q, SearchParams(nprobe=nlist, k=5))
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_append_subchunking_parity(rng):
+    """Sub-chunked device appends (the HOSTILE_r04 OOM fix: arena.py
+    ``_append_steps``) must produce byte-identical arenas to a single-shot
+    append — exercised in int8-residual mode, whose anchor-gather transients
+    were the OOM source."""
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.models.arena import (
+        PackedListArena,
+        _append_steps,
+    )
+
+    # ladder decomposition invariants
+    assert _append_steps(100, 131_072) == [100]
+    steps = _append_steps(500_000, 131_072)
+    assert sum(steps) == 500_000
+    assert len(set(steps)) <= 6  # bounded distinct shapes
+    assert max(steps) == 131_072
+
+    n, dim, nlist = 3000, 16, 8
+    x = (0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    cfg = IVFFlatConfig(dimension=dim, nlist=nlist, dtype="int8")
+    idx = IVFFlatIndex(cfg)
+    idx.train(x)
+    assigns = np.asarray(
+        rng.integers(0, nlist, size=n), dtype=np.int64
+    )
+    ids = np.arange(n, dtype=np.uint64)
+
+    def fresh_arena(cap):
+        a = PackedListArena.create(nlist, dim, jnp.int8, capacity=cap)
+        return a.__class__(
+            **{**a.__dict__, "anchors": idx.centroids.astype(jnp.float32)}
+        )
+
+    cap = (n // nlist) * 2
+    one = fresh_arena(cap).append(x, ids, assigns)
+
+    old = PackedListArena.APPEND_DEVICE_ROWS
+    try:
+        PackedListArena.APPEND_DEVICE_ROWS = 512  # force many sub-programs
+        many = fresh_arena(cap).append(x, ids, assigns)
+    finally:
+        PackedListArena.APPEND_DEVICE_ROWS = old
+
+    np.testing.assert_array_equal(np.asarray(one.arena), np.asarray(many.arena))
+    np.testing.assert_array_equal(np.asarray(one.counts), np.asarray(many.counts))
+    np.testing.assert_allclose(
+        np.asarray(one.arena_sq), np.asarray(many.arena_sq), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.arena_scale), np.asarray(many.arena_scale), rtol=1e-6
+    )
+    np.testing.assert_array_equal(one.ids, many.ids)
+    assert one.counts_max == many.counts_max
