@@ -772,12 +772,16 @@ def main():
         try:
             with open(wire_files[-1]) as f:
                 wire = json.load(f)
+            # Each embedded figure keeps its OWN run's latency (never pair
+            # one run's QPS with another's p99 — ADVICE r4).
+            best = wire.get("best_sustained") or {
+                "qps": wire.get("qps_best_sustained", wire.get("qps_best")),
+            }
             detail["wire"] = {
                 "source": wire_files[-1],
-                "p99_request_ms_best": wire.get("p99_ms_best"),
-                "qps_best": wire.get(
-                    "qps_best_sustained", wire.get("qps_best")
-                ),
+                "best_sustained": best,
+                "best_unary": wire.get("best_unary"),
+                "b1_client_p99_ms": wire.get("b1_client_p99_ms"),
             }
         except Exception:  # noqa: BLE001 — artifact is optional
             pass

@@ -42,7 +42,7 @@ class _FakeStore:
     backing array (the persisted-store layout — exercises HostReranker's
     zero-copy flatten)."""
 
-    def __init__(self, n, nlist, dim, rng):
+    def __init__(self, n, nlist, dim, rng, id_offset=0):
         self.dim = dim
         self.nlist = nlist
         self.dtype = "int8"
@@ -51,7 +51,11 @@ class _FakeStore:
         # One shot of random int8: the values don't matter for timing,
         # only the footprint and the gather pattern.
         base = rng.integers(-127, 128, size=(n, dim), dtype=np.int8)
-        ids = np.arange(n, dtype=np.uint64)
+        # id_offset > 2n forces HostReranker's sorted-binary-search id
+        # path (dense arange ids take its O(1) inverse table — the default
+        # here, which ADVICE r4 notes understates arbitrary-uint64 stores).
+        self.id_offset = int(id_offset)
+        ids = np.arange(n, dtype=np.uint64) + np.uint64(self.id_offset)
         sq = rng.random(n, dtype=np.float32) * 700.0 + 50.0
         scale = (rng.random(n, dtype=np.float32) * 0.02 + 0.01).astype(
             np.float32
@@ -74,7 +78,10 @@ def make_candidates(rng, batch, r, nprobe, store):
     ])                                                  # [B, nprobe]
     src = lists[:, rng.integers(0, nprobe, size=r)]     # [B, R] list ids
     offs = rng.integers(0, store.per, size=(batch, r))
-    return (src.astype(np.uint64) * store.per + offs).astype(np.uint64)
+    return (
+        src.astype(np.uint64) * store.per + offs
+        + np.uint64(store.id_offset)
+    ).astype(np.uint64)
 
 
 def main():
@@ -90,6 +97,10 @@ def main():
     p.add_argument("--device-stage-ms", type=float, default=375.0,
                    help="PQCAP_r03's measured device ADC+emit_full stage "
                         "at this operating point (ms/batch)")
+    p.add_argument("--nondense", action="store_true",
+                   help="offset store ids beyond the dense-inverse "
+                        "threshold so id mapping pays the per-batch "
+                        "searchsorted cost (arbitrary-uint64 stores)")
     args = p.parse_args()
 
     from cuda_acceleratedvectordatabaseengine_tpu.io_host.host_rerank import (
@@ -99,7 +110,10 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    store = _FakeStore(args.n, args.nlist, args.dim, rng)
+    store = _FakeStore(
+        args.n, args.nlist, args.dim, rng,
+        id_offset=(1 << 40) if args.nondense else 0,
+    )
     gen_s = time.perf_counter() - t0
     rr = HostReranker(store)
     assert rr.vecs.base is not None, "zero-copy flatten regressed"
@@ -113,6 +127,12 @@ def main():
             "nprobe": args.nprobe, "batch": args.batch, "k": args.k,
             "store_gb": round(rr.nbytes() / 2**30, 2),
             "resident": True,
+            # Which id→row path the measurement exercises (ADVICE r4:
+            # dense arange ids take the O(1) inverse table and skip the
+            # per-batch searchsorted an arbitrary-uint64 store would pay).
+            "id_path": (
+                "searchsorted" if rr._inv is None else "dense_inverse"
+            ),
         },
         "store_gen_s": round(gen_s, 1),
         "points": [],
@@ -133,6 +153,11 @@ def main():
                 "rerank_k": r,
                 "path": "native" if use_native else "numpy",
                 "host_ms_p50": round(ms, 1),
+                # Uncontended floor: on this shared single-vCPU host the
+                # median can sit in a contention mode (ADVICE r4 — the
+                # r04 numpy R=512 sample spanned 395-1885 ms); min is the
+                # honest cross-path comparison point.
+                "host_ms_min": round(float(np.min(times)), 1),
                 "host_ms_all": [round(t, 1) for t in times],
                 "rows_per_s": round(args.batch * r / (ms / 1e3)),
                 "implied_pipelined_qps": round(

@@ -98,11 +98,33 @@ def report(args) -> int:
     for path in args.run:
         with open(path) as f:
             runs[os.path.splitext(os.path.basename(path))[0]] = json.load(f)
-    complete = [
-        r for r in runs.values() if r.get("success_rate", 0) >= 0.99
-    ]
-    best_p99 = min(r["p99_ms"] for r in complete)
-    best_qps = max(r["qps"] for r in complete)
+    complete = {
+        name: r for name, r in runs.items()
+        if r.get("success_rate", 0) >= 0.99
+    }
+
+    def _summ(name):
+        r = runs[name]
+        return {
+            "run": name,
+            "qps": r["qps"],
+            "p50_ms": r["p50_ms"],
+            "p99_ms": r["p99_ms"],
+            "server_p99_ms": r.get("server_p99_ms"),
+            "batch": r.get("batch"),
+            "stream": bool(r.get("stream")),
+            "success_rate": r.get("success_rate"),
+        }
+
+    # Every headline figure travels WITH its own run's latencies (the r4
+    # summary paired the streaming ladder's QPS with the b1 run's p99 —
+    # off by ~37x; ADVICE r4). Only >=99%-success scenarios qualify.
+    best_qps_name = max(complete, key=lambda n: complete[n]["qps"])
+    unary = {n: r for n, r in complete.items() if not r.get("stream")}
+    best_unary_name = (
+        max(unary, key=lambda n: unary[n]["qps"]) if unary else None
+    )
+    best_p99_name = min(complete, key=lambda n: complete[n]["p99_ms"])
     b1 = next(
         (r for name, r in runs.items() if name.startswith("b1")), None
     )
@@ -112,15 +134,19 @@ def report(args) -> int:
             stages = parse_stage_metrics(f.read())
     out = {
         "metric": "wire_request_latency",
-        # Headline figures: only scenarios with >=99% success count
-        "qps_best_sustained": best_qps,
-        "p99_ms_best": best_p99,
+        "best_sustained": _summ(best_qps_name),
+        "best_unary": _summ(best_unary_name) if best_unary_name else None,
+        "lowest_p99": _summ(best_p99_name),
+        # Back-compat scalar (bench.py embeds it); its latency context is
+        # best_sustained above — do NOT pair it with another run's p99.
+        "qps_best_sustained": complete[best_qps_name]["qps"],
         # The b1 operating point VERDICT r3 item 2 targets (server p50
         # within 10 ms of the ~29 ms relay dispatch floor), with its own
         # isolated serving-stage decomposition (decode / queue_wait /
         # dispatch / fetch / encode — each scenario resets the windows).
         "b1_server_p50_ms": b1.get("server_p50_ms") if b1 else None,
         "b1_client_p50_ms": b1.get("p50_ms") if b1 else None,
+        "b1_client_p99_ms": b1.get("p99_ms") if b1 else None,
         "b1_server_stages_ms": b1.get("server_stages_ms") if b1 else None,
         "relay_dispatch_floor_ms": 29.0,
         "runs": runs,
