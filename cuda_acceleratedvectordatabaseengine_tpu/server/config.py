@@ -85,6 +85,21 @@ class ServerConfig:
     metrics_port: int = 8080
     metrics_enabled: bool = True
 
+    # security — the reference DECLARES these knobs and wires none of them
+    # (configs/production.yaml:84-91 `enable_tls`/`enable_auth` are read by
+    # no code). Here they are real: TLS terminates in grpc's server
+    # credentials; auth is a static bearer token checked by a server
+    # interceptor on every vdb.* RPC (health stays open for k8s probes).
+    enable_tls: bool = False
+    tls_cert_file: str = ""          # PEM server certificate chain
+    tls_key_file: str = ""           # PEM private key
+    tls_ca_file: str = ""            # set → mutual TLS (client certs
+                                     # verified against this CA)
+    # Non-empty → require `authorization: Bearer <token>` metadata.
+    # "$VAR" reads the token from the environment at startup (keeps
+    # secrets out of YAML/k8s ConfigMaps; pair with a Secret-env).
+    auth_token: str = ""
+
     # Hotness-driven residency (the declared GpuCache/ListPrefetcher
     # semantics, engine/prefetcher.h:139-230): every this-many seconds the
     # server re-stages each streaming-tier index's decayed-hot lists into
@@ -138,6 +153,11 @@ class ServerConfig:
             "port": "metrics_port",
             "nlist": "default_nlist",
             "nprobe": "default_nprobe",
+            # the reference's security block key names
+            # (configs/production.yaml:84-91)
+            "cert_file": "tls_cert_file",
+            "key_file": "tls_key_file",
+            "ca_file": "tls_ca_file",
         }
         kwargs = {}
         for k, v in flat.items():
@@ -150,7 +170,32 @@ class ServerConfig:
             kwargs["shard_serving"] = (
                 "auto" if flat["enable_multi_gpu"] else "off"
             )
+        # The reference's `enable_auth` flag is accepted, but never as a
+        # dead knob: enabling it without a token is a config error.
+        if flat.get("enable_auth") and not kwargs.get("auth_token"):
+            raise ValueError(
+                "enable_auth: true requires auth_token "
+                "(use auth_token: \"$VDB_AUTH_TOKEN\" to read it from "
+                "the environment)"
+            )
         return cls(**kwargs)
+
+    def resolved_auth_token(self) -> str:
+        """The bearer token with `$VAR` indirection resolved (empty =
+        auth disabled). A $VAR that is unset is a startup error, not a
+        silently-open server."""
+        tok = self.auth_token
+        if tok.startswith("$"):
+            import os
+
+            val = os.environ.get(tok[1:], "")
+            if not val:
+                raise ValueError(
+                    f"auth_token references unset environment "
+                    f"variable {tok[1:]}"
+                )
+            return val
+        return tok
 
     def apply_overrides(self, **kv) -> "ServerConfig":
         updates = {k: v for k, v in kv.items() if v is not None}

@@ -28,6 +28,67 @@ from cuda_acceleratedvectordatabaseengine_tpu.server.service import (
 )
 
 
+class BearerAuthInterceptor(grpc.ServerInterceptor):
+    """Static bearer-token auth (the reference's `enable_auth` placeholder,
+    `/root/reference/configs/production.yaml:89-91`, made real): every
+    vdb.* RPC must carry `authorization: Bearer <token>` metadata; the
+    gRPC health service stays open so k8s probes and LB health checks
+    work unauthenticated (the reference's probes assume that)."""
+
+    _STREAM_STREAM = {"/vdb.QueryService/StreamSearch"}
+
+    def __init__(self, token: str):
+        self._expected = f"Bearer {token}"
+
+        def abort_unary(request, context):
+            context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                          "missing or invalid bearer token")
+
+        def abort_stream(request_iterator, context):
+            context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                          "missing or invalid bearer token")
+            yield  # pragma: no cover — abort raises
+
+        self._abort_unary = grpc.unary_unary_rpc_method_handler(abort_unary)
+        self._abort_stream = grpc.stream_stream_rpc_method_handler(
+            abort_stream
+        )
+
+    def intercept_service(self, continuation, handler_call_details):
+        method = handler_call_details.method
+        if method.startswith("/grpc.health."):
+            return continuation(handler_call_details)
+        md = dict(handler_call_details.invocation_metadata or ())
+        if md.get("authorization") == self._expected:
+            return continuation(handler_call_details)
+        if method in self._STREAM_STREAM:
+            return self._abort_stream
+        return self._abort_unary
+
+
+def _server_credentials(config: ServerConfig) -> grpc.ServerCredentials:
+    """TLS credentials from the configured PEM files (the reference's
+    `enable_tls` placeholder, `configs/production.yaml:84-88`, made real).
+    A CA file upgrades to mutual TLS."""
+    if not (config.tls_cert_file and config.tls_key_file):
+        raise ValueError(
+            "enable_tls requires tls_cert_file and tls_key_file"
+        )
+    with open(config.tls_key_file, "rb") as f:
+        key = f.read()
+    with open(config.tls_cert_file, "rb") as f:
+        cert = f.read()
+    ca = None
+    if config.tls_ca_file:
+        with open(config.tls_ca_file, "rb") as f:
+            ca = f.read()
+    return grpc.ssl_server_credentials(
+        [(key, cert)],
+        root_certificates=ca,
+        require_client_auth=ca is not None,
+    )
+
+
 def build_server(config: ServerConfig):
     """Construct (grpc.Server, VdbEngine, HealthServicer) — separated from
     main() so tests can run an in-process server on an ephemeral port."""
@@ -35,6 +96,7 @@ def build_server(config: ServerConfig):
     query = QueryServiceImpl(engine)
     admin = AdminServiceImpl(engine)
     health = HealthServicer()
+    token = config.resolved_auth_token()
     server = grpc.server(
         concurrent.futures.ThreadPoolExecutor(
             max_workers=config.grpc_workers,
@@ -46,13 +108,21 @@ def build_server(config: ServerConfig):
             ("grpc.max_send_message_length",
              config.max_message_mb * 1024 * 1024),
         ],
+        interceptors=(
+            (BearerAuthInterceptor(token),) if token else ()
+        ),
     )
     server.add_generic_rpc_handlers((
         query_service_handler(query),
         admin_service_handler(admin),
         health_service_handler(health),
     ))
-    port = server.add_insecure_port(config.address)
+    if config.enable_tls:
+        port = server.add_secure_port(
+            config.address, _server_credentials(config)
+        )
+    else:
+        port = server.add_insecure_port(config.address)
     return server, engine, health, port
 
 
@@ -93,6 +163,11 @@ def main(argv=None) -> int:
     devices = jax.devices()
     print(f"[vdb] devices: {[str(d) for d in devices]}")
     print(f"[vdb] listening on {config.address}, data at {config.data_path}")
+    if config.enable_tls:
+        mode = "mTLS" if config.tls_ca_file else "TLS"
+        print(f"[vdb] {mode} enabled ({config.tls_cert_file})")
+    if config.auth_token:
+        print("[vdb] bearer-token auth required on vdb.* RPCs")
 
     server, engine, health, port = build_server(config)
     if engine.mesh is not None:
