@@ -103,7 +103,10 @@ class MetricsCollector:
             ).append(ms)
 
     def get_stage_percentiles(self) -> dict:
-        """{stage: {p50, p95, p99, mean, count}} over the sample window."""
+        """{stage: {p50, p95, p99, max, mean, count}} over the sample
+        window. ``max`` is load-bearing for stall forensics: the r4 wire
+        runs showed fetch mean ≫ p99 — a handful of multi-second outliers
+        beyond the p99 that only the max exposes."""
         with self._lock:
             snap = {k: np.asarray(v) for k, v in self._stages.items() if v}
         return {
@@ -111,6 +114,7 @@ class MetricsCollector:
                 "p50": float(np.percentile(a, 50)),
                 "p95": float(np.percentile(a, 95)),
                 "p99": float(np.percentile(a, 99)),
+                "max": float(a.max()),
                 "mean": float(a.mean()),
                 "count": int(a.size),
             }
@@ -187,7 +191,7 @@ class MetricsCollector:
             "decomposition",
         ]
         for stage, q in sorted(stages.items()):
-            for stat in ("p50", "p95", "p99", "mean"):
+            for stat in ("p50", "p95", "p99", "max", "mean"):
                 lines.append(
                     f'vdb_stage_milliseconds{{stage="{stage}",'
                     f'stat="{stat}"}} {q[stat]:.4f}'

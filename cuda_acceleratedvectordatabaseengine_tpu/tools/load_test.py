@@ -93,8 +93,16 @@ def main(argv=None) -> int:
         pass
 
     latencies: list[float] = []
+    # (start offset from run start [s], latency [ms]) per request — the
+    # stall-timeline evidence: if slow requests cluster at the same
+    # wall-clock offsets across scenarios regardless of wire format, the
+    # tail is environmental (periodic relay stalls), not a code path's
+    # (the r4 "packed-unary regression" question, VERDICT #4).
+    samples: list[tuple[float, float]] = []
     errors: list[str] = []
+    error_times: list[float] = []
     lock = threading.Lock()
+    run_start = time.monotonic()
 
     def make_request(local_rng):
         if args.packed:
@@ -126,9 +134,12 @@ def main(argv=None) -> int:
                 ok = False
                 with lock:
                     errors.append(str(e.code()))
+                    error_times.append(t0 - run_start)
             if ok:
+                lat_ms = (time.monotonic() - t0) * 1000
                 with lock:
-                    latencies.append((time.monotonic() - t0) * 1000)
+                    latencies.append(lat_ms)
+                    samples.append((t0 - run_start, lat_ms))
 
     def stream_worker(tid: int):
         """One StreamSearch per thread: requests pipeline server-side (up
@@ -148,9 +159,11 @@ def main(argv=None) -> int:
         try:
             for _resp in client.StreamSearch(gen(), timeout=args.timeout):
                 lat = (time.monotonic() - send_times[got]) * 1000
+                t_send = send_times[got] - run_start
                 got += 1
                 with lock:
                     latencies.append(lat)
+                    samples.append((t_send, lat))
         except grpc.RpcError as e:
             with lock:
                 errors.extend([str(e.code())] * (args.requests - got))
@@ -186,7 +199,19 @@ def main(argv=None) -> int:
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "rubric": rubric,
         "errors": errors[:5],
+        "n_errors": len(errors),
+        "error_times_s": [round(t, 1) for t in error_times[:50]],
     }
+    # Stall timeline: requests >= max(3x p50, 200 ms), as (start-offset s,
+    # latency ms). Clustered offsets shared across scenarios = external
+    # stall windows; uniform spread = a genuine code-path cost.
+    p50 = float(np.percentile(lat, 50))
+    slow = [
+        (round(off, 1), round(ms)) for off, ms in samples
+        if ms >= max(3 * p50, 200.0)
+    ]
+    report["n_slow"] = len(slow)
+    report["slow_requests"] = slow[:50]
     # Server-side per-request percentiles (StatsResponse extension):
     # excludes client proto serialization / GIL / wire time — on shared-CPU
     # test hosts the client side dominates the client-observed numbers.

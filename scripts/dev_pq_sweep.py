@@ -180,16 +180,25 @@ def main():
         batch = int(parts[0])
         rerank_k = int(parts[1]) if len(parts) > 1 and parts[1] else 0
         nprobe_run = args.nprobe
+        out_k = args.k
         for f in parts[2:]:
             if f.startswith("p") and f[1:].isdigit():
                 nprobe_run = int(f[1:])
+            elif f.startswith("k") and f[1:].isdigit():
+                # Diagnostic: return the WHOLE reranked shortlist (out_k =
+                # rerank_k). Its id SET is exactly the ADC top-R shortlist,
+                # so containment of the true top-k in it separates
+                # ADC-ordering misses (shortlist never held the neighbor)
+                # from rerank-path misses (held it, ranked it out) —
+                # the PQ_r05 mechanism question (VERDICT r4 #2).
+                out_k = int(f[1:])
         q = queries[:batch]
 
         interp = jax.default_backend() != "tpu"
 
-        def dev_search(qq, _r=rerank_k, _np=nprobe_run):
+        def dev_search(qq, _r=rerank_k, _np=nprobe_run, _k=out_k):
             return _ivf_pq_search_device(
-                qq, nprobe=_np, k=args.k, metric=idx.metric,
+                qq, nprobe=_np, k=_k, metric=idx.metric,
                 rerank_k=_r, scan_impl="pallas", interpret=interp, **sargs,
             )
 
@@ -203,9 +212,16 @@ def main():
         got = got.astype(np.int64)
         got[np.asarray(pos) < 0] = -9
         recall = np.mean([
-            len(set(a.tolist()) & set(b.tolist())) / args.k
+            len(set(a[: args.k].tolist()) & set(b.tolist())) / args.k
             for a, b in zip(got, truth[:batch])
         ])
+        containment = (
+            np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / args.k
+                for a, b in zip(got, truth[:batch])
+            ])
+            if out_k > args.k else None
+        )
 
         _stage(f"{spec}: throughput")
         t1 = time.time()
@@ -220,6 +236,10 @@ def main():
         print(json.dumps({
             "config": spec, "qps": round(args.n_batches * batch / dt, 1),
             "recall": round(float(recall), 4),
+            "shortlist_containment": (
+                round(float(containment), 4)
+                if containment is not None else None
+            ),
             "batch_ms_p50": round(float(np.median(lats)), 1),
             "compile_s": round(compile_s, 1),
             "opq": bool(args.opq), "aniso": args.aniso,
