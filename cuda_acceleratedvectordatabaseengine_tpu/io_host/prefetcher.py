@@ -84,10 +84,19 @@ class ListPrefetcher:
     cache tier via ``stage_fn``, or page cache via the reader)."""
 
     def __init__(self, stage_fn=None, hot_threshold: float = 0.7,
-                 half_life_s: float = 60.0):
+                 half_life_s: float = 60.0, min_accesses: float = 2.0):
         self.stage_fn = stage_fn
         self.hot_threshold = hot_threshold
         self.half_life_s = half_life_s
+        # Absolute staging floor (decayed accesses). Staging exists to
+        # recover a WORKING SET; gating on the reference's relative
+        # threshold (score ≥ 0.7 × the hottest list) starves recovery
+        # whenever probe counts across the hot set vary >1.4× — measured
+        # on the 20M tier: only a handful of a several-hundred-list hot
+        # union ever restaged. The floor keeps the threshold's actual
+        # intent (don't burn staging bandwidth on one-off cold touches)
+        # without coupling one list's fate to another's popularity.
+        self.min_accesses = min_accesses
         self._lock = threading.Lock()
         self._counts: dict[int, float] = {}
         self._last: dict[int, float] = {}
@@ -136,9 +145,15 @@ class ListPrefetcher:
         return scored[:n]
 
     def prefetch_hot_lists(self, max_lists: int = 64) -> list[int]:
+        now = time.monotonic()
+        with self._lock:
+            scored = sorted(
+                ((self._decayed(l, now), l) for l in self._counts),
+                reverse=True,
+            )
         hot = [
-            l for l in self.get_hot_lists(max_lists)
-            if self.hotness(l) >= self.hot_threshold
+            l for score, l in scored[:max_lists]
+            if score >= self.min_accesses
         ]
         if hot and self.stage_fn is not None:
             self.stage_fn(hot)

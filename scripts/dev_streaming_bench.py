@@ -341,6 +341,47 @@ def main():
     cold_misses = tier.cache.misses - m0
     cold_mb = cold_misses * slot_bytes / (1 << 20)
 
+    # Hotness-restage under a shifting working set (STREAM_r05, VERDICT
+    # r4 #6): the server's background loop calls prefetch_hot_lists every
+    # prefetch_hot_interval_s (service.py:_hotness_loop). Scenario: the
+    # long-lived hot workload A gets evicted by a cold burst B; when A's
+    # traffic returns, compare its hit rate and batch time (a) cold-return
+    # with no background restage vs (b) after ONE restage call — the
+    # staged-ahead effect the wiring exists to produce. A's recency-
+    # decayed counts dominate B's brief burst (half-life 60 s), so the
+    # hottest-N pick recovers A's lists, not B's.
+    cold_q_h = np.asarray(cold_q)
+
+    def evict_with_cold_burst():
+        for _ in range(2):
+            tier.search(cold_q_h, params)
+
+    def a_return():
+        tier.cache.hits = tier.cache.misses = 0
+        t = time.time()
+        tier.search(q_host, params)
+        dt_ret = time.time() - t
+        h, m = tier.cache.hits, tier.cache.misses
+        return dt_ret, h / max(h + m, 1)
+
+    _stage("hotness: cold burst then A-return WITHOUT restage")
+    evict_with_cold_burst()
+    norestage_s, norestage_hit = a_return()
+
+    _stage("hotness: re-warm A, cold burst, restage, A-return")
+    for _ in range(3):          # restore A's hotness + residency
+        tier.search(q_host, params)
+    evict_with_cold_burst()
+    tstg = time.time()
+    staged = tier.prefetch_hot_lists()        # the server loop's call
+    jax.block_until_ready(tier.cache.cache_arena)
+    restage_s = time.time() - tstg
+    staged_in_union = (
+        int(np.isin(np.asarray(staged, np.int64), wanted).sum())
+        if len(staged) else 0
+    )
+    withrestage_s, withrestage_hit = a_return()
+
     print(json.dumps({
         "metric": "streaming_tier_20m_int8",
         "n": args.n, "dim": args.dim, "nlist": args.nlist,
@@ -360,6 +401,15 @@ def main():
         "cold_miss_lists": int(cold_misses),
         "cold_upload_mb": round(cold_mb, 1),
         "relay_h2d_gbps_note": round(warm_mb / 1024 / max(warm_s, 1e-9), 3),
+        "hotness_restage": {
+            "a_return_no_restage_hit_rate": round(norestage_hit, 4),
+            "a_return_no_restage_batch_s": round(norestage_s, 2),
+            "restage_lists": len(staged),
+            "restage_lists_in_a_union": staged_in_union,
+            "restage_s": round(restage_s, 2),
+            "a_return_after_restage_hit_rate": round(withrestage_hit, 4),
+            "a_return_after_restage_batch_s": round(withrestage_s, 2),
+        },
     }), flush=True)
 
 
