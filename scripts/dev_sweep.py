@@ -42,6 +42,15 @@ def main():
              "stage_inline experimental kernel variant, cb16 = bf16 "
              "coarse-probe matmul)",
     )
+    p.add_argument(
+        "--roofline", action="store_true",
+        help="per-term roofline accounting for each grouped config: the "
+             "kernel's exact per-batch DMA byte model (from the real pack "
+             "tables: distinct block loads after same-list elision, live "
+             "query rows, outputs) vs chained-timing measurements of the "
+             "full pipeline and the coarse term — emits achieved GB/s "
+             "against the chip's nominal HBM peak (KERNEL_r05)",
+    )
     args = p.parse_args()
     if not args.config:
         args.config = [
@@ -207,6 +216,7 @@ def main():
                     m_budget=_m, arena_scale=scale,
                     arena_anchors=anchors, stage_bf16=_bf,
                     stage_inline=_inl, scan_capacity=_sc, topk_impl=_tk,
+                    interpret=jax.default_backend() != "tpu",
                 )
 
             def dev_search(qq, _m=m_budget, _bf=stage_bf16, _k=k_run,
@@ -255,7 +265,7 @@ def main():
             jax.block_until_ready(dev_search(q))
             lats.append((time.time() - t2) * 1000)
         lats = np.sort(np.array(lats))
-        print(json.dumps({
+        out_row = {
             "config": spec, "qps": round(qps, 1),
             "recall": round(float(recall), 4),
             "batch_ms_p50": round(float(np.median(lats)), 1),
@@ -263,7 +273,136 @@ def main():
             "pipelined_ms_per_batch": round(dt / n_b * 1000, 1),
             "n_batches": n_b,
             "compile_s": round(compile_s, 1),
-        }), flush=True)
+        }
+        if args.roofline and impl == "pallas_grouped":
+            cap_r = (
+                arena.capacity if "fullcap" in flags
+                else arena.scan_capacity_hint()
+            )
+            out_row["roofline"] = _roofline(
+                q, idx, arena, batch, nprobe_run, k_run, m_budget, cap_r,
+                args,
+            )
+        print(json.dumps(out_row), flush=True)
+
+
+def _roofline(q, idx, arena, batch, nprobe, k, m_budget, scan_cap, args):
+    """Exact per-batch DMA byte model from the kernel's own pack tables +
+    chained-timing term measurements (the relay under-measures small
+    programs without a data dependency chain — CLAUDE.md).
+
+    Terms: coarse (probe matmul + tournament top-nprobe) is measured
+    directly; scan+merge = total − coarse. The byte model counts what the
+    grouped kernel's BlockSpecs actually move: one [cap_s, D] int8 block
+    per DISTINCT grid row list id (consecutive same-list rows elide the
+    DMA), per-row [M, D] fp32 query blocks, per-row anchor rows, and the
+    [rows, M, K] candidate outputs the epilogue reads back."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.distance import (
+        Metric,
+        pairwise_distance,
+    )
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.topk import (
+        topk_smallest,
+    )
+
+    nlist, cap, dim = arena.arena.shape
+    cap_s = scan_cap or cap
+    m = m_budget or pallas_scan.auto_m_budget(batch * nprobe, nlist)
+    n_pairs = batch * nprobe
+    n_rows = max(min(n_pairs // m + nlist + 1, n_pairs), 1)
+
+    # The real probe table → the kernel's real pack.
+    coarse = pairwise_distance(q, idx.centroids, Metric.L2)
+    _, probe = topk_smallest(coarse, nprobe)
+    pack = pallas_scan._pack_pairs_into_rows(
+        probe.astype(jnp.int32), nlist, m, n_rows
+    )
+    row_list = np.asarray(pack[4])
+    valid = row_list < nlist
+    prev_differs = np.concatenate([[True], row_list[1:] != row_list[:-1]])
+    distinct_blocks = int(np.sum(valid & prev_differs))
+    n_live_rows = int(valid.sum())
+
+    itemsize = arena.arena.dtype.itemsize
+    per_slot = dim * itemsize + 4          # codes + fp32 norms
+    if arena.arena_scale is not None:
+        per_slot += 4                      # per-row scales
+    arena_bytes = distinct_blocks * cap_s * per_slot
+    q_bytes = n_live_rows * m * dim * 4
+    anchor_bytes = (
+        n_live_rows * dim * 4 if arena.anchors is not None else 0
+    )
+    out_bytes = row_list.shape[0] * m * k * 8  # fp32 dist + i32 slot
+    scan_bytes = arena_bytes + q_bytes + anchor_bytes + out_bytes
+
+    # Chained-timing: each step's input depends on the previous step's
+    # scalar, so the relay cannot overlap or drop light programs.
+    def _chained_ms(step, iters=16):
+        s = jnp.zeros((), jnp.float32)
+        s = step(s)
+        s.block_until_ready()              # warm/compile
+        t0 = time.time()
+        s = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            s = step(s)
+        float(s)
+        return (time.time() - t0) / iters * 1000
+
+    cents = idx.centroids
+
+    @jax.jit
+    def coarse_step(s):
+        qq = q + s * 0.0
+        vals, _ = topk_smallest(
+            pairwise_distance(qq, cents, Metric.L2), nprobe
+        )
+        return s + vals.sum()
+
+    @functools.partial(jax.jit, static_argnums=())
+    def full_step(s):
+        qq = q + s * 0.0
+        c = pairwise_distance(qq, cents, Metric.L2)
+        _, pr = topk_smallest(c, nprobe)
+        d, _pos = pallas_scan.scan_probed_lists_pallas_grouped(
+            qq, arena.arena, arena.arena_sq, arena.counts,
+            pr.astype(jnp.int32), k, Metric.L2, m_budget=m_budget,
+            arena_scale=arena.arena_scale, arena_anchors=arena.anchors,
+            scan_capacity=scan_cap,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return s + jnp.where(jnp.isfinite(d), d, 0.0).sum()
+
+    coarse_ms = _chained_ms(coarse_step)
+    total_ms = _chained_ms(full_step)
+    scan_ms = max(total_ms - coarse_ms, 1e-6)
+    peak_gbps = 819.0                      # v5e nominal HBM bandwidth
+    achieved = scan_bytes / (scan_ms / 1e3) / 1e9
+    return {
+        "m": m, "cap_s": cap_s,
+        "grid_rows": int(row_list.shape[0]),
+        "live_rows": n_live_rows,
+        "distinct_block_loads": distinct_blocks,
+        "bytes_per_batch": {
+            "arena_blocks": arena_bytes,
+            "query_rows": q_bytes,
+            "anchors": anchor_bytes,
+            "candidate_out": out_bytes,
+            "total": scan_bytes,
+        },
+        "measured_ms": {
+            "total_chained": round(total_ms, 2),
+            "coarse_chained": round(coarse_ms, 2),
+            "scan_plus_merge": round(scan_ms, 2),
+        },
+        "dma_floor_ms_at_peak": round(scan_bytes / peak_gbps / 1e6, 2),
+        "achieved_gbps": round(achieved, 1),
+        "pct_of_hbm_peak": round(100 * achieved / peak_gbps, 1),
+        "peak_gbps_nominal": peak_gbps,
+    }
 
 
 if __name__ == "__main__":
