@@ -91,31 +91,35 @@ run_load() {  # name threads requests nprobe batch [extra-flags]
   echo "[wire] $1:"; cat "${OUT}/$1.json" 2>/dev/null || true
 }
 run_load warm 8 50 32 1                  # post-boot warm pass (not reported)
-# --- latency ladder (each scenario's server percentiles are isolated by a
-#     stats reset; b1_seq is the stage-decomposition target) ---
+# --- latency ladder. r5 layout: the packed/unpacked same-shape pair runs
+#     TWICE, alternating (…_a early, …_b late). r4 measured packed slower
+#     and wilder than unpacked at t16 — but every post-t16 run (packed or
+#     not) carried rare multi-second fetch stalls (mean >> p99), so the
+#     suspicion is a TIME-correlated environmental stall, not the wire
+#     format. Interleaving + the load test's slow-request timeline decides:
+#     stalls clustering at shared wall offsets across formats = relay;
+#     stalls only in packed runs = the code path. ---
 run_load b1_seq 1 200 32 1 --packed
-run_load t16_np32 16 200 32 1
-run_load t16_np32_packed 16 200 32 1 --packed
-run_load t48_np32_packed 48 200 32 1 --packed
-run_load b8_packed 16 200 32 8 --packed
+run_load t16_np32_a 16 200 32 1
+run_load t16_np32_packed_a 16 200 32 1 --packed
+run_load t16_np32_b 16 200 32 1
+run_load t16_np32_packed_b 16 200 32 1 --packed
+run_load b64_unpacked 16 100 32 64
 run_load b64_packed 16 200 32 64 --packed
 # --- throughput ladder (the reference's 10K rps design point,
 #     query_service.h:172-173): streams pipeline multi-query requests
 #     through the weight-bounded coalescer into 2048-query device batches ---
-run_load s8_b8_packed_stream 8 200 32 8 "--packed --stream"
-run_load s16_b16_packed_stream 16 400 32 16 "--packed --stream"
-run_load s8_b64_packed_stream 8 200 32 64 "--packed --stream"
 run_load s16_b64_packed_stream 16 200 32 64 "--packed --stream"
 run_load s32_b32_packed_stream 32 200 32 32 "--packed --stream"
 
 echo "[wire] phase 3b: capture final stage decomposition"
-curl -s "http://127.0.0.1:${MPORT}/metrics" > "${OUT}/stages.txt" || true
+curl -s "http://${MPORT_HOST:-127.0.0.1}:${MPORT}/metrics" > "${OUT}/stages.txt" || true
 
 echo "[wire] phase 4: report"
 RUNS=""
-for f in b1_seq t16_np32 t16_np32_packed t48_np32_packed b8_packed \
-         b64_packed s8_b8_packed_stream s16_b16_packed_stream \
-         s8_b64_packed_stream s16_b64_packed_stream s32_b32_packed_stream; do
+for f in b1_seq t16_np32_a t16_np32_packed_a t16_np32_b t16_np32_packed_b \
+         b64_unpacked b64_packed \
+         s16_b64_packed_stream s32_b32_packed_stream; do
   [[ -s "${OUT}/$f.json" ]] && RUNS="${RUNS} --run ${OUT}/$f.json"
 done
 python scripts/wire_bench.py report ${RUNS} \
