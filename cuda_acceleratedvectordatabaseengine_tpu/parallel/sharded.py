@@ -537,25 +537,39 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
             pad = n - cap % n
             self.base.arena = arena = arena.grow(cap + pad)
             cap += pad
-        perm = jnp.asarray(_striping_perm(cap, n))
         shard3 = NamedSharding(self.mesh, P(None, SHARD_AXIS, None))
         shard2 = NamedSharding(self.mesh, P(None, SHARD_AXIS))
         repl = NamedSharding(self.mesh, P())
         # Stage every new array first, publish atomically below: a search
         # thread snapshotting mid-refresh must never mix stripe epochs
         # (e.g. a grown arena with the previous ids table).
-        arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
-        arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
+        has_scale = arena.arena_scale is not None
+        if n == 1:
+            # The striping permutation is the identity on a 1-device mesh
+            # (local=cap ⇒ perm[p]=p); skip the gather so publish is a
+            # zero-copy resharding — the permuted copy would briefly
+            # DOUBLE the arena in HBM, which cannot fit next to a
+            # chip-filling base (10M int8 ≈ 10 GB on 16 GB HBM).
+            arena_s = jax.device_put(arena.arena, shard3)
+            arena_sq_s = jax.device_put(arena.arena_sq, shard2)
+            arena_scale = jax.device_put(
+                arena.arena_scale if has_scale
+                else jnp.zeros((arena.nlist, n), jnp.float32),
+                shard2,
+            )
+        else:
+            perm = jnp.asarray(_striping_perm(cap, n))
+            arena_s = jax.device_put(arena.arena[:, perm, :], shard3)
+            arena_sq_s = jax.device_put(arena.arena_sq[:, perm], shard2)
+            # int8 arenas: per-row dequant scales stripe with the slot
+            # axis; residual anchors (tiny [nlist, D]) replicate.
+            arena_scale = jax.device_put(
+                arena.arena_scale[:, perm] if has_scale
+                else jnp.zeros((arena.nlist, n), jnp.float32),
+                shard2,
+            )
         counts = jax.device_put(arena.counts, repl)
         centroids = jax.device_put(self.base.centroids, repl)
-        # int8 arenas: per-row dequant scales stripe with the slot axis;
-        # residual anchors (tiny [nlist, D]) replicate.
-        has_scale = arena.arena_scale is not None
-        arena_scale = jax.device_put(
-            arena.arena_scale[:, perm] if has_scale
-            else jnp.zeros((arena.nlist, n), jnp.float32),
-            shard2,
-        )
         has_anchor = arena.anchors is not None
         arena_anchors = jax.device_put(
             arena.anchors if has_anchor
