@@ -210,6 +210,11 @@ def main():
                         "and fits 10M x 768 on one v5e chip)")
     p.add_argument("--force-chunked", action="store_true",
                    help="exercise the chunked-build path regardless of size")
+    p.add_argument("--mesh1", type=int, default=1,
+                   help="1 (default): after the headline measurement, "
+                        "publish the arena onto a 1-device mesh (zero-copy)"
+                        " and record the SPMD serving path's QPS/recall "
+                        "parity on real silicon (detail.mesh1). 0 = skip")
     p.add_argument("--clusters-per-list", type=int, default=1,
                    help="mixture modes per inverted list (default 1: one "
                         "gaussian ball per list — the stable, "
@@ -698,6 +703,54 @@ def main():
         lats.append((time.time() - t1) * 1000)
     lats = np.array(lats)
 
+    # Mesh-1 parity on real silicon (VERDICT r4 #5): publish the SAME
+    # arena onto a 1-device jax mesh (zero-copy at n=1) and run the SPMD
+    # serving path — shard_map + Pallas grouped scan + ICI merge — against
+    # the unsharded numbers above. First-ever execution of the sharded
+    # executables on a TPU happens here; guarded so a Mosaic regression
+    # degrades the artifact, not the headline.
+    mesh1 = None
+    if (args.mesh1 and jax.default_backend() == "tpu"
+            and args.multi_assign_eps == 0):
+        try:
+            from cuda_acceleratedvectordatabaseengine_tpu.parallel import (
+                ShardedIVFFlatIndex,
+                make_mesh,
+            )
+            from cuda_acceleratedvectordatabaseengine_tpu import SearchParams
+
+            _stage("mesh-1: publish + compile (SPMD path on real silicon)")
+            sh = ShardedIVFFlatIndex(idx, make_mesh(1))
+            sp = SearchParams(nprobe=args.nprobe, k=args.k)
+            q_h = np.asarray(queries)
+            tc1 = time.time()
+            d_m, ids_m = sh.search(q_h, sp)
+            mesh_compile_s = time.time() - tc1
+            recall_m = np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / args.k
+                for a, b in zip(ids_m.astype(np.int64), truth)
+            ])
+            _stage(f"mesh-1: throughput (recall {recall_m:.4f})")
+            n_mb = max(args.n_batches // 2, 5)
+            tm = time.time()
+            thunks = [sh.search_async(q_h, sp) for _ in range(n_mb)]
+            for th in thunks:
+                th()
+            dt_m = time.time() - tm
+            mesh1 = {
+                "qps": round(n_mb * args.batch / dt_m, 1),
+                "recall_at_10": round(float(recall_m), 4),
+                "vs_unsharded_qps_pct": None,  # filled below (needs qps)
+                "compile_s": round(mesh_compile_s, 1),
+                "scan_impl": sh.scan_impl,
+                "interpret": bool(sh.interpret),
+            }
+            mesh1["vs_unsharded_qps_pct"] = round(
+                100.0 * mesh1["qps"] / max(qps, 1e-9), 1
+            )
+        except Exception as e:  # noqa: BLE001 — artifact-only path
+            mesh1 = {"error": f"{type(e).__name__}: {e}"}
+
     detail = {
         "recall_at_10": round(float(recall), 4),
         "recall_eps_05": round(recall_eps, 4),
@@ -751,6 +804,7 @@ def main():
         # is the reproducible figure; ingest_mvec_per_min (whole build,
         # compiles included) stays the conservative artifact of record.
         "chunk_build_s": [round(s, 2) for s in chunk_build_s],
+        "mesh1": mesh1,
         "ingest_steady_mvec_per_min": (
             round(
                 (args.n - args.n // len(chunk_build_s))
