@@ -361,15 +361,22 @@ def _ivf_search_device(
 
         if scan_impl == "pallas_grouped":
             # The grouped kernel's scalar-prefetch row table must fit SMEM
-            # (GROUPED_SMEM_ROWS_MAX). Huge probe sets (calibration's
-            # full-probe exact pass, nprobe→nlist fallbacks) are split
-            # along the probe axis — probe chunks are disjoint lists, so
-            # a top-k merge over the concatenated candidates is exact.
+            # (GROUPED_SMEM_ROWS_MAX), and the XLA query-row pre-gather
+            # must fit the HBM transient budget (GROUPED_QROWS_BYTES_MAX —
+            # deep-probe hostile serving blew 3 GB here). Huge probe sets
+            # (calibration's full-probe exact pass, nprobe→nlist
+            # fallbacks, auto-nprobe≥96 on zipf heads) are split along the
+            # probe axis — probe chunks are disjoint lists, so a top-k
+            # merge over the concatenated candidates is exact.
+            pair_budget = pallas_scan.grouped_pair_budget(q.shape[-1])
             n_chunks = 1
-            while pallas_scan.grouped_row_bound(
-                q.shape[0], -(-nprobe // n_chunks), centroids.shape[0],
-                m_budget,
-            ) > pallas_scan.GROUPED_SMEM_ROWS_MAX:
+            while (
+                pallas_scan.grouped_row_bound(
+                    q.shape[0], -(-nprobe // n_chunks), centroids.shape[0],
+                    m_budget,
+                ) > pallas_scan.GROUPED_SMEM_ROWS_MAX
+                or q.shape[0] * (-(-nprobe // n_chunks)) > pair_budget
+            ) and n_chunks < nprobe:
                 n_chunks += 1
             step = -(-nprobe // n_chunks)
             parts = [

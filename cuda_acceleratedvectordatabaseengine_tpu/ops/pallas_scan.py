@@ -467,6 +467,22 @@ def _row_topk(d, cnt, k, out_d_ref, out_s_ref, topk_impl: str = "auto"):
 GROUPED_SMEM_ROWS_MAX = 100_000
 
 
+# HBM budget for the grouped kernel's XLA query-row pre-gather: q_rows is
+# [n_rows_pad, M, D] fp32 ≈ n_pairs·D·4 bytes (+ an nlist·M·D·4 partial-row
+# term). At nprobe=96 × b8192 × 768-D it reached 3.0 GB and pushed a full
+# 10M zipf replica arena 58 MB past HBM (HOSTILE_r05 first attempt). Probe
+# chunks are disjoint lists, so splitting the probe axis and top-k-merging
+# is exact; 1.5 GB keeps every measured headline shape single-chunk
+# (b8192 × nprobe≤48 at 768-D) while capping the hostile deep-probe tail.
+GROUPED_QROWS_BYTES_MAX = 1_500_000_000
+
+
+def grouped_pair_budget(dim: int) -> int:
+    """Max (query, probe) pairs per grouped-kernel call under
+    ``GROUPED_QROWS_BYTES_MAX`` (see above)."""
+    return max(GROUPED_QROWS_BYTES_MAX // (max(dim, 1) * 4), 1024)
+
+
 def auto_m_budget(n_pairs: int, nlist: int) -> int:
     """Shared auto ``m_budget`` law for BOTH grouped kernels and their
     row-bound mirror (one definition — a divergence here once made

@@ -403,6 +403,31 @@ def test_grouped_row_bound_guard_and_probe_chunking(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(want[0]), np.asarray(got[0]),
                                rtol=1e-5, atol=1e-5)
 
+    # The HBM pair budget (GROUPED_QROWS_BYTES_MAX: the deep-probe query-
+    # row pre-gather transient, HOSTILE_r05 OOM) must chunk with the same
+    # exactness — force nprobe chunks of 2 pairs per query.
+    monkeypatch.setattr(pallas_scan, "GROUPED_SMEM_ROWS_MAX", 100_000)
+    monkeypatch.setattr(
+        pallas_scan, "grouped_pair_budget", lambda dim: B * 2
+    )
+    # k differs from the first pass so the jit cache cannot reuse the
+    # SMEM-chunked executable — this trace runs under the pair budget.
+    k2 = k - 1
+    want2 = ivf_flat._ivf_search_device(
+        jnp.asarray(q), jnp.asarray(arena.mean(1)), jnp.asarray(arena),
+        jnp.asarray((arena ** 2).sum(-1)), jnp.asarray(counts),
+        nlist, k2, Metric.L2, "gather", False, 0, None, None, None, None,
+    )
+    got2 = ivf_flat._ivf_search_device(
+        jnp.asarray(q), jnp.asarray(arena.mean(1)), jnp.asarray(arena),
+        jnp.asarray((arena ** 2).sum(-1)), jnp.asarray(counts),
+        nlist, k2, Metric.L2, "pallas_grouped", False, 0, None, None, None,
+        None,
+    )
+    np.testing.assert_array_equal(np.asarray(want2[1]), np.asarray(got2[1]))
+    np.testing.assert_allclose(np.asarray(want2[0]), np.asarray(got2[0]),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_grouped_auto_gate_t4_at_m16_parity(rng):
     """The auto gate lowers to the tournament at m >= 16 (measured win at
