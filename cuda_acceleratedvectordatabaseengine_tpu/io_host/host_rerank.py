@@ -116,16 +116,22 @@ class HostReranker:
             self.anchors = None
             self.anchor_row = None
 
-        # id → flat row. Dense ids (the common case: ids are a permutation
-        # of a small range) get an O(1) inverse table; arbitrary uint64 ids
-        # fall back to sorted binary search.
+        # id → flat row. Dense-ish ids get an O(1) inverse table; sparse
+        # uint64 ids fall back to sorted binary search. The admission is
+        # deliberately generous — up to 32× id-space slack, capped at a
+        # 4 GB table — because the searchsorted path costs real money at
+        # serving batch sizes (measured +211 ms/batch at R=512 × b512 on
+        # a 20M store: 262K lookups × ~24 cache-missing probes each,
+        # logs_r05/host_rerank_nondense): trading idle host RAM for it is
+        # the right default on rerank hosts, which hold the multi-GB row
+        # store anyway.
         self._inv = None
         self._order = None
         self._sorted_ids = None
         if n:
             ids64 = ids.astype(np.int64, copy=False)
             max_id = int(ids64.max())
-            if max_id < 2 * n + 1024:
+            if max_id < min(32 * n + 1024, 1 << 29):
                 inv = np.full(max_id + 1, -1, np.int64)
                 inv[ids64] = np.arange(n, dtype=np.int64)
                 self._inv = inv
