@@ -159,7 +159,10 @@ def _ivf_pq_search_device(
         # live rotated, and rotation is an isometry, so this is the ONLY
         # query-side change OPQ needs (order vs normalize is irrelevant —
         # orthogonal maps preserve norms).
-        q = q @ opq_R
+        # HIGHEST precision: a bf16-pass rotation perturbs the query by
+        # ~1e-3 relative — a systematic metric distortion that flips
+        # near-tie orderings at the top-k boundary (ops/pq._PREC_HI).
+        q = jnp.matmul(q, opq_R, precision=jax.lax.Precision.HIGHEST)
     if metric == Metric.COSINE:
         q = l2_normalize(q)
     q_sq = jnp.sum(q * q, axis=-1)
@@ -466,15 +469,24 @@ class IVFPQIndex:
                 key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters,
                 opq_iters=cfg.opq_iters,
             )
-            self.centroids = self.centroids @ self.opq_R
+            self.centroids = jnp.matmul(
+                self.centroids, self.opq_R,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
             self.codebooks = train_product_quantizer(
                 key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters
             )
 
     def _rot(self, x: jax.Array) -> jax.Array:
-        """Change of basis into the OPQ frame (no-op without OPQ)."""
-        return x @ self.opq_R if self.opq_R is not None else x
+        """Change of basis into the OPQ frame (no-op without OPQ). HIGHEST
+        precision: stored rows must be rotated exactly or the isometry
+        breaks by the matmul's bf16 pass error (see ops/pq._PREC_HI)."""
+        if self.opq_R is None:
+            return x
+        return jnp.matmul(
+            x, self.opq_R, precision=jax.lax.Precision.HIGHEST
+        )
 
     def train_from_device(self, x_dev: jax.Array) -> None:
         """Device-resident training (parity with

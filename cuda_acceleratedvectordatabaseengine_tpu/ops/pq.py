@@ -105,18 +105,44 @@ def _refresh_codebooks(xr, codes, codebooks, chunk_size: int = 2048):
     )
 
 
+# Rotation algebra must NOT ride the platform's default matmul precision:
+# fp32 matmuls lower to single-pass bf16 on the MXU, so even U @ Vᵀ of a
+# perfectly orthogonal SVD pair came back with max|RᵀR−I| ≈ 7e-3 (measured,
+# PQ_r05 probe — U and V individually orthogonal to 3e-6). A non-isometric
+# "rotation" silently distorts every rotated-frame distance by ~|RᵀR−I|;
+# the exact rerank inherits that as a systematic ~0.3% metric error, an
+# order of magnitude above bf16 STORAGE noise — the OPQ deep-rerank recall
+# plateau of rounds 3-4 (recall 0.981 at shortlist containment 1.0).
+_PREC_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.matmul(a, b, precision=_PREC_HI)
+
+
+def _orthonormalize(R: jax.Array) -> jax.Array:
+    """Pull a near-orthogonal matrix back onto the orthogonal manifold with
+    two Newton–Schulz iterations (R ← ½R(3I − RᵀR), quadratic convergence)
+    at HIGHEST precision — the final guarantee that the published rotation
+    is an isometry to fp32 roundoff regardless of how it was produced."""
+    eye = jnp.eye(R.shape[0], dtype=R.dtype)
+    for _ in range(2):
+        R = 0.5 * _mm(R, 3.0 * eye - _mm(R.T, R))
+    return R
+
+
 @jax.jit
 def _opq_step(x, R, codebooks):
     """One OPQ-NP alternation: Procrustes rotation update from the current
     code reconstruction, then a warm Lloyd refresh of the codebooks in the
     new rotated frame."""
-    xr = x @ R
+    xr = _mm(x, R)
     codes = pq_encode(xr, codebooks)
     y = pq_decode(codes, codebooks)
     # min_R ‖xR − y‖_F over orthogonal R → R = U Vᵀ with U S Vᵀ = svd(xᵀy)
-    u, _, vt = jnp.linalg.svd(x.T @ y, full_matrices=False)
-    R = u @ vt
-    xr = x @ R
+    u, _, vt = jnp.linalg.svd(_mm(x.T, y), full_matrices=False)
+    R = _orthonormalize(_mm(u, vt))
+    xr = _mm(x, R)
     codes = pq_encode(xr, codebooks)
     return R, _refresh_codebooks(xr, codes, codebooks)
 
@@ -157,7 +183,7 @@ def opq_fit(
         # One jitted alternation per step (executable reused across iters).
         R, codebooks = _opq_step(x, R, codebooks)
     R.block_until_ready()
-    codebooks = train_product_quantizer(k2, x @ R, m, ks, iters)
+    codebooks = train_product_quantizer(k2, _mm(x, R), m, ks, iters)
     return R, codebooks
 
 

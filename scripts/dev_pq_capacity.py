@@ -144,7 +144,9 @@ def main():
             key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters,
             opq_iters=cfg.opq_iters,
         )
-        idx.centroids = centroids @ idx.opq_R
+        idx.centroids = jnp.matmul(
+            centroids, idx.opq_R, precision=jax.lax.Precision.HIGHEST
+        )
     else:
         idx.codebooks = train_product_quantizer(
             key, residuals, cfg.m, cfg.ks, iters=cfg.train_iters

@@ -318,6 +318,27 @@ def test_opq_fit_reduces_reconstruction_error(rng):
     assert err_opq < err_plain * 0.9, (err_opq, err_plain)
 
 
+def test_opq_rotation_is_isometric_at_high_dim(rng):
+    """Regression for the r3/r4 OPQ deep-rerank plateau (PQ_r05): fp32
+    matmuls ride a single bf16 MXU pass by default, so U @ Vᵀ of the
+    Procrustes SVD came back non-orthogonal by ~2.5e-3 at dim ≥ 128 on
+    decaying spectra — a systematic rotated-frame metric distortion ~10×
+    bf16 storage noise (shortlist containment 1.0 while recall plateaued
+    at 0.981). opq_fit must publish an isometry to fp32 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_acceleratedvectordatabaseengine_tpu.ops.pq import opq_fit
+
+    dim = 128
+    x = jnp.asarray(_anisotropic(rng, 8000, dim, decay=0.96))
+    R, _ = opq_fit(jax.random.PRNGKey(0), x, m=16, ks=32, iters=3,
+                   opq_iters=3)
+    R64 = np.asarray(R, np.float64)
+    dev = np.abs(R64.T @ R64 - np.eye(dim)).max()
+    assert dev < 2e-5, dev
+
+
 def test_opq_index_end_to_end(rng, oracle):
     """opq=True: the whole index operates in the rotated basis; reported
     distances stay TRUE-space distances (rotation is an isometry) and
