@@ -429,6 +429,7 @@ def _ivf_search_device(
         cand = hi_f + flat_lo[safe].astype(jnp.float32)  # [B, keep, D]
         dots = jnp.einsum(
             "bd,bkd->bk", q, cand, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact stage — no bf16 pass
         )
         c_sq = jnp.sum(cand * cand, axis=-1)
         if metric == Metric.INNER_PRODUCT:

@@ -280,9 +280,14 @@ def _ivf_pq_search_device(
             cand = cand * raw_scale.reshape(-1)[safe_p][:, :, None]
         if raw_anchors is not None:
             cand = cand + raw_anchors[safe_p // cap]
+        # HIGHEST precision: this einsum is the EXACT stage — a default
+        # bf16 MXU pass injects ~5e-4-level dot error into the one
+        # computation whose whole job is adjudicating near-ties the ADC
+        # stage couldn't. O(B·keep·D) MACs — cost is noise.
         dots = jnp.einsum(
             "bd,bkd->bk", q, cand,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if metric == Metric.INNER_PRODUCT:
             exact = -dots
