@@ -722,7 +722,11 @@ def main():
             _stage("mesh-1: publish + compile (SPMD path on real silicon)")
             sh = ShardedIVFFlatIndex(idx, make_mesh(1))
             sp = SearchParams(nprobe=args.nprobe, k=args.k)
-            q_h = np.asarray(queries)
+            # Device-resident queries — the unsharded loop above also keeps
+            # the batch on device; a numpy round trip here re-uploads 25 MB
+            # per batch through the relay (630 ms — the first r5 mesh-1
+            # section measured the H2D tax, not the SPMD path).
+            q_h = queries
             tc1 = time.time()
             d_m, ids_m = sh.search(q_h, sp)
             mesh_compile_s = time.time() - tc1

@@ -51,6 +51,30 @@ from cuda_acceleratedvectordatabaseengine_tpu.models.ivf_flat import (
 from cuda_acceleratedvectordatabaseengine_tpu.utils.batching import bucket_size
 
 
+def _prep_queries(queries):
+    """Bucket-pad a query batch for the SPMD search, keeping device-resident
+    input ON device (a numpy round trip re-uploads ~25 MB per b8192 batch —
+    630 ms through the relay, ~25× the SPMD search itself; measured in the
+    first r5 mesh-1 bench section). Returns ``(queries, b)``."""
+    if isinstance(queries, jax.Array):
+        q = queries.astype(jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        b = q.shape[0]
+        bs = bucket_size(b)
+        if bs > b:
+            q = jnp.pad(q, ((0, bs - b), (0, 0)))
+        return q, b
+    q = np.ascontiguousarray(queries, np.float32)
+    if q.ndim == 1:
+        q = q[None]
+    b = q.shape[0]
+    bs = bucket_size(b)
+    if bs > b:
+        q = np.pad(q, ((0, bs - b), (0, 0)))
+    return q, b
+
+
 def _striping_perm(capacity: int, n_shards: int) -> np.ndarray:
     """Physical slot → logical slot permutation for round-robin striping.
 
@@ -603,13 +627,7 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
         ICI-merged results and maps positions through the snapshotted
         stripe-epoch id table."""
         params = params or SearchParams()
-        queries = np.ascontiguousarray(queries, np.float32)
-        if queries.ndim == 1:
-            queries = queries[None]
-        b = queries.shape[0]
-        bs = bucket_size(b)
-        if bs > b:
-            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        queries, b = _prep_queries(queries)
         nprobe = params.nprobe
         if nprobe <= 0:
             # auto: the base's measured-coverage calibration, same contract
@@ -876,13 +894,7 @@ class ShardedIVFPQIndex(_ShardedServingSurface):
         """Dispatch/finalize split (``IVFFlatIndex.search_async``
         contract) over the SPMD ADC search."""
         params = params or SearchParams()
-        queries = np.ascontiguousarray(queries, np.float32)
-        if queries.ndim == 1:
-            queries = queries[None]
-        b = queries.shape[0]
-        bs = bucket_size(b)
-        if bs > b:
-            queries = np.pad(queries, ((0, bs - b), (0, 0)))
+        queries, b = _prep_queries(queries)
         nprobe = params.nprobe
         if nprobe <= 0:
             nprobe = self.calibrated_nprobe or SearchParams().nprobe
