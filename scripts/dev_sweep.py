@@ -340,7 +340,9 @@ def _roofline(q, idx, arena, batch, nprobe, k, m_budget, scan_cap, args):
     scan_bytes = arena_bytes + q_bytes + anchor_bytes + out_bytes
 
     # Chained-timing: each step's input depends on the previous step's
-    # scalar, so the relay cannot overlap or drop light programs.
+    # scalar, so the relay cannot overlap or drop light programs. Device
+    # arrays ride as jit ARGUMENTS — closure capture embeds the 10 GB
+    # arena as HLO constants (blows the relay compile request).
     def _chained_ms(step, iters=16):
         s = jnp.zeros((), jnp.float32)
         s = step(s)
@@ -352,32 +354,41 @@ def _roofline(q, idx, arena, batch, nprobe, k, m_budget, scan_cap, args):
         float(s)
         return (time.time() - t0) / iters * 1000
 
-    cents = idx.centroids
-
     @jax.jit
-    def coarse_step(s):
-        qq = q + s * 0.0
+    def _coarse_step(s, qq0, cents):
+        qq = qq0 + s * 0.0
         vals, _ = topk_smallest(
             pairwise_distance(qq, cents, Metric.L2), nprobe
         )
         return s + vals.sum()
 
-    @functools.partial(jax.jit, static_argnums=())
-    def full_step(s):
-        qq = q + s * 0.0
+    @functools.partial(
+        jax.jit, static_argnames=("_m", "_sc", "_interp"),
+    )
+    def _full_step(s, qq0, cents, arena_a, arena_sq, counts, scale,
+                   anchors, _m, _sc, _interp):
+        qq = qq0 + s * 0.0
         c = pairwise_distance(qq, cents, Metric.L2)
         _, pr = topk_smallest(c, nprobe)
         d, _pos = pallas_scan.scan_probed_lists_pallas_grouped(
-            qq, arena.arena, arena.arena_sq, arena.counts,
-            pr.astype(jnp.int32), k, Metric.L2, m_budget=m_budget,
-            arena_scale=arena.arena_scale, arena_anchors=arena.anchors,
-            scan_capacity=scan_cap,
-            interpret=jax.default_backend() != "tpu",
+            qq, arena_a, arena_sq, counts,
+            pr.astype(jnp.int32), k, Metric.L2, m_budget=_m,
+            arena_scale=scale, arena_anchors=anchors,
+            scan_capacity=_sc, interpret=_interp,
         )
         return s + jnp.where(jnp.isfinite(d), d, 0.0).sum()
 
-    coarse_ms = _chained_ms(coarse_step)
-    total_ms = _chained_ms(full_step)
+    interp = jax.default_backend() != "tpu"
+    coarse_ms = _chained_ms(
+        lambda s: _coarse_step(s, q, idx.centroids)
+    )
+    total_ms = _chained_ms(
+        lambda s: _full_step(
+            s, q, idx.centroids, arena.arena, arena.arena_sq,
+            arena.counts, arena.arena_scale, arena.anchors,
+            _m=m_budget, _sc=scan_cap, _interp=interp,
+        )
+    )
     scan_ms = max(total_ms - coarse_ms, 1e-6)
     peak_gbps = 819.0                      # v5e nominal HBM bandwidth
     achieved = scan_bytes / (scan_ms / 1e3) / 1e9
