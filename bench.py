@@ -735,11 +735,16 @@ def main():
                 for a, b in zip(ids_m.astype(np.int64), truth)
             ])
             _stage(f"mesh-1: throughput (recall {recall_m:.4f})")
+            # Same loop semantics as the unsharded measurement above:
+            # async device dispatches, ONE block at the end, no per-batch
+            # result fetch (search_async's per-batch D2H through the relay
+            # measured 77.6K QPS where the device path runs ~4x that).
             n_mb = max(args.n_batches // 2, 5)
             tm = time.time()
-            thunks = [sh.search_async(q_h, sp) for _ in range(n_mb)]
-            for th in thunks:
-                th()
+            dev_results = [
+                sh.search_device(q_h, sp) for _ in range(n_mb)
+            ]
+            jax.block_until_ready(dev_results)
             dt_m = time.time() - tm
             mesh1 = {
                 "qps": round(n_mb * args.batch / dt_m, 1),

@@ -153,18 +153,22 @@ def _ivf_pq_search_device(
 ):
     b, dim = queries.shape
     nlist, m, cap = code_arena_t.shape
-    q = queries.astype(jnp.float32)
-    if opq_R is not None:
-        # Change of basis into the OPQ frame: centroids/codes/raw arena all
-        # live rotated, and rotation is an isometry, so this is the ONLY
-        # query-side change OPQ needs (order vs normalize is irrelevant —
-        # orthogonal maps preserve norms).
-        # HIGHEST precision: a bf16-pass rotation perturbs the query by
-        # ~1e-3 relative — a systematic metric distortion that flips
-        # near-tie orderings at the top-k boundary (ops/pq._PREC_HI).
-        q = jnp.matmul(q, opq_R, precision=jax.lax.Precision.HIGHEST)
+    q0 = queries.astype(jnp.float32)       # ORIGINAL frame (rerank's frame)
     if metric == Metric.COSINE:
-        q = l2_normalize(q)
+        q0 = l2_normalize(q0)
+    q = q0
+    if opq_R is not None:
+        # Change of basis into the OPQ frame: centroids and CODES live
+        # rotated (the subspace split needs decorrelated axes); the raw
+        # rerank arena stays in the ORIGINAL frame (see _ingest — bf16
+        # rounding in the rotated frame concentrates into the same few
+        # high-variance coordinates as the signal, inflating rerank
+        # ordering noise; storing unrotated keeps per-coordinate SNR
+        # uniform). Rotation is an isometry, so probing/ADC distances are
+        # unchanged. HIGHEST precision: a bf16-pass rotation perturbs the
+        # query by ~1e-3 relative — a systematic metric distortion
+        # (ops/pq._PREC_HI).
+        q = jnp.matmul(q0, opq_R, precision=jax.lax.Precision.HIGHEST)
     q_sq = jnp.sum(q * q, axis=-1)
 
     # Coarse probe. For cosine the arena is normalized, so L2 ordering over
@@ -268,7 +272,9 @@ def _ivf_pq_search_device(
     if rerank_k > 0 and raw_arena is not None:
         # Exact rerank: gather the raw candidate vectors and recompute true
         # distances (the declared ``use_exact_rerank``/``rerank_k`` surface,
-        # ``engine/ivf_flat_index.h:153-157``).
+        # ``engine/ivf_flat_index.h:153-157``). Raw rows live in the
+        # ORIGINAL frame regardless of OPQ (see the q0/q split above), so
+        # the rerank pairs them with the UNROTATED query.
         flat = raw_arena.reshape(nlist * cap, dim)
         flat_sq = raw_sq.reshape(nlist * cap)
         safe_p = jnp.maximum(best_p, 0)
@@ -285,7 +291,7 @@ def _ivf_pq_search_device(
         # computation whose whole job is adjudicating near-ties the ADC
         # stage couldn't. O(B·keep·D) MACs — cost is noise.
         dots = jnp.einsum(
-            "bd,bkd->bk", q, cand,
+            "bd,bkd->bk", q0, cand,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -543,11 +549,12 @@ class IVFPQIndex:
             if self.metric == Metric.INNER_PRODUCT
             else Metric.L2
         )
-        vec_d = self._rot(jnp.asarray(vectors))
+        vec_orig = jnp.asarray(vectors)
+        vec_d = self._rot(vec_orig)
         assignments = np.asarray(
             kmeans_assign(vec_d, self.centroids, assign_metric)
         )
-        self._ingest(vec_d, ids, assignments)
+        self._ingest(vec_d, ids, assignments, vec_orig=vec_orig)
 
     def add_from_device(
         self, x_dev: jax.Array, ids: np.ndarray | None = None
@@ -566,6 +573,7 @@ class IVFPQIndex:
         x_dev = x_dev.astype(jnp.float32)
         if self.metric == Metric.COSINE:
             x_dev = l2_normalize(x_dev)
+        x_orig = x_dev
         x_dev = self._rot(x_dev)
         assign_metric = (
             Metric.INNER_PRODUCT
@@ -575,10 +583,18 @@ class IVFPQIndex:
         assignments = np.asarray(
             kmeans_assign(x_dev, self.centroids, assign_metric)
         )
-        self._ingest(x_dev, ids, assignments)
+        self._ingest(x_dev, ids, assignments, vec_orig=x_orig)
 
-    def _ingest(self, vec_d, ids, assignments: np.ndarray) -> None:
-        """Shared tail of add/add_from_device: encode + scatter."""
+    def _ingest(self, vec_d, ids, assignments: np.ndarray,
+                vec_orig=None) -> None:
+        """Shared tail of add/add_from_device: encode + scatter. ``vec_d``
+        is in the index's operating (possibly OPQ-rotated) frame for the
+        code path; ``vec_orig`` is the ORIGINAL-frame copy the raw rerank
+        arena stores (bf16 rounding in the rotated frame concentrates into
+        the signal's few high-variance coordinates — the r3-r5 OPQ
+        deep-rerank plateau). Without OPQ the two coincide."""
+        if vec_orig is None:
+            vec_orig = vec_d
         cfg = self.config
         codes = pq_encode(
             vec_d - self.centroids[jnp.asarray(assignments)], self.codebooks
@@ -611,7 +627,7 @@ class IVFPQIndex:
             )
             if self.raw is not None:
                 self.raw = self.raw.append(
-                    vec_d, np.asarray(ids), assignments
+                    vec_orig, np.asarray(ids), assignments
                 )
             else:
                 self._counts = self._counts + jnp.asarray(
@@ -1004,12 +1020,9 @@ class IVFPQIndex:
                     "keep_raw=False index has no stored rows to sample — "
                     "pass held-out queries"
                 )
-            rows = sample_stored_rows(self.raw, sample, seed)
-            if self.opq_R is not None:
-                # raw rows live in the OPQ frame; rotate back so the
-                # search path's boundary transform applies exactly once
-                rows = rows @ np.asarray(self.opq_R).T
-            queries = rows
+            # raw rows live in the ORIGINAL frame (the rerank's frame) —
+            # directly usable as query-space samples, OPQ or not.
+            queries = sample_stored_rows(self.raw, sample, seed)
         result = probe_coverage_calibrate(
             centroids=self.centroids,
             metric=self.metric,

@@ -619,15 +619,22 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.search_async(queries, params)()
 
-    def search_async(
-        self, queries: np.ndarray, params: SearchParams | None = None
+    def search_device(
+        self, queries, params: SearchParams | None = None
     ):
-        """Dispatch/finalize split (``IVFFlatIndex.search_async``
-        contract): the SPMD search dispatches now; the thunk forces the
-        ICI-merged results and maps positions through the snapshotted
-        stripe-epoch id table."""
+        """Dispatch the SPMD search and return the DEVICE result arrays
+        ``(distances, global positions)`` — no host transfer, no id
+        mapping. The device-throughput measurement hook (mirrors the
+        unsharded bench loop, which also never fetches per batch through
+        the relay) and the building block for device-side pipelines."""
         params = params or SearchParams()
         queries, b = _prep_queries(queries)
+        d_dev, pos_dev, _ids = self._dispatch(queries, params)
+        return d_dev, pos_dev
+
+    def _dispatch(self, queries, params):
+        """Shared dispatch: snapshot one stripe epoch, launch the SPMD
+        search, return ``(d_dev, pos_dev, ids_table)``."""
         nprobe = params.nprobe
         if nprobe <= 0:
             # auto: the base's measured-coverage calibration, same contract
@@ -655,6 +662,18 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
             has_anchor, self.interpret,
             _stripe_scan_capacity(counts_max, global_cap, self.n_shards),
         )
+        return d_dev, pos_dev, ids_table
+
+    def search_async(
+        self, queries: np.ndarray, params: SearchParams | None = None
+    ):
+        """Dispatch/finalize split (``IVFFlatIndex.search_async``
+        contract): the SPMD search dispatches now; the thunk forces the
+        ICI-merged results and maps positions through the snapshotted
+        stripe-epoch id table."""
+        params = params or SearchParams()
+        queries, b = _prep_queries(queries)
+        d_dev, pos_dev, ids_table = self._dispatch(queries, params)
 
         def finalize():
             d = np.asarray(d_dev)[:b].copy()
@@ -685,8 +704,8 @@ class ShardedIVFFlatIndex(_ShardedServingSurface):
                      "has_anchor", "interpret", "scan_capacity"),
 )
 def _sharded_pq_search(
-    queries, centroids, codebooks, codes_t_s, code_sq_s, counts,
-    raw_s, raw_sq_s, raw_scale_s, raw_anchors,
+    queries, queries_orig, centroids, codebooks, codes_t_s, code_sq_s,
+    counts, raw_s, raw_sq_s, raw_scale_s, raw_anchors,
     mesh, nprobe, k, metric, n_shards, global_cap, rerank_k,
     has_raw=False, has_scale=False, has_anchor=False, interpret=False,
     scan_capacity=None,
@@ -703,12 +722,14 @@ def _sharded_pq_search(
     standard distributed-top-k refinement; recall ≥ single-chip)."""
     from cuda_acceleratedvectordatabaseengine_tpu.ops import pallas_scan
 
-    def local_fn(q, c, cb, codes_l, code_sq_l, cnt, raw_l, raw_sq_l,
+    def local_fn(q, q0, c, cb, codes_l, code_sq_l, cnt, raw_l, raw_sq_l,
                  raw_scale_l, anchors):
         s = jax.lax.axis_index(SHARD_AXIS)
         qf = q.astype(jnp.float32)
+        q0f = q0.astype(jnp.float32)        # original frame (rerank)
         if metric == Metric.COSINE:
             qf = l2_normalize(qf)
+            q0f = l2_normalize(q0f)
         coarse_metric = (
             Metric.INNER_PRODUCT if metric == Metric.INNER_PRODUCT
             else Metric.L2
@@ -741,8 +762,12 @@ def _sharded_pq_search(
                 cand = cand * raw_scale_l.reshape(-1)[flat_idx][:, :, None]
             if has_anchor:
                 cand = cand + anchors[lists]
+            # Original-frame rerank at HIGHEST precision (the exact stage
+            # — see models/ivf_pq's rerank block for both rationales).
             dots = jnp.einsum(
-                "bd,bkd->bk", qf, cand, preferred_element_type=jnp.float32,
+                "bd,bkd->bk", q0f, cand,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if metric == Metric.INNER_PRODUCT:
                 exact = -dots
@@ -750,7 +775,7 @@ def _sharded_pq_search(
                 c_sq = jnp.sum(cand * cand, axis=-1)
                 exact = 1.0 - dots * jax.lax.rsqrt(jnp.maximum(c_sq, 1e-12))
             else:
-                q_sq = jnp.sum(qf * qf, axis=-1)
+                q_sq = jnp.sum(q0f * q0f, axis=-1)
                 c_sq = jnp.sum(cand * cand, axis=-1)
                 exact = jnp.maximum(
                     q_sq[:, None] - 2.0 * dots + c_sq, 0.0
@@ -768,14 +793,16 @@ def _sharded_pq_search(
         local_fn,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(), P(None, None, SHARD_AXIS), P(None, SHARD_AXIS),
+            P(), P(), P(), P(), P(None, None, SHARD_AXIS),
+            P(None, SHARD_AXIS),
             P(), P(None, SHARD_AXIS, None), P(None, SHARD_AXIS),
             P(None, SHARD_AXIS), P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,    # see _sharded_search
     )
-    return fn(queries, centroids, codebooks, codes_t_s, code_sq_s, counts,
+    return fn(queries, queries_orig, centroids, codebooks, codes_t_s,
+              code_sq_s, counts,
               raw_s, raw_sq_s, raw_scale_s, raw_anchors)
 
 
@@ -916,13 +943,19 @@ class ShardedIVFPQIndex(_ShardedServingSurface):
         rerank_k = 0
         if params.use_exact_rerank and has_raw:
             rerank_k = min(max(4 * params.k, params.k), 256)
-        q = jnp.asarray(queries)
+        q0 = jnp.asarray(queries)           # ORIGINAL frame (rerank's)
+        q = q0
         if getattr(self.base, "opq_R", None) is not None:
-            # The striped arenas were published in the OPQ frame (the base
-            # index lives rotated end-to-end); rotate queries to match.
-            q = q @ self.base.opq_R
+            # Centroids/codes were published in the OPQ frame; the striped
+            # raw rerank arena stays ORIGINAL-frame (models/ivf_pq._ingest
+            # — rotated-frame bf16 storage concentrates rounding into the
+            # signal coordinates). HIGHEST precision: see ops/pq._PREC_HI.
+            q = jnp.matmul(
+                q0, self.base.opq_R, precision=jax.lax.Precision.HIGHEST
+            )
+        repl = NamedSharding(self.mesh, P())
         d_dev, pos_dev = _sharded_pq_search(
-            jax.device_put(q, NamedSharding(self.mesh, P())),
+            jax.device_put(q, repl), jax.device_put(q0, repl),
             centroids, codebooks, codes_t_s, code_sq_s,
             counts, raw_s, raw_sq_s, raw_scale_s,
             raw_anchors, self.mesh, nprobe, params.k, self.metric,
