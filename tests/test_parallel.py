@@ -120,6 +120,32 @@ def test_sharded_search_equals_single_chip(rng, n_shards, metric):
     np.testing.assert_array_equal(ids, ids_ref)
 
 
+def test_sharded_search_device_matches_host_path(rng):
+    """search_device (the no-host-transfer throughput hook, r5) must
+    return the same candidates as the full search: its global positions
+    mapped through the id table equal search()'s ids, with device input
+    (jax.Array) and host input (numpy) both accepted."""
+    import jax.numpy as jnp
+
+    idx, x = _build(rng)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    params = SearchParams(nprobe=8, k=10)
+    mesh = make_mesh(2)
+    sharded = ShardedIVFFlatIndex(idx, mesh)
+    d_ref, ids_ref = sharded.search(q, params)
+
+    for q_in in (q, jnp.asarray(q)):
+        d_dev, pos_dev = sharded.search_device(q_in, params)
+        pos = np.asarray(pos_dev)[: q.shape[0]]
+        flat = idx.arena.ids.reshape(-1)
+        ids = flat[np.clip(pos, 0, flat.size - 1)]
+        ids[pos < 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        np.testing.assert_array_equal(ids, ids_ref)
+        np.testing.assert_allclose(
+            np.asarray(d_dev)[: q.shape[0]], d_ref, rtol=1e-5, atol=1e-5
+        )
+
+
 def test_sharded_refresh_after_add(rng):
     idx, x = _build(rng, n=2000)
     mesh = make_mesh(4)
